@@ -1,0 +1,212 @@
+"""Configuration tree for the spatten-tpu engine.
+
+The reference scatters configuration over five layers (SURVEY.md §5: argparse,
+Java system properties, the compile-time `SpAttenConfig` case class at
+spatten_hardware/.../SpAtten.scala:9-49, ramulator yaml, and per-request
+metadata).  Here it is a single frozen-dataclass tree; the reference's
+"policy is data, not config" insight is kept: per-layer / per-step pruning and
+quantization *decisions* travel as arrays inside the decode state (see
+`spatten_tpu.engine.policy`), while this module holds the static knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of a served transformer (Llama / GPT-2 families)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32          # < num_heads => GQA
+    head_dim: int = 128
+    intermediate_size: int = 11008
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    model_type: str = "llama"        # "llama" | "gpt2"
+    activation: str = "silu"         # "silu" (llama) | "gelu" (gpt2)
+    tie_word_embeddings: bool = False
+    # GPT-2 style knobs
+    use_qkv_bias: bool = False
+    use_mlp_bias: bool = False
+    use_attn_scale_by_layer: bool = False  # gpt2 scale_attn_by_inverse_layer_idx
+    layernorm_kind: str = "rmsnorm"  # "rmsnorm" (llama) | "layernorm" (gpt2)
+    use_abs_pos_emb: bool = False    # gpt2 learned positions instead of RoPE
+
+    @property
+    def q_heads_per_kv(self) -> int:
+        assert self.num_heads % self.num_kv_heads == 0
+        return self.num_heads // self.num_kv_heads
+
+    @staticmethod
+    def llama2_7b() -> "ModelConfig":
+        return ModelConfig()
+
+    @staticmethod
+    def tiny(vocab_size: int = 256) -> "ModelConfig":
+        """A tiny model for tests: 2 layers, GQA 4:2, head_dim 8."""
+        return ModelConfig(
+            vocab_size=vocab_size,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=8,
+            intermediate_size=64,
+            max_position_embeddings=512,
+        )
+
+    @staticmethod
+    def gpt2_small() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=50257,
+            hidden_size=768,
+            num_layers=12,
+            num_heads=12,
+            num_kv_heads=12,
+            head_dim=64,
+            intermediate_size=3072,
+            norm_eps=1e-5,
+            model_type="gpt2",
+            activation="gelu",
+            use_qkv_bias=True,
+            use_mlp_bias=True,
+            layernorm_kind="layernorm",
+            use_abs_pos_emb=True,
+            tie_word_embeddings=True,
+            max_position_embeddings=1024,
+        )
+
+    @staticmethod
+    def gpt2_medium() -> "ModelConfig":
+        return dataclasses.replace(
+            ModelConfig.gpt2_small(),
+            hidden_size=1024,
+            num_layers=24,
+            num_heads=16,
+            num_kv_heads=16,
+            head_dim=64,
+            intermediate_size=4096,
+        )
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """KV progressive quantization.
+
+    Two-plane storage mirrors the reference's bit-sliced Buffer
+    (Buffer.scala:78-83) + masked LSB writes (SpAttenController.scala:230-232):
+
+    * plane "msb": 4-bit nibbles, packed two-per-uint8 (0.5 B/elem HBM read)
+    * plane "full": int8 (1 B/elem), MSB nibble of the int8 == the msb plane
+
+    Pass 1 of attention reads only the msb plane; if the max softmax
+    probability for a (batch, kv_head) falls below `requant_threshold`
+    (low confidence, mirrors RequantDecision.scala:69-76) the full plane is
+    re-fetched and the scores recomputed.
+    """
+
+    enabled: bool = True
+    requant_threshold: float = 0.08
+    enable_requant: bool = True
+    scale_dtype: str = "float32"
+
+    @property
+    def disabled(self) -> "QuantConfig":
+        return dataclasses.replace(self, enabled=False, enable_requant=False)
+
+
+@dataclass(frozen=True)
+class PruningConfig:
+    """Token / V / head pruning policy knobs.
+
+    start/important/recent mirror SpAttenKVCache
+    (reference spatten_llm/kv_cache_token_pruning.py:24-41); the local-V and
+    head knobs come from the hardware plane (TopK stage, workload CSVs).
+    """
+
+    # --- cascade token pruning (rolling KV cache) ---
+    start_size: int = 4
+    important_size: int = 512
+    recent_size: int = 512
+    enable_token_pruning: bool = True
+
+    # --- local V pruning (per-query top-k over softmax output) ---
+    enable_v_pruning: bool = True
+    v_keep_ratio: float = 0.35      # value_fetch_num ≈ ratio * key_fetch_num
+    v_block_size: int = 16          # granularity of V fetches (≈ buffer line)
+
+    # --- head pruning ---
+    enable_head_pruning: bool = False
+    head_keep: int = 0              # 0 = keep all heads
+
+    # --- importance signal ---
+    # "prob": accumulate softmax probabilities (HPCA'21 paper).
+    # "presoftmax": sum of raw scaled QK^T scores over queries — exact parity
+    #   with the reference's attn_scores recording
+    #   (spatten_llm/pos_shift/modify_llama.py:115-119 + sum(0).sum(1)).
+    importance_kind: str = "prob"
+    cascade_accumulate: bool = True  # accumulate importance across steps
+
+    @property
+    def cache_size(self) -> int:
+        return self.start_size + self.important_size + self.recent_size
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout.  axes: data (DP over batch), model (TP over heads)."""
+
+    data: int = 1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Serving-engine knobs: batching, cache capacity, dtypes."""
+
+    max_batch_size: int = 8
+    cache_capacity: int = 1024      # KV slots per sequence (static shape)
+    prefill_chunk: int = 128        # prefill processed in chunks of this many
+    max_decode_steps: int = 512
+    param_dtype: str = "bfloat16"
+    activation_dtype: str = "bfloat16"
+    use_pallas: bool = True          # fused kernels vs jnp reference path
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclass(frozen=True)
+class SpAttenConfig:
+    """Top-level bundle handed to the engine."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    pruning: PruningConfig = dataclasses.field(default_factory=PruningConfig)
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+
+    def validate(self) -> "SpAttenConfig":
+        m, p, e = self.model, self.pruning, self.engine
+        if m.num_heads % m.num_kv_heads != 0:
+            raise ValueError("num_heads must be a multiple of num_kv_heads")
+        if p.enable_token_pruning and p.cache_size > e.cache_capacity:
+            raise ValueError(
+                f"pruning cache_size {p.cache_size} exceeds engine "
+                f"cache_capacity {e.cache_capacity}"
+            )
+        if p.enable_head_pruning and p.head_keep > m.num_heads:
+            raise ValueError("head_keep exceeds num_heads")
+        if e.cache_capacity % p.v_block_size != 0:
+            raise ValueError("cache_capacity must be a multiple of v_block_size")
+        return self

@@ -1,0 +1,44 @@
+"""Decode-state pytree threaded through the jitted step functions.
+
+The reference's per-request metadata (quant profile, fetch counts, topk
+enable/num, requant threshold — SpAtten.scala:94-111) becomes per-layer
+arrays living in this state plus static knobs in SpAttenConfig: "policy is
+data, not config" survives as the importance / head-mask / length arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spatten_tpu.config import SpAttenConfig
+from spatten_tpu.engine.kv_cache import LayerKVCache, init_stacked_cache
+
+
+class DecodeState(NamedTuple):
+    cache: LayerKVCache        # planes stacked [L, B, Hkv, ...]
+    importance: jax.Array      # f32 [L, B, Hkv, C] cascade accumulator
+    lengths: jax.Array         # int32 [B] valid tokens per sequence
+    head_mask: jax.Array       # bool [L, Hq] — False = pruned head
+    requant_events: jax.Array  # int32 [] cumulative low-confidence recomputes
+
+    @property
+    def capacity(self) -> int:
+        return self.importance.shape[-1]
+
+
+def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
+    m, e = cfg.model, cfg.engine
+    b = batch if batch is not None else e.max_batch_size
+    cap = e.cache_capacity
+    return DecodeState(
+        cache=init_stacked_cache(m.num_layers, b, m.num_kv_heads, cap,
+                                 m.head_dim),
+        importance=jnp.zeros((m.num_layers, b, m.num_kv_heads, cap),
+                             jnp.float32),
+        lengths=jnp.zeros((b,), jnp.int32),
+        head_mask=jnp.ones((m.num_layers, m.num_heads), bool),
+        requant_events=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,264 @@
+"""Functional transformer with a SpAtten attention core.
+
+One generic decoder covers both model families (config-switched):
+
+* Llama-class: RMSNorm, RoPE (pos-shift), SwiGLU MLP, optional GQA.
+* GPT-2-class: LayerNorm(+bias), learned absolute positions, GELU MLP,
+  optional per-layer attention scaling.
+
+Design notes (TPU-first):
+* Parameters are a plain pytree with **layer-stacked** arrays `[L, ...]`;
+  the forward pass is a single `lax.scan` over layers, so XLA compiles one
+  layer body regardless of depth and the KV cache/importance state scans
+  along with it.
+* The attention core consumes the quantized two-plane KV cache and emits
+  the SpAtten signals (importance deltas, requant decisions) as scan
+  outputs; the surrounding engine folds them into the decode state.
+* Replaces the reference's monkey-patched HF forward
+  (spatten_llm/pos_shift/modify_llama.py:31-181) with a from-scratch
+  functional model — no torch, no module mutation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatten_tpu.config import ModelConfig, SpAttenConfig
+from spatten_tpu.engine.kv_cache import LayerKVCache, append_tokens
+from spatten_tpu.engine.state import DecodeState
+from spatten_tpu.ops import rope as rope_ops
+from spatten_tpu.ops.attention_ref import spatten_attention_reference
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array,
+                dtype=jnp.bfloat16) -> Params:
+    m = cfg
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(dtype)
+
+    L, D, I = m.num_layers, m.hidden_size, m.intermediate_size
+    hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
+
+    layers = {
+        "attn_norm_w": jnp.ones((L, D), dtype),
+        "wq": dense(next(keys), (L, D, hq * dh), D),
+        "wk": dense(next(keys), (L, D, hkv * dh), D),
+        "wv": dense(next(keys), (L, D, hkv * dh), D),
+        "wo": dense(next(keys), (L, hq * dh, D), hq * dh),
+        "mlp_norm_w": jnp.ones((L, D), dtype),
+        "w_up": dense(next(keys), (L, D, I), D),
+        "w_down": dense(next(keys), (L, I, D), I),
+    }
+    if m.activation == "silu":
+        layers["w_gate"] = dense(next(keys), (L, D, I), D)
+    if m.layernorm_kind == "layernorm":
+        layers["attn_norm_b"] = jnp.zeros((L, D), dtype)
+        layers["mlp_norm_b"] = jnp.zeros((L, D), dtype)
+    if m.use_qkv_bias:
+        layers["bq"] = jnp.zeros((L, hq * dh), dtype)
+        layers["bk"] = jnp.zeros((L, hkv * dh), dtype)
+        layers["bv"] = jnp.zeros((L, hkv * dh), dtype)
+        layers["bo"] = jnp.zeros((L, D), dtype)
+    if m.use_mlp_bias:
+        layers["b_up"] = jnp.zeros((L, I), dtype)
+        layers["b_down"] = jnp.zeros((L, D), dtype)
+
+    params: Params = {
+        "embed": dense(next(keys), (m.vocab_size, D), D),
+        "layers": layers,
+        "final_norm_w": jnp.ones((D,), dtype),
+    }
+    if m.layernorm_kind == "layernorm":
+        params["final_norm_b"] = jnp.zeros((D,), dtype)
+    if m.use_abs_pos_emb:
+        params["wpe"] = dense(next(keys), (m.max_position_embeddings, D), D)
+    if not m.tie_word_embeddings:
+        params["lm_head"] = dense(next(keys), (D, m.vocab_size), D)
+    return params
+
+
+def num_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _norm(x: jax.Array, w: jax.Array, b: jax.Array | None, kind: str,
+          eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if kind == "rmsnorm":
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    elif kind == "layernorm":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+        if b is not None:
+            out = out + b.astype(jnp.float32)
+    else:
+        raise ValueError(kind)
+    return out.astype(x.dtype)
+
+
+def _mlp(x: jax.Array, lp: Params, activation: str) -> jax.Array:
+    if activation == "silu":
+        gate = jax.nn.silu(x @ lp["w_gate"])
+        up = x @ lp["w_up"]
+        if "b_up" in lp:
+            up = up + lp["b_up"]
+        return (gate * up) @ lp["w_down"] + lp.get("b_down", 0)
+    elif activation == "gelu":
+        h = x @ lp["w_up"]
+        if "b_up" in lp:
+            h = h + lp["b_up"]
+        h = jax.nn.gelu(h, approximate=True)
+        return h @ lp["w_down"] + lp.get("b_down", 0)
+    raise ValueError(activation)
+
+
+# ---------------------------------------------------------------------------
+# Forward step
+# ---------------------------------------------------------------------------
+
+class StepAux(NamedTuple):
+    """Per-call aggregate pruning/quant telemetry."""
+
+    requant_events: jax.Array   # int32 [] — (layer, batch, kv_head) requants
+    max_probs: jax.Array        # f32 [L, B, Hkv]
+
+
+def forward(
+    params: Params,
+    cfg: SpAttenConfig,
+    state: DecodeState,
+    tokens: jax.Array,          # int32 [B, S]
+) -> Tuple[jax.Array, DecodeState, StepAux]:
+    """Run S tokens through the model, appending them to the cache.
+
+    Returns (logits [B, S, vocab], new_state, aux).  Token positions are
+    the current cache slots [lengths, lengths+S) — pos-shift positioning.
+    """
+    m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
+    b, s = tokens.shape
+    hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
+    cap = state.capacity
+
+    x = jnp.take(params["embed"], tokens, axis=0)          # [B, S, D]
+    positions = state.lengths[:, None] + jnp.arange(s)[None, :]   # [B, S]
+    if m.use_abs_pos_emb:
+        x = x + jnp.take(params["wpe"], positions, axis=0)
+
+    cos, sin = rope_ops.rope_table(cap, dh, m.rope_theta)
+    pos_clip = jnp.minimum(positions, cap - 1)
+
+    base_scale = 1.0 / math.sqrt(dh)
+    v_keep = 0
+    if p.enable_v_pruning:
+        # value fetch budget relative to the key budget (workload CSVs show
+        # value_fetch_num ≈ 0.2-0.35 × key_fetch_num)
+        v_keep = max(p.v_block_size, int(p.v_keep_ratio * cap))
+
+    def layer_fn(x, scanned):
+        lp, layer_cache, imp, hmask_l, layer_idx = scanned
+
+        h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"),
+                  m.layernorm_kind, m.norm_eps)
+        qh = h @ lp["wq"] + lp.get("bq", 0)
+        kh = h @ lp["wk"] + lp.get("bk", 0)
+        vh = h @ lp["wv"] + lp.get("bv", 0)
+        qh = qh.reshape(b, s, hq, dh).transpose(0, 2, 1, 3)
+        kh = kh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
+        vh = vh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
+
+        if not m.use_abs_pos_emb:
+            # pos-shift: rotate queries at their cache positions; keys are
+            # cached unrotated and rotated at read time inside attention.
+            c = jnp.take(cos, pos_clip, axis=0)[:, None]    # [B,1,S,dh]
+            sn = jnp.take(sin, pos_clip, axis=0)[:, None]
+            qh = (qh * c + rope_ops.rotate_half(qh) * sn).astype(qh.dtype)
+
+        layer_cache = append_tokens(layer_cache, kh, vh, state.lengths)
+        # importance slots of the incoming tokens start fresh
+        slot = jnp.arange(cap)[None, None, :]
+        is_new = ((slot >= state.lengths[:, None, None])
+                  & (slot < (state.lengths + s)[:, None, None]))
+        imp = jnp.where(is_new, 0.0, imp)
+
+        sm_scale = base_scale
+        if m.use_attn_scale_by_layer:
+            sm_scale = base_scale / (layer_idx.astype(jnp.float32) + 1.0)
+
+        attn_out, stats = spatten_attention_reference(
+            qh,
+            layer_cache.k,
+            layer_cache.v,
+            cos,
+            sin,
+            state.lengths + s,
+            positions,
+            sm_scale=sm_scale,
+            requant_threshold=(q.requant_threshold
+                               if (q.enabled and q.enable_requant) else 0.0),
+            quant_enabled=q.enabled,
+            v_keep=v_keep,
+            v_block_size=p.v_block_size,
+            head_mask=hmask_l if p.enable_head_pruning else None,
+            importance_kind=p.importance_kind,
+        )
+        if p.cascade_accumulate:
+            imp = imp + stats.importance_delta
+        else:
+            imp = stats.importance_delta
+
+        o = attn_out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
+            b, s, hq * dh)
+        x = x + (o @ lp["wo"] + lp.get("bo", 0))
+
+        h2 = _norm(x, lp["mlp_norm_w"], lp.get("mlp_norm_b"),
+                   m.layernorm_kind, m.norm_eps)
+        x = x + _mlp(h2, lp, m.activation)
+
+        layer_out = (layer_cache, imp,
+                     stats.need_requant.sum().astype(jnp.int32),
+                     stats.max_prob)
+        return x, layer_out
+
+    layer_ids = jnp.arange(m.num_layers, dtype=jnp.int32)
+    x, (new_cache, new_imp, requants, max_probs) = jax.lax.scan(
+        layer_fn,
+        x,
+        (params["layers"], state.cache, state.importance, state.head_mask,
+         layer_ids),
+    )
+
+    x = _norm(x, params["final_norm_w"], params.get("final_norm_b"),
+              m.layernorm_kind, m.norm_eps)
+    if m.tie_word_embeddings:
+        logits = x @ params["embed"].T
+    else:
+        logits = x @ params["lm_head"]
+
+    new_state = DecodeState(
+        cache=new_cache,
+        importance=new_imp,
+        lengths=state.lengths + s,
+        head_mask=state.head_mask,
+        requant_events=state.requant_events + requants.sum(),
+    )
+    aux = StepAux(requant_events=requants.sum(), max_probs=max_probs)
+    return logits.astype(jnp.float32), new_state, aux

@@ -1,0 +1,162 @@
+"""Two-plane progressive KV quantization.
+
+TPU realization of the reference's bit-sliced buffer + progressive fetch
+(Buffer.scala:78-83 one-RAM-per-bit; MatrixFetcher.scala:333-361 MSB/LSB
+bit-plane alignment; SpAttenController.scala:214-232 masked LSB writes):
+
+* ``full`` plane: int8, symmetric per-(token, head) scale.
+* ``msb`` plane : the arithmetic-shift-right-4 nibble of the int8 value,
+  packed two-tokens-per-byte into a uint8 array of half the token rows —
+  reading it moves 0.5 bytes/element over HBM, the true 4-bit bandwidth.
+
+Packing layout ("split-token"): for a cache of T token rows, packed row
+``t`` holds the MSB nibble of token ``t`` in its high bits and of token
+``t + T//2`` in its low bits.  Unpacking therefore produces tokens in natural
+order ([0, T/2) from the high nibbles, [T/2, T) from the low) with a cheap
+sublane concat — no lane shuffles on TPU.
+
+The planes compose exactly: ``int8 == (msb << 4) | lsb`` so a requantization
+pass that fetches the full plane refines, never contradicts, the MSB pass —
+mirroring how the RTL's LSB fetch completes the MSB bits in the bit-sliced
+SRAM rather than recomputing a new quantization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Midpoint correction for MSB-only dequantization: the int8 value lies in
+# [msb*16, msb*16 + 15]; using the interval midpoint halves the truncation
+# bias (the RTL instead left-aligns MSBs into its 12-bit fixed point,
+# MatrixFetcher.scala:352-358 — same idea, different number system).
+MSB_MIDPOINT = 7.5
+
+
+class QuantizedKV(NamedTuple):
+    """A quantized K or V tensor with both planes.
+
+    full:  int8  [..., T, D]
+    msb:   uint8 [..., T//2, D]   packed nibble plane
+    scale: f32   [..., T]         per-token (per leading dims) scale
+    """
+
+    full: jax.Array
+    msb: jax.Array
+    scale: jax.Array
+
+    @property
+    def tokens(self) -> int:
+        return self.full.shape[-2]
+
+
+def _nibble(q8: jax.Array) -> jax.Array:
+    """MSB nibble of an int8 value as uint8 in [0, 15]."""
+    return (q8.astype(jnp.int32) >> 4).astype(jnp.uint8) & jnp.uint8(0xF)
+
+
+def pack_msb(q8: jax.Array) -> jax.Array:
+    """Pack the MSB nibbles of int8 [..., T, D] into uint8 [..., T//2, D]."""
+    t = q8.shape[-2]
+    assert t % 2 == 0, "token dim must be even for nibble packing"
+    hi = _nibble(q8[..., : t // 2, :])
+    lo = _nibble(q8[..., t // 2 :, :])
+    return (hi << 4) | lo
+
+
+def unpack_msb(packed: jax.Array) -> jax.Array:
+    """Unpack uint8 [..., T//2, D] to signed 4-bit values int8 [..., T, D].
+
+    Values are in [-8, 7]: the arithmetic high nibble of the original int8.
+    """
+    p = packed.astype(jnp.int32)
+    hi = ((p >> 4) ^ 8) - 8          # sign-extend 4-bit
+    lo = ((p & 0xF) ^ 8) - 8
+    return jnp.concatenate([hi, lo], axis=-2).astype(jnp.int8)
+
+
+def quantize(x: jax.Array) -> QuantizedKV:
+    """Symmetric int8 quantization over the last axis, plus the MSB plane.
+
+    x: [..., T, D] -> QuantizedKV.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)       # [..., T]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8 = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return QuantizedKV(full=q8, msb=pack_msb(q8), scale=scale)
+
+
+def dequantize_full(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
+    return (q.full.astype(jnp.float32) * q.scale[..., None]).astype(dtype)
+
+
+def dequantize_msb(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
+    """Dequantize from the 4-bit plane only (pass-1 approximation)."""
+    v4 = unpack_msb(q.msb).astype(jnp.float32)
+    return ((v4 * 16.0 + MSB_MIDPOINT) * q.scale[..., None]).astype(dtype)
+
+
+def msb_reference_values(q8: jax.Array) -> jax.Array:
+    """int8 -> the float the MSB pass sees (for tests, without packing)."""
+    msb = (q8.astype(jnp.int32) >> 4).astype(jnp.float32)
+    return msb * 16.0 + MSB_MIDPOINT
+
+
+def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
+                 ) -> QuantizedKV:
+    """Write one new token row into slot `index` of both planes.
+
+    x_new: [..., D] unquantized; index: scalar int32 slot.
+    The packed-plane write is a read-modify-write of one byte row, touching
+    only the nibble owned by `index` — the TPU analog of the RTL's per-bit
+    write mask (SpAttenController.scala:230-232).
+    """
+    t = q.tokens
+    x32 = x_new.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale_new = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8_new = jnp.clip(jnp.round(x32 / scale_new[..., None]), -127, 127
+                      ).astype(jnp.int8)
+
+    full = _dus(q.full, q8_new[..., None, :], index, axis=-2)
+    scale = _dus(q.scale, scale_new[..., None], index, axis=-1)
+
+    half = t // 2
+    row = index % half
+    is_hi = index < half
+    old = jax.lax.dynamic_index_in_dim(q.msb, row, axis=q.msb.ndim - 2,
+                                       keepdims=False)            # [..., D]
+    nib = _nibble(q8_new)
+    new_byte = jnp.where(
+        is_hi,
+        (nib << 4) | (old & jnp.uint8(0x0F)),
+        (old & jnp.uint8(0xF0)) | nib,
+    )
+    msb = _dus(q.msb, new_byte[..., None, :], row, axis=-2)
+    return QuantizedKV(full=full, msb=msb, scale=scale)
+
+
+def gather_tokens(q: QuantizedKV, indices: jax.Array) -> QuantizedKV:
+    """Rebuild a QuantizedKV keeping only `indices` along the token axis.
+
+    indices: [..., T_new] (leading dims must broadcast against q's leading
+    dims).  Used by token pruning: gather the int8 plane + scales, then
+    re-pack the nibble plane (pruning is capacity-triggered and rare, so a
+    full re-pack is cheap relative to decode steps).
+    """
+    full = jnp.take_along_axis(q.full, indices[..., None], axis=-2)
+    scale = jnp.take_along_axis(q.scale, indices, axis=-1)
+    return QuantizedKV(full=full, msb=pack_msb(full), scale=scale)
+
+
+def _dus(arr: jax.Array, update: jax.Array, index: jax.Array, axis: int
+         ) -> jax.Array:
+    """dynamic_update_slice of one row along `axis` (negative ok)."""
+    axis = axis % arr.ndim
+    starts = [jnp.int32(0)] * arr.ndim
+    starts[axis] = index.astype(jnp.int32)
+    return jax.lax.dynamic_update_slice(arr, update.astype(arr.dtype), starts)

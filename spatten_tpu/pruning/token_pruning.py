@@ -1,0 +1,117 @@
+"""Cascade KV token pruning — the start/important/recent rolling cache.
+
+Semantics anchor: `SpAttenKVCache.apply_token_pruning`
+(reference spatten_llm/kv_cache_token_pruning.py:42-96):
+
+* triggered when ``length + num_coming > start + important + recent``;
+* keeps the first ``start`` sink tokens;
+* keeps the per-head top-``important`` tokens (by accumulated importance)
+  from the middle region ``[start, length - recent + num_coming)``, with
+  indices sorted ascending so cache order stays chronological;
+* keeps the trailing window ``[length - recent + num_coming, length)``.
+
+Unlike the reference (which rebuilds python lists of torch tensors), this is
+a jittable index computation with **static output shapes**: ``num_coming``
+is a static argument, so the kept count ``start + important + (recent -
+num_coming)`` is known at trace time and XLA sees fixed-size gathers.
+Once pruned, a token is gone from the cache — pruned-stays-pruned across all
+later steps and layers (the "cascade" property) falls out of the data layout,
+exactly as in the HW plane where the score_buf index list only ever shrinks
+(SpAttenController.scala:20-33, workload CSVs' monotone key_fetch_num).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatten_tpu.config import PruningConfig
+
+_NEG_INF = float("-inf")
+
+
+def pruned_length(cfg: PruningConfig, num_coming: int) -> int:
+    """Number of tokens kept after a prune (static)."""
+    recent_keep = cfg.recent_size - num_coming
+    if recent_keep < 0:
+        raise ValueError(
+            f"num_coming={num_coming} exceeds recent_size={cfg.recent_size}"
+        )
+    return cfg.start_size + cfg.important_size + recent_keep
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def select_keep_indices(
+    importance: jax.Array,
+    length: jax.Array,
+    start_size: int,
+    important_size: int,
+    recent_size: int,
+    num_coming: int,
+) -> jax.Array:
+    """Compute kept token indices, sorted ascending.
+
+    importance: [..., C] accumulated importance; entries at positions >=
+        `length` are ignored.
+    length: int32 — current number of valid tokens; a scalar, or an array
+        broadcastable to importance.shape[:-1] (per-sequence lengths for
+        continuous batching).  Must satisfy length + num_coming > cache_size
+        for the result to be meaningful; callers gate on that condition.
+    returns: int32 [..., keep_total] with
+        keep_total = start_size + important_size + (recent_size - num_coming).
+    """
+    capacity = importance.shape[-1]
+    lead = importance.shape[:-1]
+    recent_keep = recent_size - num_coming
+    keep_total = start_size + important_size + recent_keep
+    assert keep_total <= capacity
+
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), lead)
+    recent_begin = length - recent_keep                        # [...]
+
+    if important_size > 0:
+        # Mask importance outside the middle region [start, recent_begin).
+        in_middle = (pos >= start_size) & (pos < recent_begin[..., None])
+        masked = jnp.where(in_middle, importance.astype(jnp.float32), _NEG_INF)
+        _, important_idx = jax.lax.top_k(masked, important_size)
+        important_idx = jnp.sort(important_idx, axis=-1)       # chronological
+    else:
+        important_idx = jnp.zeros(lead + (0,), jnp.int32)
+
+    start_idx = jnp.broadcast_to(
+        jnp.arange(start_size, dtype=jnp.int32), lead + (start_size,)
+    )
+    recent_idx = recent_begin[..., None] + jnp.arange(recent_keep, dtype=jnp.int32)
+    return jnp.concatenate(
+        [start_idx, important_idx.astype(jnp.int32), recent_idx], axis=-1
+    )
+
+
+def prune_arrays(
+    keep_indices: jax.Array, *arrays: jax.Array
+) -> Tuple[jax.Array, ...]:
+    """Gather token rows of each array by `keep_indices`.
+
+    keep_indices: [..., T_keep]; each array is [..., C, D] or [..., C] with
+    matching leading dims.  Returns arrays with the token axis compacted to
+    T_keep.  (The compaction replaces the reference's boolean-mask gather,
+    kv_cache_token_pruning.py:65-69, with a shape-static take_along_axis.)
+    """
+    out = []
+    for a in arrays:
+        if a.ndim == keep_indices.ndim:            # [..., C]
+            out.append(jnp.take_along_axis(a, keep_indices, axis=-1))
+        elif a.ndim == keep_indices.ndim + 1:      # [..., C, D]
+            out.append(
+                jnp.take_along_axis(a, keep_indices[..., None], axis=-2)
+            )
+        else:
+            raise ValueError(
+                f"array rank {a.ndim} incompatible with indices rank "
+                f"{keep_indices.ndim}"
+            )
+    return tuple(out)

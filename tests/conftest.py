@@ -1,0 +1,20 @@
+"""Test config: run on a virtual 8-device CPU mesh.
+
+Real-TPU kernel tests live behind the SPATTEN_TPU_TESTS=1 env var (see
+tests/test_kernels_tpu.py); everything else runs on CPU with
+xla_force_host_platform_device_count=8 so sharding tests exercise real
+multi-device paths without hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
