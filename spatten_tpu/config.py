@@ -134,8 +134,8 @@ class PruningConfig:
 
     # --- cascade token pruning (rolling KV cache) ---
     start_size: int = 4
-    important_size: int = 512
-    recent_size: int = 512
+    important_size: int = 384
+    recent_size: int = 384
     enable_token_pruning: bool = True
 
     # --- local V pruning (per-query top-k over softmax output) ---
@@ -204,6 +204,13 @@ class SpAttenConfig:
             raise ValueError(
                 f"pruning cache_size {p.cache_size} exceeds engine "
                 f"cache_capacity {e.cache_capacity}"
+            )
+        if (p.enable_token_pruning
+                and e.prefill_chunk > e.cache_capacity - p.cache_size):
+            raise ValueError(
+                f"prefill_chunk {e.prefill_chunk} exceeds pruning headroom "
+                f"{e.cache_capacity - p.cache_size} (capacity - cache_size); "
+                "an appended chunk must fit after a prune"
             )
         if p.enable_head_pruning and p.head_keep > m.num_heads:
             raise ValueError("head_keep exceeds num_heads")

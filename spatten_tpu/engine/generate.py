@@ -1,0 +1,167 @@
+"""Generation engine: prefill, decode, and capacity-triggered cascade pruning.
+
+This is the serving analog of the reference demo loop
+(run_spatten_llama.py:18-83): greedy decode with a rolling
+start/important/recent KV cache.  Differences, by design:
+
+* Pruning is **in the jitted step** (a `lax.cond` over the whole-batch
+  trigger), not a host-side pass between conversation rounds — the engine
+  never leaves the device.
+* The physical cache capacity exceeds the algorithmic cache_size
+  (start+important+recent); pruning triggers when an append would overflow
+  capacity and compacts down to cache_size, so one gather is amortized over
+  `capacity - cache_size` decode steps.  The reference amortizes the same
+  way via its `num_coming = prompt + max_gen_len` look-ahead
+  (kv_cache_token_pruning.py:46-47).
+* Each (layer, kv_head) prunes with its own importance accumulator — the
+  per-head top-k of the reference (kv_cache_token_pruning.py:59-61) — and
+  the importance accumulator is gathered alongside K/V, preserving cascade
+  accumulation across prunes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatten_tpu.config import SpAttenConfig
+from spatten_tpu.engine import kv_cache as kvc
+from spatten_tpu.engine.state import DecodeState, init_state
+from spatten_tpu.models import transformer
+from spatten_tpu.pruning import token_pruning
+
+
+# ---------------------------------------------------------------------------
+# Pruning inside the decode step
+# ---------------------------------------------------------------------------
+
+def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
+                ) -> Tuple[DecodeState, jax.Array]:
+    """Compact any sequence whose next `num_coming` tokens would overflow.
+
+    Returns (state, pruned_mask [B]).  Trigger per sequence:
+    `length + num_coming > capacity`; the pruned sequence keeps
+    start + important + recent = cache_size tokens (shape-static).
+    """
+    p = cfg.pruning
+    cap = state.capacity
+    keep_total = p.cache_size
+    trigger = state.lengths + num_coming > cap                     # [B]
+
+    if not p.enable_token_pruning:
+        return state, jnp.zeros_like(trigger)
+
+    def do_prune(st: DecodeState) -> DecodeState:
+        # lengths broadcast over [L, B, Hkv]
+        lb = jnp.broadcast_to(
+            st.lengths[None, :, None], st.importance.shape[:-1]
+        )
+        keep_idx = token_pruning.select_keep_indices(
+            st.importance, lb,
+            p.start_size, p.important_size, p.recent_size,
+            num_coming=0,
+        )                                                # [L, B, Hkv, keep]
+        pruned_cache = kvc.prune_layer(st.cache, keep_idx)
+        (pruned_imp,) = token_pruning.prune_arrays(keep_idx, st.importance)
+        pad = jnp.zeros(
+            pruned_imp.shape[:-1] + (cap - keep_total,), pruned_imp.dtype
+        )
+        pruned_imp = jnp.concatenate([pruned_imp, pad], axis=-1)
+
+        def sel_batch(new, old):
+            # leaves are [L, B, ...]; select along batch (axis 1)
+            t = trigger.reshape((1, -1) + (1,) * (new.ndim - 2))
+            return jnp.where(t, new, old)
+
+        cache = jax.tree.map(sel_batch, pruned_cache, st.cache)
+        imp = sel_batch(pruned_imp, st.importance)
+        lengths = jnp.where(trigger, keep_total, st.lengths)
+        return DecodeState(cache=cache, importance=imp, lengths=lengths,
+                           head_mask=st.head_mask,
+                           requant_events=st.requant_events)
+
+    new_state = jax.lax.cond(jnp.any(trigger), do_prune, lambda st: st, state)
+    return new_state, trigger
+
+
+# ---------------------------------------------------------------------------
+# Jitted step functions
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def prefill_chunk(params, cfg: SpAttenConfig, state: DecodeState,
+                  tokens: jax.Array):
+    """Run one chunk of prompt tokens ([B, S]); returns last-token logits."""
+    state, _ = maybe_prune(cfg, state, tokens.shape[1])
+    logits, state, aux = transformer.forward(params, cfg, state, tokens)
+    return logits[:, -1], state, aux
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decode_step(params, cfg: SpAttenConfig, state: DecodeState,
+                token: jax.Array):
+    """One greedy decode step.  token: int32 [B] -> (next_token [B], state)."""
+    state, _ = maybe_prune(cfg, state, 1)
+    logits, state, aux = transformer.forward(params, cfg, state,
+                                             token[:, None])
+    next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    return next_token, state, aux
+
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array          # int32 [B, max_new_tokens]
+    state: DecodeState
+    requant_events: jax.Array  # int32 []
+
+
+def generate(
+    params,
+    cfg: SpAttenConfig,
+    prompt: jax.Array,            # int32 [B, prompt_len]
+    max_new_tokens: int,
+    state: Optional[DecodeState] = None,
+    eos_token_id: Optional[int] = None,
+) -> GenerateResult:
+    """Greedy generation: chunked prefill + jitted token-at-a-time decode.
+
+    The decode loop is a `lax.scan` over steps (one compiled program); EOS
+    handling freezes finished sequences (keeps emitting eos, stops growing
+    their cache influence) rather than exiting early, keeping shapes static.
+    """
+    cfg.validate()
+    b, prompt_len = prompt.shape
+    if state is None:
+        state = init_state(cfg, batch=b)
+
+    chunk = cfg.engine.prefill_chunk
+    pos = 0
+    last_logits = None
+    while pos < prompt_len:
+        n = min(chunk, prompt_len - pos)
+        last_logits, state, _ = prefill_chunk(
+            params, cfg, state, prompt[:, pos:pos + n])
+        pos += n
+
+    first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def scan_decode(state, first_token):
+        def body(carry, _):
+            state, token, done = carry
+            next_token, state, _ = decode_step(params, cfg, state, token)
+            if eos_token_id is not None:
+                done = done | (token == eos_token_id)
+                next_token = jnp.where(done, eos_token_id, next_token)
+            return (state, next_token, done), token
+
+        done0 = jnp.zeros((b,), bool)
+        (state, _, _), toks = jax.lax.scan(
+            body, (state, first_token, done0), None, length=max_new_tokens)
+        return state, toks.T                       # [B, max_new_tokens]
+
+    state, tokens = scan_decode(state, first_token)
+    return GenerateResult(tokens=tokens, state=state,
+                          requant_events=state.requant_events)

@@ -1,0 +1,362 @@
+"""Fused Pallas TPU decode-attention kernel — the SpAtten pipeline on MXU.
+
+One kernel program = one (sequence, kv_head) attention request, exactly the
+granularity of the reference's `SpAttenRequest` (SpAtten.scala:94-120).  The
+program walks the same stages as the RTL controller (SURVEY.md §3.3), but
+realized as TPU dataflow:
+
+  stage                         reference                     here
+  ---------------------------   ---------------------------   -----------------
+  MSB K fetch                   MatrixFetcher 4-bit profile   blockspec-streamed
+                                                              packed-nibble plane
+                                                              (0.5 B/elem HBM)
+  QK^T                          DotProduct BMR 512 mults      MXU dot [G,D]x[D,C]
+  softmax                       Softmax unit                  VPU, f32
+  requant decision              RequantDecision.scala:69-76   max-prob < τ scalar
+  LSB refetch + recompute       stageRequantizeOrRelease /    @pl.when-gated DMA
+                                masked LSB buffer writes      of the int8 plane +
+                                                              recompute in-place
+  local V top-k                 TopK/QuickSelect engine       exact k-th order
+                                                              statistic by
+                                                              all-pairs counting
+  V fetch (survivors only)      stageFetchValMat gather       per-block @pl.when-
+                                                              gated async DMA
+  P·V                           MultiplyValue BMR+acc         MXU dot [G,C]x[C,D]
+  importance epilogue           attn-prob accumulation        sum over group ->
+                                (workload csv generator)      [C] output
+
+Numerics match `ops.attention_ref.spatten_attention_reference` (tests compare
+in interpret mode); only *bandwidth/compute* differ — skipped V blocks and
+non-requantized programs never touch HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spatten_tpu.ops import quantize as qz
+from spatten_tpu.ops.attention_ref import MASK_VALUE, AttentionStats
+
+_NEG = jnp.float32(-3.0e38)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _kth_largest(mass: jax.Array, k: int) -> jax.Array:
+    """Exact k-th largest (counting duplicates) of a 1-row vector [1, N].
+
+    All-pairs counting on the VPU: c_i = #{j : mass_j >= mass_i}; the k-th
+    order statistic is max{ mass_i : c_i >= k }.  N is small (num V blocks),
+    so the O(N^2) compare is trivial — this replaces the reference's
+    QuickSelect FSM (utils/QuickSelect.scala) with a single vector op.
+    """
+    m = mass.reshape(-1)
+    ge = m[None, :] >= m[:, None]                     # [N, N]
+    count = jnp.sum(ge.astype(jnp.int32), axis=1)     # c_i over columns
+    cand = jnp.where(count >= k, m, _NEG)
+    return jnp.max(cand)
+
+
+def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
+                 requant_threshold: float, quant_enabled: bool,
+                 v_keep: int, v_block: int, importance_kind: str):
+    num_blocks = cap // v_block
+    keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else num_blocks
+    do_vprune = 0 < v_keep and keep_blocks < num_blocks
+    do_requant = quant_enabled and requant_threshold > 0.0
+
+    def kernel(
+        # scalar prefetch
+        lengths_ref,                   # SMEM int32 [B]
+        # VMEM-streamed inputs
+        q_ref,                         # [1, 1, G, D] f32
+        kmsb_ref,                      # [1, 1, C//2, D] uint8 (packed)
+        kscale_ref,                    # [1, 1, 1, C] f32
+        vscale_ref,                    # [1, 1, 1, C] f32
+        cos_ref,                       # [C, D] f32
+        sin_ref,                       # [C, D] f32
+        hmask_ref,                     # [1, 1, 1, G] f32 (1=alive)
+        # HBM (manually DMA'd)
+        kfull_hbm,                     # [B, Hkv, C, D] int8
+        vfull_hbm,                     # [B, Hkv, C, D] int8
+        # outputs
+        out_ref,                       # [1, 1, G, D] f32
+        maxp_ref,                      # [1, 1] f32
+        need_ref,                      # [1, 1] int32
+        imp_ref,                       # [1, 1, 1, C] f32
+        # scratch
+        probs_ref,                     # [G, C] f32
+        scores_ref,                    # [G, C] f32
+        kfull_scr,                     # [C, D] int8
+        vfull_scr,                     # [C, D] int8
+        ksem,                          # DMA sem ()
+        vsem,                          # DMA sems (num_blocks,)
+    ):
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        length = lengths_ref[b]
+
+        g_rows, d = group, head_dim
+        q = q_ref[0, 0]                                   # [G, D] f32
+        kscale = kscale_ref[0, 0, 0]                      # [C]
+        cos = cos_ref[:]                                  # [C, D]
+        sin = sin_ref[:]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (g_rows, cap), 1)
+        valid = col < length                              # [G, C]
+
+        def attn_from_k(k_deq):
+            """k_deq [C, D] f32 (unrotated, dequantized) -> scores, probs."""
+            k_rot = k_deq * cos + _rotate_half(k_deq) * sin
+            s = jax.lax.dot_general(
+                q, k_rot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                                  # [G, C]
+            s_masked = jnp.where(valid, s, MASK_VALUE)
+            m = jnp.max(s_masked, axis=-1, keepdims=True)
+            e = jnp.exp(s_masked - m)
+            e = jnp.where(valid, e, 0.0)
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+            return s, e / denom
+
+        # ---- pass 1: MSB (4-bit) plane, or full plane when quant is off ---
+        def deq_full_from(scr) -> jax.Array:
+            return scr[:].astype(jnp.float32) * kscale[:, None]
+
+        if quant_enabled:
+            packed = kmsb_ref[0, 0].astype(jnp.int32)     # [C//2, D]
+            hi = ((packed >> 4) ^ 8) - 8
+            lo = ((packed & 0xF) ^ 8) - 8
+            k4 = jnp.concatenate([hi, lo], axis=0).astype(jnp.float32)
+            k_deq1 = (k4 * 16.0 + qz.MSB_MIDPOINT) * kscale[:, None]
+        else:
+            cp = pltpu.make_async_copy(kfull_hbm.at[b, h], kfull_scr, ksem)
+            cp.start()
+            cp.wait()
+            k_deq1 = deq_full_from(kfull_scr)
+
+        scores1, probs1 = attn_from_k(k_deq1)
+        scores_ref[:] = scores1
+        probs_ref[:] = probs1
+
+        # ---- requant decision (RequantDecision.scala:69-76 analog) --------
+        max_prob = jnp.max(probs1)
+        maxp_ref[0, 0] = max_prob
+        if do_requant:
+            need = max_prob < requant_threshold
+            need_ref[0, 0] = need.astype(jnp.int32)
+
+            @pl.when(need)
+            def _():
+                cp = pltpu.make_async_copy(kfull_hbm.at[b, h], kfull_scr,
+                                           ksem)
+                cp.start()
+                cp.wait()
+                s2, p2 = attn_from_k(deq_full_from(kfull_scr))
+                scores_ref[:] = s2
+                probs_ref[:] = p2
+        else:
+            need_ref[0, 0] = 0
+
+        hmask = hmask_ref[0, 0, 0]                        # [G]
+        probs = probs_ref[:] * hmask[:, None]
+        scores = scores_ref[:] * hmask[:, None]
+
+        # ---- importance epilogue -----------------------------------------
+        if importance_kind == "prob":
+            imp = jnp.sum(probs, axis=0)
+        else:                                             # "presoftmax"
+            imp = jnp.sum(jnp.where(valid, scores, 0.0), axis=0)
+        imp_ref[0, 0, 0] = imp
+
+        # ---- local V pruning + gated V fetch + P·V -----------------------
+        if do_vprune:
+            mass = jnp.sum(
+                probs.reshape(g_rows, num_blocks, v_block), axis=(0, 2)
+            )                                             # [num_blocks]
+            kth = _kth_largest(mass, keep_blocks)
+            keep_blk = (mass >= kth).astype(jnp.float32)  # [num_blocks]
+            blk_of_col = col[0] // v_block                # [C] int32
+            keep_col = jnp.take(keep_blk, blk_of_col, axis=0,
+                                fill_value=0.0) if False else None
+            # gather-free expansion: compare block ids
+            blk_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (num_blocks, v_block), 0).reshape(-1)  # [C]
+            keep_col = jnp.sum(
+                jnp.where(
+                    blk_ids[None, :] ==
+                    jax.lax.broadcasted_iota(jnp.int32,
+                                             (num_blocks, cap), 0),
+                    keep_blk[:, None], 0.0),
+                axis=0)                                   # [C]
+            probs_pv = probs * keep_col[None, :]
+
+            iot = jax.lax.broadcasted_iota(jnp.int32, (1, num_blocks),
+                                           1).reshape(-1)
+
+            def start_body(i, _):
+                keep_i = jnp.sum(
+                    jnp.where(iot == i, keep_blk, 0.0)) > 0.5
+
+                @pl.when(keep_i)
+                def _():
+                    pltpu.make_async_copy(
+                        vfull_hbm.at[b, h, pl.ds(i * v_block, v_block), :],
+                        vfull_scr.at[pl.ds(i * v_block, v_block), :],
+                        vsem.at[i],
+                    ).start()
+                return 0
+
+            def wait_body(i, _):
+                keep_i = jnp.sum(
+                    jnp.where(iot == i, keep_blk, 0.0)) > 0.5
+
+                @pl.when(keep_i)
+                def _():
+                    pltpu.make_async_copy(
+                        vfull_hbm.at[b, h, pl.ds(i * v_block, v_block), :],
+                        vfull_scr.at[pl.ds(i * v_block, v_block), :],
+                        vsem.at[i],
+                    ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, num_blocks, start_body, 0)
+            jax.lax.fori_loop(0, num_blocks, wait_body, 0)
+        else:
+            probs_pv = probs
+            cp = pltpu.make_async_copy(vfull_hbm.at[b, h], vfull_scr,
+                                       vsem.at[0])
+            cp.start()
+            cp.wait()
+
+        vscale = vscale_ref[0, 0, 0]                      # [C]
+        v_deq = vfull_scr[:].astype(jnp.float32) * vscale[:, None]
+        out = jax.lax.dot_general(
+            probs_pv, v_deq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [G, D]
+        out_ref[0, 0] = out
+
+    return kernel, num_blocks
+
+
+def decode_attention(
+    q: jax.Array,                  # [B, Hq, 1, D] f32/bf16 (rotated queries)
+    k_quant: qz.QuantizedKV,       # planes [B, Hkv, C(/2), D]
+    v_quant: qz.QuantizedKV,
+    cos: jax.Array,                # [C, D]
+    sin: jax.Array,
+    lengths: jax.Array,            # [B] int32 (valid tokens incl. query)
+    *,
+    sm_scale: float,
+    requant_threshold: float = 0.0,
+    quant_enabled: bool = True,
+    v_keep: int = 0,
+    v_block_size: int = 16,
+    head_mask: Optional[jax.Array] = None,     # [Hq] or [B, Hq] bool
+    importance_kind: str = "prob",
+    interpret: bool = False,
+) -> Tuple[jax.Array, AttentionStats]:
+    """Single-token (decode) SpAtten attention.  Returns (out [B,Hq,1,D],
+    stats) matching `spatten_attention_reference` for q_len == 1."""
+    b, hq, q_len, d = q.shape
+    assert q_len == 1, "decode kernel is single-query; use the reference/" \
+        "prefill path for q_len > 1"
+    hkv = k_quant.full.shape[1]
+    cap = k_quant.full.shape[2]
+    group = hq // hkv
+    assert cap % v_block_size == 0
+
+    kernel, num_blocks = _make_kernel(
+        cap=cap, group=group, head_dim=d, sm_scale=sm_scale,
+        requant_threshold=requant_threshold, quant_enabled=quant_enabled,
+        v_keep=v_keep, v_block=v_block_size,
+        importance_kind=importance_kind,
+    )
+
+    qg = q.astype(jnp.float32).reshape(b, hkv, group, d)
+    if head_mask is None:
+        hm = jnp.ones((b, hkv, 1, group), jnp.float32)
+    else:
+        hmb = head_mask if head_mask.ndim == 2 else \
+            jnp.broadcast_to(head_mask[None], (b, hq))
+        hm = hmb.astype(jnp.float32).reshape(b, hkv, 1, group)
+
+    kscale = k_quant.scale.reshape(b, hkv, 1, cap)
+    vscale = v_quant.scale.reshape(b, hkv, 1, cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, d), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cap // 2, d), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, d), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, d), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, group), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # k full (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # v full (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, group, d), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((group, cap), jnp.float32),     # probs
+            pltpu.VMEM((group, cap), jnp.float32),     # scores
+            pltpu.VMEM((cap, d), jnp.int8),            # k full scratch
+            pltpu.VMEM((cap, d), jnp.int8),            # v full scratch
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((num_blocks,)),
+        ],
+    )
+
+    out, maxp, need, imp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, group, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv), jnp.int32),
+            jax.ShapeDtypeStruct((b, hkv, 1, cap), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32),
+        qg, k_quant.msb, kscale, vscale,
+        cos.astype(jnp.float32), sin.astype(jnp.float32), hm,
+        k_quant.full, v_quant.full,
+    )
+
+    stats = AttentionStats(
+        max_prob=maxp,
+        need_requant=need.astype(bool),
+        importance_delta=imp.reshape(b, hkv, cap),
+        probs=None,
+    )
+    return out.reshape(b, hq, 1, d), stats

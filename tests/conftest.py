@@ -8,7 +8,11 @@ multi-device paths without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for the unit suite even when the session env points JAX at a
+# remote TPU (JAX_PLATFORMS=axon/tpu) — kernel tests that need the real chip
+# opt back in with SPATTEN_TPU_TESTS=1.
+if not os.environ.get("SPATTEN_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

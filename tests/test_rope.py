@@ -64,7 +64,7 @@ def test_rope_matches_torch_hf_convention():
     got = rope_ops.apply_rope(
         jnp.asarray(x_t.numpy()), cos, sin, jnp.arange(seq)
     )
-    np.testing.assert_allclose(np.asarray(got), expected.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), atol=5e-5)
 
 
 def test_cache_position_rotation():
