@@ -32,6 +32,7 @@ from spatten_tpu.engine.kv_cache import LayerKVCache, append_tokens
 from spatten_tpu.engine.state import DecodeState
 from spatten_tpu.ops import rope as rope_ops
 from spatten_tpu.ops.attention_ref import spatten_attention_reference
+from spatten_tpu.ops.decode_attention import decode_attention
 
 Params = Dict[str, Any]
 
@@ -116,18 +117,20 @@ def _norm(x: jax.Array, w: jax.Array, b: jax.Array | None, kind: str,
 
 
 def _mlp(x: jax.Array, lp: Params, activation: str) -> jax.Array:
+    """Up/gate/down MLP *without* the down bias (added by the caller after
+    any tensor-parallel psum, so it isn't summed once per shard)."""
     if activation == "silu":
         gate = jax.nn.silu(x @ lp["w_gate"])
         up = x @ lp["w_up"]
         if "b_up" in lp:
             up = up + lp["b_up"]
-        return (gate * up) @ lp["w_down"] + lp.get("b_down", 0)
+        return (gate * up) @ lp["w_down"]
     elif activation == "gelu":
         h = x @ lp["w_up"]
         if "b_up" in lp:
             h = h + lp["b_up"]
         h = jax.nn.gelu(h, approximate=True)
-        return h @ lp["w_down"] + lp.get("b_down", 0)
+        return h @ lp["w_down"]
     raise ValueError(activation)
 
 
@@ -147,11 +150,18 @@ def forward(
     cfg: SpAttenConfig,
     state: DecodeState,
     tokens: jax.Array,          # int32 [B, S]
+    tp_axis: str | None = None,
 ) -> Tuple[jax.Array, DecodeState, StepAux]:
     """Run S tokens through the model, appending them to the cache.
 
     Returns (logits [B, S, vocab], new_state, aux).  Token positions are
     the current cache slots [lengths, lengths+S) — pos-shift positioning.
+
+    When `tp_axis` is set, the call must be inside a `shard_map` whose mesh
+    has that axis: attention heads and MLP intermediate are head/column
+    sharded (cfg.model must already describe the *local* head counts) and
+    the o_proj / down_proj partial sums are reduced with `lax.psum` over the
+    axis — the Megatron layout expressed as explicit ICI collectives.
     """
     m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
     b, s = tokens.shape
@@ -203,14 +213,7 @@ def forward(
         if m.use_attn_scale_by_layer:
             sm_scale = base_scale / (layer_idx.astype(jnp.float32) + 1.0)
 
-        attn_out, stats = spatten_attention_reference(
-            qh,
-            layer_cache.k,
-            layer_cache.v,
-            cos,
-            sin,
-            state.lengths + s,
-            positions,
+        attn_kwargs = dict(
             sm_scale=sm_scale,
             requant_threshold=(q.requant_threshold
                                if (q.enabled and q.enable_requant) else 0.0),
@@ -219,7 +222,26 @@ def forward(
             v_block_size=p.v_block_size,
             head_mask=hmask_l if p.enable_head_pruning else None,
             importance_kind=p.importance_kind,
+            use_rope=not m.use_abs_pos_emb,
         )
+        # Decode (single query, no per-layer attn scale) takes the fused
+        # Pallas kernel; prefill chunks and GPT-2's per-layer-scaled
+        # attention use the jnp reference path (XLA fuses those fine).
+        use_kernel = (
+            e.use_pallas and s == 1 and not m.use_attn_scale_by_layer
+        )
+        if use_kernel:
+            attn_out, stats = decode_attention(
+                qh, layer_cache.k, layer_cache.v, cos, sin,
+                state.lengths + s,
+                interpret=(jax.default_backend() == "cpu"),
+                **attn_kwargs,
+            )
+        else:
+            attn_out, stats = spatten_attention_reference(
+                qh, layer_cache.k, layer_cache.v, cos, sin,
+                state.lengths + s, positions, **attn_kwargs,
+            )
         if p.cascade_accumulate:
             imp = imp + stats.importance_delta
         else:
@@ -227,11 +249,17 @@ def forward(
 
         o = attn_out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
             b, s, hq * dh)
-        x = x + (o @ lp["wo"] + lp.get("bo", 0))
+        o_proj = o @ lp["wo"]
+        if tp_axis is not None:
+            o_proj = jax.lax.psum(o_proj, tp_axis)
+        x = x + (o_proj + lp.get("bo", 0))
 
         h2 = _norm(x, lp["mlp_norm_w"], lp.get("mlp_norm_b"),
                    m.layernorm_kind, m.norm_eps)
-        x = x + _mlp(h2, lp, m.activation)
+        mlp_out = _mlp(h2, lp, m.activation)
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        x = x + mlp_out + lp.get("b_down", 0)
 
         layer_out = (layer_cache, imp,
                      stats.need_requant.sum().astype(jnp.int32),

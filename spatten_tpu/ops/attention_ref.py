@@ -91,6 +91,7 @@ def spatten_attention_reference(
     v_block_size: int = 16,
     head_mask: Optional[jax.Array] = None,   # [Hq] or [B, Hq] bool
     importance_kind: str = "prob",
+    use_rope: bool = True,   # False for abs-pos models (GPT-2 family)
 ) -> tuple[jax.Array, AttentionStats]:
     """Returns (output [B, Hq, q_len, D], stats)."""
     b, hq, q_len, d = q.shape
@@ -104,6 +105,8 @@ def spatten_attention_reference(
     # --- key dequantization (both planes) + pos-shift RoPE at cache slots ---
     def rotated_keys(deq_fn):
         k = deq_fn(k_quant, jnp.float32)          # [B, Hkv, C, D]
+        if not use_rope:
+            return k
         return rope_ops.apply_rope_at_cache_positions(k, cos, sin)
 
     pos_k = jnp.arange(cap, dtype=jnp.int32)

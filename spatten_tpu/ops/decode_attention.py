@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from spatten_tpu.ops import quantize as qz
 from spatten_tpu.ops.attention_ref import MASK_VALUE, AttentionStats
 
-_NEG = jnp.float32(-3.0e38)
+_NEG = -3.0e38
 
 
 def _rotate_half(x: jax.Array) -> jax.Array:
@@ -53,23 +53,25 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 
 
 def _kth_largest(mass: jax.Array, k: int) -> jax.Array:
-    """Exact k-th largest (counting duplicates) of a 1-row vector [1, N].
+    """Exact k-th largest (counting duplicates) along the last axis.
 
     All-pairs counting on the VPU: c_i = #{j : mass_j >= mass_i}; the k-th
     order statistic is max{ mass_i : c_i >= k }.  N is small (num V blocks),
     so the O(N^2) compare is trivial — this replaces the reference's
     QuickSelect FSM (utils/QuickSelect.scala) with a single vector op.
+
+    mass: [..., N] -> [...] (k-th largest per row).
     """
-    m = mass.reshape(-1)
-    ge = m[None, :] >= m[:, None]                     # [N, N]
-    count = jnp.sum(ge.astype(jnp.int32), axis=1)     # c_i over columns
-    cand = jnp.where(count >= k, m, _NEG)
-    return jnp.max(cand)
+    ge = mass[..., None, :] >= mass[..., :, None]       # [..., N, N]
+    count = jnp.sum(ge.astype(jnp.int32), axis=-1)      # c_i over columns
+    cand = jnp.where(count >= k, mass, _NEG)
+    return jnp.max(cand, axis=-1)
 
 
 def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
                  requant_threshold: float, quant_enabled: bool,
-                 v_keep: int, v_block: int, importance_kind: str):
+                 v_keep: int, v_block: int, importance_kind: str,
+                 use_rope: bool):
     num_blocks = cap // v_block
     keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else num_blocks
     do_vprune = 0 < v_keep and keep_blocks < num_blocks
@@ -91,8 +93,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
         vfull_hbm,                     # [B, Hkv, C, D] int8
         # outputs
         out_ref,                       # [1, 1, G, D] f32
-        maxp_ref,                      # [1, 1] f32
-        need_ref,                      # [1, 1] int32
+        maxp_ref,                      # [1, 1, 1, 128] f32 (lane-broadcast)
+        need_ref,                      # [1, 1, 1, 128] int32
         imp_ref,                       # [1, 1, 1, C] f32
         # scratch
         probs_ref,                     # [G, C] f32
@@ -117,7 +119,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
 
         def attn_from_k(k_deq):
             """k_deq [C, D] f32 (unrotated, dequantized) -> scores, probs."""
-            k_rot = k_deq * cos + _rotate_half(k_deq) * sin
+            if use_rope:
+                k_rot = k_deq * cos + _rotate_half(k_deq) * sin
+            else:
+                k_rot = k_deq
             s = jax.lax.dot_general(
                 q, k_rot, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -151,10 +156,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
 
         # ---- requant decision (RequantDecision.scala:69-76 analog) --------
         max_prob = jnp.max(probs1)
-        maxp_ref[0, 0] = max_prob
+        maxp_ref[0, 0, 0, :] = jnp.full((128,), max_prob, jnp.float32)
         if do_requant:
             need = max_prob < requant_threshold
-            need_ref[0, 0] = need.astype(jnp.int32)
+            need_ref[0, 0, 0, :] = jnp.full((128,), need.astype(jnp.int32))
 
             @pl.when(need)
             def _():
@@ -166,7 +171,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
                 scores_ref[:] = s2
                 probs_ref[:] = p2
         else:
-            need_ref[0, 0] = 0
+            need_ref[0, 0, 0, :] = jnp.zeros((128,), jnp.int32)
 
         hmask = hmask_ref[0, 0, 0]                        # [G]
         probs = probs_ref[:] * hmask[:, None]
@@ -181,25 +186,27 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
 
         # ---- local V pruning + gated V fetch + P·V -----------------------
         if do_vprune:
-            mass = jnp.sum(
-                probs.reshape(g_rows, num_blocks, v_block), axis=(0, 2)
-            )                                             # [num_blocks]
-            kth = _kth_largest(mass, keep_blocks)
-            keep_blk = (mass >= kth).astype(jnp.float32)  # [num_blocks]
-            blk_of_col = col[0] // v_block                # [C] int32
-            keep_col = jnp.take(keep_blk, blk_of_col, axis=0,
-                                fill_value=0.0) if False else None
-            # gather-free expansion: compare block ids
-            blk_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (num_blocks, v_block), 0).reshape(-1)  # [C]
-            keep_col = jnp.sum(
-                jnp.where(
-                    blk_ids[None, :] ==
-                    jax.lax.broadcasted_iota(jnp.int32,
-                                             (num_blocks, cap), 0),
-                    keep_blk[:, None], 0.0),
-                axis=0)                                   # [C]
-            probs_pv = probs * keep_col[None, :]
+            # per-QUERY-head block selection (reference semantics: one top-k
+            # per (head, query) request, v_block_keep_mask in attention_ref).
+            # Mosaic can't reshape across the lane dim, so block aggregation
+            # and expansion are 0/1-matrix matmuls (cheap on MXU).
+            col_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (cap, num_blocks), 0) // v_block   # col -> its blk
+            blk_ids_cn = jax.lax.broadcasted_iota(
+                jnp.int32, (cap, num_blocks), 1)
+            agg = (col_blk == blk_ids_cn).astype(jnp.float32)  # [C, nb]
+            mass = jax.lax.dot_general(
+                probs, agg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [G, num_blocks]
+            kth = _kth_largest(mass, keep_blocks)         # [G]
+            keep_gb = (mass >= kth[:, None]).astype(jnp.float32)
+            # expand per-block keep flags back to per-column: keep_gb @ agg^T
+            keep_gc = jax.lax.dot_general(
+                keep_gb, agg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [G, C]
+            probs_pv = probs * keep_gc
+            # a block is fetched if ANY query head in the group keeps it
+            keep_blk = jnp.max(keep_gb, axis=0)           # [num_blocks]
 
             iot = jax.lax.broadcasted_iota(jnp.int32, (1, num_blocks),
                                            1).reshape(-1)
@@ -265,6 +272,7 @@ def decode_attention(
     v_block_size: int = 16,
     head_mask: Optional[jax.Array] = None,     # [Hq] or [B, Hq] bool
     importance_kind: str = "prob",
+    use_rope: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, AttentionStats]:
     """Single-token (decode) SpAtten attention.  Returns (out [B,Hq,1,D],
@@ -281,7 +289,7 @@ def decode_attention(
         cap=cap, group=group, head_dim=d, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
-        importance_kind=importance_kind,
+        importance_kind=importance_kind, use_rope=use_rope,
     )
 
     qg = q.astype(jnp.float32).reshape(b, hkv, group, d)
@@ -313,15 +321,15 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, group), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # k full (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # v full (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),         # k full (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),         # v full (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, group, d), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
+            pl.BlockSpec((1, 1, 1, 128), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
+            pl.BlockSpec((1, 1, 1, 128), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -341,8 +349,8 @@ def decode_attention(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, hkv, group, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv), jnp.int32),
+            jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.int32),
             jax.ShapeDtypeStruct((b, hkv, 1, cap), jnp.float32),
         ],
         interpret=interpret,
@@ -354,8 +362,8 @@ def decode_attention(
     )
 
     stats = AttentionStats(
-        max_prob=maxp,
-        need_requant=need.astype(bool),
+        max_prob=maxp[..., 0, 0],
+        need_requant=need[..., 0, 0].astype(bool),
         importance_delta=imp.reshape(b, hkv, cap),
         probs=None,
     )

@@ -8,17 +8,15 @@ multi-device paths without hardware.
 
 import os
 
+import jax
+
 # Force CPU for the unit suite even when the session env points JAX at a
 # remote TPU (JAX_PLATFORMS=axon/tpu) — kernel tests that need the real chip
-# opt back in with SPATTEN_TPU_TESTS=1.
+# opt back in with SPATTEN_TPU_TESTS=1.  jax may already be imported by a
+# pytest plugin (jaxtyping), so env vars are too late; use jax.config, which
+# takes effect any time before backend initialization.
 if not os.environ.get("SPATTEN_TPU_TESTS"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 jax.config.update("jax_default_matmul_precision", "highest")

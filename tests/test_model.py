@@ -30,7 +30,8 @@ def tiny_cfg(**over) -> SpAttenConfig:
             enable_v_pruning=False, v_block_size=8,
         ),
         quant=QuantConfig(enabled=False, enable_requant=False),
-        engine=EngineConfig(max_batch_size=2, cache_capacity=64),
+        engine=EngineConfig(max_batch_size=2, cache_capacity=64,
+                            prefill_chunk=16),
     )
     base.update(over)
     return SpAttenConfig(**base).validate()
