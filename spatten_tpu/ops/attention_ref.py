@@ -156,11 +156,17 @@ def spatten_attention_reference(
         need_requant = jnp.zeros((b, hkv), dtype=bool)
         probs, scores = probs_msb, scores_msb
 
-    # --- head pruning: a masked head computes nothing ---
+    # --- head pruning: a masked head computes nothing; a fully masked
+    # group never issues requests (its stats are zero, matching the kernel's
+    # whole-program early exit and the reference's missing CSV rows) ---
     if head_mask is not None:
         hm = head_mask if head_mask.ndim == 2 else head_mask[None, :]
+        hm = jnp.broadcast_to(hm, (b, hq))
         probs = jnp.where(hm[:, :, None, None], probs, 0.0)
         scores = jnp.where(hm[:, :, None, None], scores, 0.0)
+        group_alive = _group_reduce(hm, hkv, lambda x, a: x.any(axis=a))
+        max_prob = jnp.where(group_alive, max_prob, 0.0)
+        need_requant = need_requant & group_alive
 
     # --- importance epilogue (pre V-pruning, pre renorm) ---
     if importance_kind == "prob":

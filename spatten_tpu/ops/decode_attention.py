@@ -7,9 +7,11 @@ realized as TPU dataflow:
 
   stage                         reference                     here
   ---------------------------   ---------------------------   -----------------
-  MSB K fetch                   MatrixFetcher 4-bit profile   blockspec-streamed
-                                                              packed-nibble plane
-                                                              (0.5 B/elem HBM)
+  MSB K fetch                   MatrixFetcher 4-bit profile   length-gated async
+                                + score_buf index walk        DMA of the packed
+                                                              nibble plane
+                                                              (0.5 B/elem HBM,
+                                                              only rows < len)
   QK^T                          DotProduct BMR 512 mults      MXU dot [G,D]x[D,C]
   softmax                       Softmax unit                  VPU, f32
   requant decision              RequantDecision.scala:69-76   max-prob < τ scalar
@@ -24,16 +26,19 @@ realized as TPU dataflow:
   P·V                           MultiplyValue BMR+acc         MXU dot [G,C]x[C,D]
   importance epilogue           attn-prob accumulation        sum over group ->
                                 (workload csv generator)      [C] output
+  head pruning                  pruned heads never issue      whole-program early
+                                requests (CSV missing rows)   exit: no DMA, no
+                                                              compute, zero out
 
+HBM traffic is proportional to the *pruned* cache length, not capacity —
+that is the cascade-token-pruning payoff: after a prune, `length` drops to
+cache_size and every subsequent decode step fetches only that prefix.
 Numerics match `ops.attention_ref.spatten_attention_reference` (tests compare
-in interpret mode); only *bandwidth/compute* differ — skipped V blocks and
-non-requantized programs never touch HBM.
+in interpret mode).
 """
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -68,13 +73,29 @@ def _kth_largest(mass: jax.Array, k: int) -> jax.Array:
     return jnp.max(cand, axis=-1)
 
 
+def _even_blocks(total: int, target: int) -> Tuple[int, int]:
+    """(block_rows, num_blocks) with num_blocks * block_rows == total and
+    block_rows <= ~target."""
+    nb = max(1, -(-total // target))
+    while total % nb:
+        nb += 1
+    return total // nb, nb
+
+
 def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
                  requant_threshold: float, quant_enabled: bool,
                  v_keep: int, v_block: int, importance_kind: str,
                  use_rope: bool):
-    num_blocks = cap // v_block
-    keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else num_blocks
-    do_vprune = 0 < v_keep and keep_blocks < num_blocks
+    half = cap // 2
+    kblk, num_kblk = _even_blocks(half, 512)       # packed msb plane blocks
+    fblk, num_fblk = _even_blocks(cap, 512)        # int8 full plane blocks
+    keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else 0
+    num_vprune_blk = cap // v_block
+    do_vprune = 0 < v_keep and keep_blocks < num_vprune_blk
+    if do_vprune:
+        vblk, num_vblk = v_block, num_vprune_blk
+    else:
+        vblk, num_vblk = _even_blocks(cap, 512)
     do_requant = quant_enabled and requant_threshold > 0.0
 
     def kernel(
@@ -82,13 +103,13 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
         lengths_ref,                   # SMEM int32 [B]
         # VMEM-streamed inputs
         q_ref,                         # [1, 1, G, D] f32
-        kmsb_ref,                      # [1, 1, C//2, D] uint8 (packed)
         kscale_ref,                    # [1, 1, 1, C] f32
         vscale_ref,                    # [1, 1, 1, C] f32
         cos_ref,                       # [C, D] f32
         sin_ref,                       # [C, D] f32
         hmask_ref,                     # [1, 1, 1, G] f32 (1=alive)
-        # HBM (manually DMA'd)
+        # HBM (manually DMA'd, length-gated)
+        kmsb_hbm,                      # [B, Hkv, C//2, D] uint8 (packed)
         kfull_hbm,                     # [B, Hkv, C, D] int8
         vfull_hbm,                     # [B, Hkv, C, D] int8
         # outputs
@@ -99,162 +120,193 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, sm_scale: float,
         # scratch
         probs_ref,                     # [G, C] f32
         scores_ref,                    # [G, C] f32
+        kmsb_scr,                      # [C//2, D] uint8
         kfull_scr,                     # [C, D] int8
         vfull_scr,                     # [C, D] int8
-        ksem,                          # DMA sem ()
-        vsem,                          # DMA sems (num_blocks,)
+        kmsb_sem,                      # DMA sems (num_kblk,)
+        kfull_sem,                     # DMA sems (num_fblk,)
+        vsem,                          # DMA sems (num_vblk,)
     ):
         b = pl.program_id(0)
         h = pl.program_id(1)
         length = lengths_ref[b]
-
-        g_rows, d = group, head_dim
-        q = q_ref[0, 0]                                   # [G, D] f32
-        kscale = kscale_ref[0, 0, 0]                      # [C]
-        cos = cos_ref[:]                                  # [C, D]
-        sin = sin_ref[:]
-
-        col = jax.lax.broadcasted_iota(jnp.int32, (g_rows, cap), 1)
-        valid = col < length                              # [G, C]
-
-        def attn_from_k(k_deq):
-            """k_deq [C, D] f32 (unrotated, dequantized) -> scores, probs."""
-            if use_rope:
-                k_rot = k_deq * cos + _rotate_half(k_deq) * sin
-            else:
-                k_rot = k_deq
-            s = jax.lax.dot_general(
-                q, k_rot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                                  # [G, C]
-            s_masked = jnp.where(valid, s, MASK_VALUE)
-            m = jnp.max(s_masked, axis=-1, keepdims=True)
-            e = jnp.exp(s_masked - m)
-            e = jnp.where(valid, e, 0.0)
-            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            return s, e / denom
-
-        # ---- pass 1: MSB (4-bit) plane, or full plane when quant is off ---
-        def deq_full_from(scr) -> jax.Array:
-            return scr[:].astype(jnp.float32) * kscale[:, None]
-
-        if quant_enabled:
-            packed = kmsb_ref[0, 0].astype(jnp.int32)     # [C//2, D]
-            hi = ((packed >> 4) ^ 8) - 8
-            lo = ((packed & 0xF) ^ 8) - 8
-            k4 = jnp.concatenate([hi, lo], axis=0).astype(jnp.float32)
-            k_deq1 = (k4 * 16.0 + qz.MSB_MIDPOINT) * kscale[:, None]
-        else:
-            cp = pltpu.make_async_copy(kfull_hbm.at[b, h], kfull_scr, ksem)
-            cp.start()
-            cp.wait()
-            k_deq1 = deq_full_from(kfull_scr)
-
-        scores1, probs1 = attn_from_k(k_deq1)
-        scores_ref[:] = scores1
-        probs_ref[:] = probs1
-
-        # ---- requant decision (RequantDecision.scala:69-76 analog) --------
-        max_prob = jnp.max(probs1)
-        maxp_ref[0, 0, 0, :] = jnp.full((128,), max_prob, jnp.float32)
-        if do_requant:
-            need = max_prob < requant_threshold
-            need_ref[0, 0, 0, :] = jnp.full((128,), need.astype(jnp.int32))
-
-            @pl.when(need)
-            def _():
-                cp = pltpu.make_async_copy(kfull_hbm.at[b, h], kfull_scr,
-                                           ksem)
-                cp.start()
-                cp.wait()
-                s2, p2 = attn_from_k(deq_full_from(kfull_scr))
-                scores_ref[:] = s2
-                probs_ref[:] = p2
-        else:
-            need_ref[0, 0, 0, :] = jnp.zeros((128,), jnp.int32)
-
         hmask = hmask_ref[0, 0, 0]                        # [G]
-        probs = probs_ref[:] * hmask[:, None]
-        scores = scores_ref[:] * hmask[:, None]
+        alive = jnp.max(hmask) > 0.0
 
-        # ---- importance epilogue -----------------------------------------
-        if importance_kind == "prob":
-            imp = jnp.sum(probs, axis=0)
-        else:                                             # "presoftmax"
-            imp = jnp.sum(jnp.where(valid, scores, 0.0), axis=0)
-        imp_ref[0, 0, 0] = imp
-
-        # ---- local V pruning + gated V fetch + P·V -----------------------
-        if do_vprune:
-            # per-QUERY-head block selection (reference semantics: one top-k
-            # per (head, query) request, v_block_keep_mask in attention_ref).
-            # Mosaic can't reshape across the lane dim, so block aggregation
-            # and expansion are 0/1-matrix matmuls (cheap on MXU).
-            col_blk = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_blocks), 0) // v_block   # col -> its blk
-            blk_ids_cn = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_blocks), 1)
-            agg = (col_blk == blk_ids_cn).astype(jnp.float32)  # [C, nb]
-            mass = jax.lax.dot_general(
-                probs, agg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [G, num_blocks]
-            kth = _kth_largest(mass, keep_blocks)         # [G]
-            keep_gb = (mass >= kth[:, None]).astype(jnp.float32)
-            # expand per-block keep flags back to per-column: keep_gb @ agg^T
-            keep_gc = jax.lax.dot_general(
-                keep_gb, agg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [G, C]
-            probs_pv = probs * keep_gc
-            # a block is fetched if ANY query head in the group keeps it
-            keep_blk = jnp.max(keep_gb, axis=0)           # [num_blocks]
-
-            iot = jax.lax.broadcasted_iota(jnp.int32, (1, num_blocks),
-                                           1).reshape(-1)
-
-            def start_body(i, _):
-                keep_i = jnp.sum(
-                    jnp.where(iot == i, keep_blk, 0.0)) > 0.5
-
-                @pl.when(keep_i)
+        def gated_copy_loop(src, dst, sem, blk, nblk, row_limit, do_wait):
+            """Per-block DMA of src[b, h, i*blk:(i+1)*blk] for blocks whose
+            first row is < row_limit (start or wait phase)."""
+            def body(i, _):
+                @pl.when(i * blk < row_limit)
                 def _():
-                    pltpu.make_async_copy(
-                        vfull_hbm.at[b, h, pl.ds(i * v_block, v_block), :],
-                        vfull_scr.at[pl.ds(i * v_block, v_block), :],
-                        vsem.at[i],
-                    ).start()
+                    cp = pltpu.make_async_copy(
+                        src.at[b, h, pl.ds(i * blk, blk), :],
+                        dst.at[pl.ds(i * blk, blk), :],
+                        sem.at[i],
+                    )
+                    if do_wait:
+                        cp.wait()
+                    else:
+                        cp.start()
                 return 0
+            jax.lax.fori_loop(0, nblk, body, 0)
 
-            def wait_body(i, _):
-                keep_i = jnp.sum(
-                    jnp.where(iot == i, keep_blk, 0.0)) > 0.5
+        @pl.when(jnp.logical_not(alive))
+        def _dead():
+            # head-pruned group: never issues requests — zero everything
+            out_ref[0, 0] = jnp.zeros((group, head_dim), jnp.float32)
+            maxp_ref[0, 0, 0, :] = jnp.zeros((128,), jnp.float32)
+            need_ref[0, 0, 0, :] = jnp.zeros((128,), jnp.int32)
+            imp_ref[0, 0, 0] = jnp.zeros((cap,), jnp.float32)
 
-                @pl.when(keep_i)
+        @pl.when(alive)
+        def _alive():
+            q = q_ref[0, 0]                               # [G, D] f32
+            kscale = kscale_ref[0, 0, 0]                  # [C]
+            col = jax.lax.broadcasted_iota(jnp.int32, (group, cap), 1)
+            valid = col < length                          # [G, C]
+
+            def attn_from_k(k_deq):
+                """[C, D] f32 unrotated dequantized K -> (scores, probs)."""
+                if use_rope:
+                    k_rot = k_deq * cos_ref[:] + \
+                        _rotate_half(k_deq) * sin_ref[:]
+                else:
+                    k_rot = k_deq
+                s = jax.lax.dot_general(
+                    q, k_rot, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale                              # [G, C]
+                s_masked = jnp.where(valid, s, MASK_VALUE)
+                m = jnp.max(s_masked, axis=-1, keepdims=True)
+                e = jnp.exp(s_masked - m)
+                e = jnp.where(valid, e, 0.0)
+                denom = jnp.maximum(
+                    jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+                return s, e / denom
+
+            def fetch_kfull():
+                gated_copy_loop(kfull_hbm, kfull_scr, kfull_sem, fblk,
+                                num_fblk, length, do_wait=False)
+                gated_copy_loop(kfull_hbm, kfull_scr, kfull_sem, fblk,
+                                num_fblk, length, do_wait=True)
+
+            def deq_kfull():
+                return kfull_scr[:].astype(jnp.float32) * kscale[:, None]
+
+            # ---- pass 1: 4-bit MSB plane (or full plane if quant off) ----
+            if quant_enabled:
+                # split-token packing: tokens [0, len) live in packed rows
+                # [0, min(len, C/2)) — a contiguous, length-gated prefix
+                packed_limit = jnp.minimum(length, half)
+                gated_copy_loop(kmsb_hbm, kmsb_scr, kmsb_sem, kblk,
+                                num_kblk, packed_limit, do_wait=False)
+                gated_copy_loop(kmsb_hbm, kmsb_scr, kmsb_sem, kblk,
+                                num_kblk, packed_limit, do_wait=True)
+                packed = kmsb_scr[:].astype(jnp.int32)    # [C//2, D]
+                hi = ((packed >> 4) ^ 8) - 8
+                lo = ((packed & 0xF) ^ 8) - 8
+                k4 = jnp.concatenate([hi, lo], axis=0).astype(jnp.float32)
+                k_deq1 = (k4 * 16.0 + qz.MSB_MIDPOINT) * kscale[:, None]
+            else:
+                fetch_kfull()
+                k_deq1 = deq_kfull()
+
+            scores1, probs1 = attn_from_k(k_deq1)
+            scores_ref[:] = scores1
+            probs_ref[:] = probs1
+
+            # ---- requant decision (RequantDecision.scala:69-76) ----------
+            max_prob = jnp.max(probs1)
+            maxp_ref[0, 0, 0, :] = jnp.full((128,), max_prob, jnp.float32)
+            if do_requant:
+                need = max_prob < requant_threshold
+                need_ref[0, 0, 0, :] = jnp.full((128,),
+                                                need.astype(jnp.int32))
+
+                @pl.when(need)
                 def _():
-                    pltpu.make_async_copy(
-                        vfull_hbm.at[b, h, pl.ds(i * v_block, v_block), :],
-                        vfull_scr.at[pl.ds(i * v_block, v_block), :],
-                        vsem.at[i],
-                    ).wait()
-                return 0
+                    fetch_kfull()
+                    s2, p2 = attn_from_k(deq_kfull())
+                    scores_ref[:] = s2
+                    probs_ref[:] = p2
+            else:
+                need_ref[0, 0, 0, :] = jnp.zeros((128,), jnp.int32)
 
-            jax.lax.fori_loop(0, num_blocks, start_body, 0)
-            jax.lax.fori_loop(0, num_blocks, wait_body, 0)
-        else:
-            probs_pv = probs
-            cp = pltpu.make_async_copy(vfull_hbm.at[b, h], vfull_scr,
-                                       vsem.at[0])
-            cp.start()
-            cp.wait()
+            probs = probs_ref[:] * hmask[:, None]
+            scores = scores_ref[:] * hmask[:, None]
 
-        vscale = vscale_ref[0, 0, 0]                      # [C]
-        v_deq = vfull_scr[:].astype(jnp.float32) * vscale[:, None]
-        out = jax.lax.dot_general(
-            probs_pv, v_deq, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                 # [G, D]
-        out_ref[0, 0] = out
+            # ---- importance epilogue ---------------------------------
+            if importance_kind == "prob":
+                imp = jnp.sum(probs, axis=0)
+            else:                                         # "presoftmax"
+                imp = jnp.sum(jnp.where(valid, scores, 0.0), axis=0)
+            imp_ref[0, 0, 0] = imp
 
-    return kernel, num_blocks
+            # ---- local V pruning + gated V fetch + P·V ---------------
+            if do_vprune:
+                # per-QUERY-head block selection (reference: one top-k per
+                # (head, query) request).  Mosaic can't reshape across the
+                # lane dim, so block aggregation/expansion are 0/1-matmuls.
+                col_blk = jax.lax.broadcasted_iota(
+                    jnp.int32, (cap, num_vblk), 0) // vblk
+                blk_ids_cn = jax.lax.broadcasted_iota(
+                    jnp.int32, (cap, num_vblk), 1)
+                agg = (col_blk == blk_ids_cn).astype(jnp.float32)  # [C, nb]
+                mass = jax.lax.dot_general(
+                    probs, agg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [G, nb]
+                kth = _kth_largest(mass, keep_blocks)     # [G]
+                keep_gb = (mass >= kth[:, None]).astype(jnp.float32)
+                keep_gc = jax.lax.dot_general(
+                    keep_gb, agg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [G, C]
+                probs_pv = probs * keep_gc
+                # fetch a block if ANY query head keeps it
+                keep_blk = jnp.max(keep_gb, axis=0)       # [nb]
+            else:
+                probs_pv = probs
+                keep_blk = None
+
+            iot = jax.lax.broadcasted_iota(
+                jnp.int32, (1, num_vblk), 1).reshape(-1)
+
+            def v_loop(do_wait):
+                def body(i, _):
+                    in_len = i * vblk < length
+                    if keep_blk is not None:
+                        kept = jnp.sum(
+                            jnp.where(iot == i, keep_blk, 0.0)) > 0.5
+                        cond = jnp.logical_and(in_len, kept)
+                    else:
+                        cond = in_len
+
+                    @pl.when(cond)
+                    def _():
+                        cp = pltpu.make_async_copy(
+                            vfull_hbm.at[b, h, pl.ds(i * vblk, vblk), :],
+                            vfull_scr.at[pl.ds(i * vblk, vblk), :],
+                            vsem.at[i],
+                        )
+                        if do_wait:
+                            cp.wait()
+                        else:
+                            cp.start()
+                    return 0
+                jax.lax.fori_loop(0, num_vblk, body, 0)
+
+            v_loop(do_wait=False)
+            v_loop(do_wait=True)
+
+            vscale = vscale_ref[0, 0, 0]                  # [C]
+            v_deq = vfull_scr[:].astype(jnp.float32) * vscale[:, None]
+            out = jax.lax.dot_general(
+                probs_pv, v_deq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # [G, D]
+            out_ref[0, 0] = out
+
+    return kernel, (num_kblk, num_fblk, num_vblk)
 
 
 def decode_attention(
@@ -285,7 +337,7 @@ def decode_attention(
     group = hq // hkv
     assert cap % v_block_size == 0
 
-    kernel, num_blocks = _make_kernel(
+    kernel, (num_kblk, num_fblk, num_vblk) = _make_kernel(
         cap=cap, group=group, head_dim=d, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
@@ -309,8 +361,6 @@ def decode_attention(
         in_specs=[
             pl.BlockSpec((1, 1, group, d), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cap // 2, d), lambda i, j, *_: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
@@ -321,6 +371,7 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, group), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),         # k msb (HBM)
             pl.BlockSpec(memory_space=pl.ANY),         # k full (HBM)
             pl.BlockSpec(memory_space=pl.ANY),         # v full (HBM)
         ],
@@ -337,10 +388,12 @@ def decode_attention(
         scratch_shapes=[
             pltpu.VMEM((group, cap), jnp.float32),     # probs
             pltpu.VMEM((group, cap), jnp.float32),     # scores
+            pltpu.VMEM((cap // 2, d), jnp.uint8),      # k msb scratch
             pltpu.VMEM((cap, d), jnp.int8),            # k full scratch
             pltpu.VMEM((cap, d), jnp.int8),            # v full scratch
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((num_blocks,)),
+            pltpu.SemaphoreType.DMA((num_kblk,)),
+            pltpu.SemaphoreType.DMA((num_fblk,)),
+            pltpu.SemaphoreType.DMA((num_vblk,)),
         ],
     )
 
@@ -356,9 +409,9 @@ def decode_attention(
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
-        qg, k_quant.msb, kscale, vscale,
+        qg, kscale, vscale,
         cos.astype(jnp.float32), sin.astype(jnp.float32), hm,
-        k_quant.full, v_quant.full,
+        k_quant.msb, k_quant.full, v_quant.full,
     )
 
     stats = AttentionStats(
