@@ -64,12 +64,15 @@ def time_decode(cfg, params, steps: int, warmup: int = 3) -> float:
 
     for _ in range(warmup):
         token, state, _ = gen.decode_step(params, cfg, state, token)
-    jax.block_until_ready((token, state))
+    # force completion with a host transfer: on the remote-TPU (axon)
+    # platform block_until_ready returns before execution finishes, so we
+    # fetch the final token (which data-depends on every step)
+    jax.device_get(token)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         token, state, _ = gen.decode_step(params, cfg, state, token)
-    jax.block_until_ready((token, state))
+    jax.device_get(token)
     dt = time.perf_counter() - t0
     return b * steps / dt
 
@@ -77,7 +80,9 @@ def time_decode(cfg, params, steps: int, warmup: int = 3) -> float:
 def main():
     from spatten_tpu.models import transformer
 
-    num_layers, cache, batch, steps = 8, 2048, 8, 30
+    # serving regime: batch large enough that attention (not weight
+    # streaming) dominates — the regime the reference accelerates
+    num_layers, cache, batch, steps = 6, 2048, 32, 20
 
     cfg_sp = build_cfg(True, num_layers, cache, batch)
     cfg_dn = build_cfg(False, num_layers, cache, batch)
@@ -90,7 +95,9 @@ def main():
 
     # scale per-layer throughput to the full 32-layer flagship for an
     # honest tokens/s/chip figure (attention+mlp dominate; embed/lm_head
-    # amortize): time scales ~linearly in layers.
+    # amortize): time scales ~linearly in layers.  (The full 7B + its KV
+    # cache at this batch exceeds one v5e-lite chip's HBM; per-layer cost
+    # is depth-independent, so a 6-layer slice measures it exactly.)
     full_layers = 32
     scale = num_layers / full_layers
     print(json.dumps({

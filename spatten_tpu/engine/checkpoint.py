@@ -1,0 +1,55 @@
+"""Checkpoint / resume: params + decode-state snapshots (orbax).
+
+The reference has none (SURVEY.md §5: weights re-downloaded every run, sim
+runs one-shot).  For preemptible TPU serving we snapshot both the weights
+and the live DecodeState — the pruned/quantized KV cache, importance
+accumulators, lengths, head masks — so a preempted replica resumes decoding
+mid-stream without refetching or re-pruning."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+
+from spatten_tpu.engine.state import DecodeState
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save(path: str, params: Any, state: Optional[DecodeState] = None
+         ) -> None:
+    """Write params (and optionally the live decode state) to `path`."""
+    ckpt = _checkpointer()
+    payload = {"params": params}
+    if state is not None:
+        payload["state"] = state._asdict()
+    ckpt.save(os.path.abspath(path), payload)
+
+
+def restore(path: str) -> Tuple[Any, Optional[DecodeState]]:
+    """Read (params, state-or-None) from `path`."""
+    ckpt = _checkpointer()
+    payload = ckpt.restore(os.path.abspath(path))
+    params = payload["params"]
+    state = None
+    if "state" in payload and payload["state"] is not None:
+        d = payload["state"]
+        from spatten_tpu.engine.kv_cache import LayerKVCache
+        from spatten_tpu.ops.quantize import QuantizedKV
+
+        def as_kv(x):
+            return LayerKVCache(k=QuantizedKV(**x["k"]),
+                                v=QuantizedKV(**x["v"]))
+        cache = d["cache"]
+        if not isinstance(cache, LayerKVCache):
+            cache = as_kv(cache)
+        state = DecodeState(
+            cache=cache, importance=d["importance"], lengths=d["lengths"],
+            head_mask=d["head_mask"], requant_events=d["requant_events"],
+        )
+    return params, state

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from spatten_tpu.config import SpAttenConfig
 from spatten_tpu.engine import kv_cache as kvc
+from spatten_tpu.engine.sampling import SamplingParams, sample_token
 from spatten_tpu.engine.state import DecodeState, init_state
 from spatten_tpu.models import transformer
 from spatten_tpu.pruning import token_pruning
@@ -124,17 +125,26 @@ def generate(
     max_new_tokens: int,
     state: Optional[DecodeState] = None,
     eos_token_id: Optional[int] = None,
+    sampling: Optional[SamplingParams] = None,
+    rng: Optional[jax.Array] = None,
 ) -> GenerateResult:
-    """Greedy generation: chunked prefill + jitted token-at-a-time decode.
+    """Generation: chunked prefill + jitted token-at-a-time decode.
 
     The decode loop is a `lax.scan` over steps (one compiled program); EOS
     handling freezes finished sequences (keeps emitting eos, stops growing
     their cache influence) rather than exiting early, keeping shapes static.
+    Greedy by default; pass `sampling` (+ optionally `rng`) for
+    temperature / top-k / top-p.  If head pruning is enabled, the per-layer
+    head mask is (re)derived from accumulated importance after prefill —
+    the reference's "on-the-fly" head pruning (SURVEY.md §0.3).
     """
     cfg.validate()
+    sampling = sampling or SamplingParams()
     b, prompt_len = prompt.shape
     if state is None:
         state = init_state(cfg, batch=b)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     chunk = cfg.engine.prefill_chunk
     pos = 0
@@ -145,23 +155,37 @@ def generate(
             params, cfg, state, prompt[:, pos:pos + n])
         pos += n
 
-    first_token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    if cfg.pruning.enable_head_pruning and cfg.pruning.head_keep > 0:
+        from spatten_tpu.engine.policy import update_head_mask
+        state = jax.jit(update_head_mask, static_argnums=0)(cfg, state)
+
+    first_token = sample_token(last_logits, rng, sampling)
 
     @functools.partial(jax.jit, static_argnums=())
-    def scan_decode(state, first_token):
-        def body(carry, _):
+    def scan_decode(state, first_token, rng):
+        def body(carry, step_rng):
             state, token, done = carry
-            next_token, state, _ = decode_step(params, cfg, state, token)
+            logits, state = _decode_logits(params, cfg, state, token)
+            next_token = sample_token(logits, step_rng, sampling)
             if eos_token_id is not None:
                 done = done | (token == eos_token_id)
                 next_token = jnp.where(done, eos_token_id, next_token)
             return (state, next_token, done), token
 
         done0 = jnp.zeros((b,), bool)
+        step_keys = jax.random.split(rng, max_new_tokens)
         (state, _, _), toks = jax.lax.scan(
-            body, (state, first_token, done0), None, length=max_new_tokens)
+            body, (state, first_token, done0), step_keys)
         return state, toks.T                       # [B, max_new_tokens]
 
-    state, tokens = scan_decode(state, first_token)
+    state, tokens = scan_decode(state, first_token, rng)
     return GenerateResult(tokens=tokens, state=state,
                           requant_events=state.requant_events)
+
+
+def _decode_logits(params, cfg: SpAttenConfig, state: DecodeState,
+                   token: jax.Array):
+    state, _ = maybe_prune(cfg, state, 1)
+    logits, state, _ = transformer.forward(params, cfg, state,
+                                           token[:, None])
+    return logits[:, -1], state
