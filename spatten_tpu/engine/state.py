@@ -29,6 +29,31 @@ class DecodeState(NamedTuple):
         return self.importance.shape[-1]
 
 
+def write_slot(state: DecodeState, sub: DecodeState, slot: int | jax.Array
+               ) -> DecodeState:
+    """Scatter a batch-1 sub-state into batch slot `slot` of `state`.
+
+    Used by continuous batching: a newly admitted request is prefilled in
+    its own batch-1 state, then written into a free slot of the serving
+    arena (cache planes, importance, length).  The head mask is global
+    (per layer), not per slot, and is left untouched.
+    """
+    slot = jnp.asarray(slot, jnp.int32)
+
+    def scatter(big, small):
+        # leaves are [L, B, ...]; write small's B=1 row at `slot`
+        starts = [jnp.int32(0), slot] + [jnp.int32(0)] * (big.ndim - 2)
+        return jax.lax.dynamic_update_slice(big, small.astype(big.dtype),
+                                            starts)
+
+    cache = jax.tree.map(scatter, state.cache, sub.cache)
+    importance = scatter(state.importance, sub.importance)
+    lengths = jax.lax.dynamic_update_slice(
+        state.lengths, sub.lengths.astype(jnp.int32), (slot,))
+    return state._replace(cache=cache, importance=importance,
+                          lengths=lengths)
+
+
 def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
     m, e = cfg.model, cfg.engine
     b = batch if batch is not None else e.max_batch_size
