@@ -101,8 +101,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # VMEM-streamed inputs
         q_ref,                         # [1, HPP, G, D] f32
         kscale_ref,                    # [1, HPP, 1, C] f32
-        cos_ref,                       # [C, D] f32
-        sin_ref,                       # [C, D] f32
+        cos_ref,                       # [C, D//2] f32 (HF tables duplicate
+        sin_ref,                       # [C, D//2] f32  halves; we re-dup
+                                       #                in VMEM, halving HBM
+                                       #                + VMEM footprint)
         hmask_ref,                     # [1, HPP, 1, G] f32 (1=alive)
         # HBM (manually DMA'd, length- and liveness-gated)
         kmsb_hbm,                      # [B, Hkv, C//2, D] uint8 (packed)
@@ -170,10 +172,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             phase(False)
             phase(True)
 
+        if use_rope:
+            cos_full = jnp.concatenate([cos_ref[:], cos_ref[:]], axis=-1)
+            sin_full = jnp.concatenate([sin_ref[:], sin_ref[:]], axis=-1)
+
         def attn_from_k(k_deq, q):
             """[C, D] f32 unrotated dequantized K -> (scores, probs)."""
             if use_rope:
-                k_rot = k_deq * cos_ref[:] + _rotate_half(k_deq) * sin_ref[:]
+                k_rot = k_deq * cos_full + _rotate_half(k_deq) * sin_full
             else:
                 k_rot = k_deq
             s = jax.lax.dot_general(
@@ -335,9 +341,9 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hpp, 1, cap), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap, d), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((cap, d // 2), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap, d), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((cap, d // 2), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hpp, 1, group), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -377,13 +383,15 @@ def decode_attention(
     )(
         lengths.astype(jnp.int32),
         qg, kscale,
-        cos.astype(jnp.float32), sin.astype(jnp.float32), hm,
+        cos[:, : d // 2].astype(jnp.float32),
+        sin[:, : d // 2].astype(jnp.float32), hm,
         k_quant.msb, k_quant.full,
     )
 
-    # ---- phase B: gather surviving V rows + P·V (XLA) --------------------
-    out = _pv_gather(probs_pv, v_quant, v_keep=v_keep,
-                     v_block_size=v_block_size, group=group)
+    # ---- phase B: fetch surviving V blocks by index + P·V ----------------
+    out = _pv_kernel(probs_pv, v_quant, lengths, v_keep=v_keep,
+                     v_block_size=v_block_size, group=group,
+                     interpret=interpret)
 
     stats = AttentionStats(
         max_prob=maxp[..., 0, 0],
@@ -394,46 +402,107 @@ def decode_attention(
     return out.reshape(b, hq, 1, d), stats
 
 
-def _pv_gather(probs_pv: jax.Array, v_quant: qz.QuantizedKV, *,
-               v_keep: int, v_block_size: int, group: int) -> jax.Array:
-    """P·V over only the surviving V blocks.
+def _pv_kernel(probs_pv: jax.Array, v_quant: qz.QuantizedKV,
+               lengths: jax.Array, *, v_keep: int, v_block_size: int,
+               group: int, interpret: bool) -> jax.Array:
+    """P·V fetching only the surviving V blocks, by index.
 
-    probs_pv: [B, Hkv, G, C] with dropped blocks already zeroed.  Selects
-    the union (over the GQA group) of surviving blocks per kv head — the
-    TPU analog of the reference's score_buf-indexed V gather
-    (stageFetchValMat, SpAttenController.scala:668-736) — then one matmul
-    over the compacted rows.  For the no-pruning case this is a plain
-    dense P·V.
+    The TPU analog of the reference's score_buf-indexed V gather
+    (stageFetchValMat, SpAttenController.scala:668-736): XLA computes the
+    per-(seq, kv_head) list of surviving block ids (a tiny top-k over block
+    masses), which is scalar-prefetched into a Pallas kernel that DMAs
+    exactly those blocks from HBM into their original VMEM offsets and runs
+    one [G, C] x [C, D] MXU matmul.  Un-fetched rows hold stale garbage,
+    but their probabilities are exactly zero, so they contribute nothing.
+
+    Without V pruning the index list is simply every in-length block —
+    giving the dense path length-gated fetch for free.
     """
     b, hkv, g, cap = probs_pv.shape
     d = v_quant.full.shape[-1]
-    num_blocks = cap // v_block_size
-    keep_blocks = max(1, -(-v_keep // v_block_size)) if v_keep > 0 else 0
-    do_vprune = 0 < v_keep and keep_blocks < num_blocks
+    vblk = v_block_size
+    nb = cap // vblk
+    keep_blocks = max(1, -(-v_keep // vblk)) if v_keep > 0 else 0
+    do_vprune = 0 < v_keep and keep_blocks < nb
 
-    if not do_vprune:
-        v = qz.dequantize_full(v_quant, jnp.float32)     # [B, Hkv, C, D]
-        return jnp.einsum("bhgc,bhcd->bhgd", probs_pv, v,
-                          preferred_element_type=jnp.float32)
+    blk_range = jnp.arange(nb, dtype=jnp.int32)
+    if do_vprune:
+        # union (over the GQA group) of surviving blocks, ranked by mass;
+        # +4 slack absorbs ties at the k-th mass (a tied block beyond the
+        # slack loses only its tiny probability mass)
+        ub = min(nb, group * keep_blocks + 4)
+        mass_any = probs_pv.sum(axis=2).reshape(b, hkv, nb, vblk).sum(-1)
+        val, idx = jax.lax.top_k(mass_any, ub)           # [B, Hkv, ub]
+        blk_idx = jnp.where(val > 0, idx, -1).astype(jnp.int32)
+    else:
+        ub = nb
+        in_len = (blk_range[None, :] * vblk) < lengths[:, None]   # [B, nb]
+        blk_idx = jnp.where(in_len, blk_range[None, :], -1)
+        blk_idx = jnp.broadcast_to(blk_idx[:, None], (b, hkv, nb)
+                                   ).astype(jnp.int32)
 
-    # union budget: each of the G heads keeps `keep_blocks` blocks (ties at
-    # the k-th mass can exceed this — padded with +4 slack; a dropped tied
-    # block beyond the slack costs only its (tiny) probability mass)
-    union_budget = min(num_blocks, group * keep_blocks + 4)
-    mass_any = probs_pv.sum(axis=2).reshape(
-        b, hkv, num_blocks, v_block_size).sum(-1)        # [B, Hkv, nb]
-    # rank kept blocks (positive mass) above dropped ones
-    score = (mass_any > 0).astype(jnp.float32) + \
-        mass_any / (mass_any.sum(-1, keepdims=True) + 1.0)
-    blk_idx = jax.lax.top_k(score, union_budget)[1]      # [B, Hkv, ub]
-    tok_idx = (blk_idx[..., None] * v_block_size +
-               jnp.arange(v_block_size)[None, None, None]
-               ).reshape(b, hkv, union_budget * v_block_size)
+    def kernel(blkidx_ref,             # SMEM int32 [B, Hkv, UB]
+               probs_ref,              # [1, 1, G, C] f32
+               vscale_ref,             # [1, 1, 1, C] f32
+               vfull_hbm,              # [B, Hkv, C, D] int8 (ANY)
+               out_ref,                # [1, 1, G, D] f32
+               v_scr,                  # [C, D] int8
+               sems):                  # DMA sems (UB,)
+        bb = pl.program_id(0)
+        hh = pl.program_id(1)
 
-    v_rows = jnp.take_along_axis(v_quant.full, tok_idx[..., None],
-                                 axis=-2)                # [B,Hkv,S,D] int8
-    v_scales = jnp.take_along_axis(v_quant.scale, tok_idx, axis=-1)
-    v_sel = v_rows.astype(jnp.float32) * v_scales[..., None]
-    p_sel = jnp.take_along_axis(probs_pv, tok_idx[:, :, None, :], axis=-1)
-    return jnp.einsum("bhgs,bhsd->bhgd", p_sel, v_sel,
-                      preferred_element_type=jnp.float32)
+        def dma(s, idx):
+            return pltpu.make_async_copy(
+                vfull_hbm.at[bb, hh, pl.ds(idx * vblk, vblk), :],
+                v_scr.at[pl.ds(idx * vblk, vblk), :],
+                sems.at[s],
+            )
+
+        def phase(do_wait):
+            def body(s, _):
+                idx = blkidx_ref[bb, hh, s]
+
+                @pl.when(idx >= 0)
+                def _():
+                    cp = dma(s, idx)
+                    if do_wait:
+                        cp.wait()
+                    else:
+                        cp.start()
+                return 0
+            jax.lax.fori_loop(0, ub, body, 0)
+
+        phase(False)
+        phase(True)
+
+        v_deq = v_scr[:].astype(jnp.float32) * \
+            vscale_ref[0, 0, 0][:, None]
+        out_ref[0, 0] = jax.lax.dot_general(
+            probs_ref[0, 0], v_deq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    vscale = v_quant.scale.reshape(b, hkv, 1, cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, cap), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cap), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, *_: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cap, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((ub,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
+        interpret=interpret,
+    )(blk_idx, probs_pv, vscale, v_quant.full)
+    return out
