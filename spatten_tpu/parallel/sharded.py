@@ -146,19 +146,29 @@ class ShardedEngine:
         return NamedSharding(self.mesh, spec)
 
     def shard_params(self, params: Any) -> Any:
+        """Distribute a host-local parameter tree onto the mesh.
+
+        Uses `make_array_from_callback`, which also works multi-host: every
+        process passes its (identical) host copy and contributes only the
+        shards its local devices own."""
+        import numpy as np
         self._param_specs = param_pspecs(params)
-        return jax.tree.map(
-            lambda a, s: jax.device_put(a, self.named(s)),
-            params, self._param_specs,
-        )
+
+        def put(a, spec):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, self.named(spec), lambda idx: a[idx])
+
+        return jax.tree.map(put, params, self._param_specs)
 
     def init_sharded_state(self, batch: Optional[int] = None) -> DecodeState:
+        """Create the decode state directly on-device with its shardings
+        (no host transfer; multi-host safe)."""
         b = batch if batch is not None else self.cfg.engine.max_batch_size
-        state = init_state(self.cfg, b)
-        return jax.tree.map(
-            lambda a, s: jax.device_put(a, self.named(s)),
-            state, self._state_specs,
-        )
+        shardings = jax.tree.map(self.named, self._state_specs)
+        make = jax.jit(lambda: init_state(self.cfg, b),
+                       out_shardings=shardings)
+        return make()
 
     # -- jitted steps -------------------------------------------------------
 
@@ -194,9 +204,13 @@ class ShardedEngine:
     def generate(self, params, prompt: jax.Array, max_new_tokens: int,
                  eos_token_id: Optional[int] = None) -> jax.Array:
         """Greedy generation on the mesh; prompt [B, S] -> [B, new]."""
+        import numpy as np
         b, prompt_len = prompt.shape
         state = self.init_sharded_state(b)
-        prompt = jax.device_put(prompt, self.named(P("data", None)))
+        prompt_np = np.asarray(prompt)
+        prompt = jax.make_array_from_callback(
+            prompt_np.shape, self.named(P("data", None)),
+            lambda idx: prompt_np[idx])
 
         prefill, decode = self.prefill_step(), self.decode_step()
         chunk = self.cfg.engine.prefill_chunk
