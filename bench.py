@@ -22,10 +22,15 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def shard_model_cfg():
@@ -102,10 +107,13 @@ def time_decode(cfg, params, steps: int) -> float:
     # force completion with a host transfer: on the remote-TPU (axon)
     # platform block_until_ready returns before execution finishes; the
     # final token data-depends on every step
+    t0 = time.perf_counter()
     jax.device_get(run(state, token))
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     jax.device_get(run(state, token))
     dt = time.perf_counter() - t0
+    log(f"timed run: {dt:.3f}s ({dt / steps * 1e3:.2f} ms/step)")
     del state
     return b * steps / dt
 
@@ -124,8 +132,11 @@ def main():
     params = jax.device_get(params)          # keep host copy cheap
     params = jax.device_put(params)
 
+    log("timing spatten engine...")
     tps_sp = time_decode(cfg_sp, params, steps)
+    log(f"spatten: {tps_sp:.1f} tok/s; timing dense baseline...")
     tps_dn = time_decode(cfg_dn, params, steps)
+    log(f"dense: {tps_dn:.1f} tok/s")
 
     print(json.dumps({
         "metric": "decode_tokens_per_s_per_chip",
