@@ -28,6 +28,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: first run pays the (remote) compile, every
+# later run of the same bench hits disk
+jax.config.update("jax_compilation_cache_dir", "/tmp/spatten_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)

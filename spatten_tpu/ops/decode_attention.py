@@ -70,15 +70,15 @@ def _even_blocks(total: int, target: int) -> Tuple[int, int]:
 
 
 def _heads_per_program(hkv: int, cap: int, head_dim: int) -> int:
-    """Largest divisor of hkv (<=8) keeping scratch under ~6 MB."""
-    budget = 6 * 1024 * 1024
+    """Largest divisor of hkv (<=8) keeping the packed-plane scratch
+    under ~4 MB (the rest of the kernel is row-blocked, so per-head VMEM
+    is bounded regardless of capacity)."""
+    budget = 4 * 1024 * 1024
     best = 1
     for h in range(1, min(hkv, 8) + 1):
         if hkv % h:
             continue
-        scratch = h * (cap // 2) * head_dim      # msb uint8
-        scratch += h * cap * head_dim            # full int8
-        if scratch <= budget:
+        if h * (cap // 2) * head_dim <= budget:   # msb uint8 scratch
             best = h
     return best
 
@@ -88,11 +88,18 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  quant_enabled: bool, v_keep: int, v_block: int,
                  importance_kind: str, use_rope: bool):
     half = cap // 2
-    kblk, num_kblk = _even_blocks(half, 1024)      # packed msb plane blocks
-    fblk, num_fblk = _even_blocks(cap, 1024)       # int8 full plane blocks
+    # all K processing is row-blocked in token blocks of `pblk` rows (also
+    # the DMA granule), so per-program VMEM stays bounded at any capacity;
+    # only the [G, C] score/prob vectors are materialized whole.
+    pblk, num_pblk = _even_blocks(half, 1024)
+    num_tblk = 2 * num_pblk                        # token blocks over cap
     num_vblk = cap // v_block
     keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else 0
     do_vprune = 0 < v_keep and keep_blocks < num_vblk
+    if do_vprune:
+        assert pblk % v_block == 0, (
+            f"token block {pblk} must be a multiple of v_block {v_block}")
+    nb_local = pblk // v_block if do_vprune else 0
     do_requant = quant_enabled and requant_threshold > 0.0
 
     def kernel(
@@ -118,8 +125,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         kmsb_scr,                      # [HPP, C//2, D] uint8
         kfull_scr,                     # [C, D] int8 (one head at a time)
         scores_scr,                    # [G, C] f32 (one head at a time)
-        kmsb_sem,                      # DMA sems (HPP, num_kblk)
-        kfull_sem,                     # DMA sems (num_fblk,)
+        kmsb_sem,                      # DMA sems (HPP, num_pblk)
+        kfull_sem,                     # DMA sems (num_tblk,)
     ):
         b = pl.program_id(0)
         jpack = pl.program_id(1)
@@ -135,8 +142,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # ---- start all alive heads' MSB DMAs up front (overlap) ----------
         def msb_dma(h, i):
             return pltpu.make_async_copy(
-                kmsb_hbm.at[b, h0 + h, pl.ds(i * kblk, kblk), :],
-                kmsb_scr.at[h, pl.ds(i * kblk, kblk), :],
+                kmsb_hbm.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
+                kmsb_scr.at[h, pl.ds(i * pblk, pblk), :],
                 kmsb_sem.at[h, i],
             )
 
@@ -145,22 +152,22 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 @pl.when(alive[h])
                 def _(h=h):
                     def start(i, _):
-                        @pl.when(i * kblk < packed_limit)
+                        @pl.when(i * pblk < packed_limit)
                         def _():
                             msb_dma(h, i).start()
                         return 0
-                    jax.lax.fori_loop(0, num_kblk, start, 0)
+                    jax.lax.fori_loop(0, num_pblk, start, 0)
 
         def fetch_kfull(h):
             """Length-gated copy of head h's int8 plane into kfull_scr."""
             def phase(do_wait):
                 def body(i, _):
-                    @pl.when(i * fblk < length)
+                    @pl.when(i * pblk < length)
                     def _():
                         cp = pltpu.make_async_copy(
                             kfull_hbm.at[b, h0 + h,
-                                         pl.ds(i * fblk, fblk), :],
-                            kfull_scr.at[pl.ds(i * fblk, fblk), :],
+                                         pl.ds(i * pblk, pblk), :],
+                            kfull_scr.at[pl.ds(i * pblk, pblk), :],
                             kfull_sem.at[i],
                         )
                         if do_wait:
@@ -168,37 +175,52 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         else:
                             cp.start()
                     return 0
-                jax.lax.fori_loop(0, num_fblk, body, 0)
+                jax.lax.fori_loop(0, num_tblk, body, 0)
             phase(False)
             phase(True)
 
-        if use_rope:
-            cos_full = jnp.concatenate([cos_ref[:], cos_ref[:]], axis=-1)
-            sin_full = jnp.concatenate([sin_ref[:], sin_ref[:]], axis=-1)
+        def rope_block(kb, t):
+            """Rotate a [pblk, D] block at cache positions of block t."""
+            if not use_rope:
+                return kb
+            c = cos_ref[pl.ds(t * pblk, pblk), :]     # [pblk, D//2]
+            s = sin_ref[pl.ds(t * pblk, pblk), :]
+            cf = jnp.concatenate([c, c], axis=-1)
+            sf = jnp.concatenate([s, s], axis=-1)
+            return kb * cf + _rotate_half(kb) * sf
 
-        def attn_from_k(k_deq, q):
-            """[C, D] f32 unrotated dequantized K -> (scores, probs)."""
-            if use_rope:
-                k_rot = k_deq * cos_full + _rotate_half(k_deq) * sin_full
-            else:
-                k_rot = k_deq
-            s = jax.lax.dot_general(
-                q, k_rot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                              # [G, C]
-            s_masked = jnp.where(valid, s, MASK_VALUE)
+        def blocked_scores(get_kblk, q):
+            """Write q @ rope(K_t)^T * scale into scores_scr, per block.
+
+            Blocks at/after `length` are skipped entirely (no decode, no
+            rope, no matmul) — compute is length-gated like the DMA.
+            Stale values beyond `length` are neutralized by `valid`."""
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    kb = rope_block(get_kblk(t), t)   # [pblk, D] f32
+                    s_blk = jax.lax.dot_general(
+                        q, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * sm_scale                      # [G, pblk]
+                    scores_scr[:, pl.ds(t * pblk, pblk)] = s_blk
+
+        def softmax_from_scores():
+            s_masked = jnp.where(valid, scores_scr[:], MASK_VALUE)
             m = jnp.max(s_masked, axis=-1, keepdims=True)
             e = jnp.exp(s_masked - m)
             e = jnp.where(valid, e, 0.0)
             denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            return s, e / denom
+            return e / denom                          # [G, C]
 
         if do_vprune:
-            col_blk = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_vblk), 0) // v_block
-            blk_ids_cn = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_vblk), 1)
-            agg = (col_blk == blk_ids_cn).astype(jnp.float32)  # [C, nb]
+            # block-aggregation 0/1 matrix for ONE token block (the same
+            # for every block): agg_local[r, j] = (r // v_block == j)
+            row_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (pblk, nb_local), 0) // v_block
+            col_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (pblk, nb_local), 1)
+            agg_local = (row_blk == col_ids).astype(jnp.float32)
 
         # ---- per-head pipeline -------------------------------------------
         for h in range(hpp):
@@ -216,36 +238,43 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 q = q_ref[0, h]                       # [G, D]
                 kscale = kscale_ref[0, h, 0]          # [C]
 
-                def deq_kfull():
-                    return kfull_scr[:].astype(jnp.float32) * \
-                        kscale[:, None]
+                def kblk_full(t):
+                    rows = kfull_scr[pl.ds(t * pblk, pblk), :]
+                    sc = kscale[t * pblk:(t + 1) * pblk]
+                    return rows.astype(jnp.float32) * sc[:, None]
 
                 if quant_enabled:
                     def wait(i, _):
-                        @pl.when(i * kblk < packed_limit)
+                        @pl.when(i * pblk < packed_limit)
                         def _():
                             msb_dma(h, i).wait()
                         return 0
-                    jax.lax.fori_loop(0, num_kblk, wait, 0)
-                    packed = kmsb_scr[h].astype(jnp.int32)   # [C//2, D]
-                    hi = ((packed >> 4) ^ 8) - 8
-                    lo = ((packed & 0xF) ^ 8) - 8
-                    k4 = jnp.concatenate(
-                        [hi, lo], axis=0).astype(jnp.float32)
-                    k_deq1 = (k4 * 16.0 + qz.MSB_MIDPOINT) * \
-                        kscale[:, None]
+                    jax.lax.fori_loop(0, num_pblk, wait, 0)
+
+                    def kblk_msb(t):
+                        # split-token packing: token block t < num_pblk is
+                        # the hi nibble of packed block t; else the lo
+                        # nibble of packed block t - num_pblk
+                        p = t if t < num_pblk else t - num_pblk
+                        rows = kmsb_scr[h, pl.ds(p * pblk, pblk), :]
+                        nib = rows.astype(jnp.int32)
+                        nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
+                        k4 = ((nib ^ 8) - 8).astype(jnp.float32)
+                        sc = kscale[t * pblk:(t + 1) * pblk]
+                        return (k4 * 16.0 + qz.MSB_MIDPOINT) * sc[:, None]
+
+                    blocked_scores(kblk_msb, q)
                 else:
                     fetch_kfull(h)
-                    k_deq1 = deq_kfull()
+                    blocked_scores(kblk_full, q)
 
-                scores1, probs1 = attn_from_k(k_deq1, q)
+                probs1 = softmax_from_scores()
 
                 # requant decision + conditional recompute --------------
                 max_prob = jnp.max(probs1)
                 maxp_ref[0, h, 0, :] = jnp.full((128,), max_prob,
                                                 jnp.float32)
                 probs_ref[0, h] = probs1
-                scores_scr[:] = scores1
                 if do_requant:
                     need = max_prob < requant_threshold
                     need_ref[0, h, 0, :] = jnp.full(
@@ -254,9 +283,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     @pl.when(need)
                     def _():
                         fetch_kfull(h)
-                        s2, p2 = attn_from_k(deq_kfull(), q)
-                        probs_ref[0, h] = p2
-                        scores_scr[:] = s2
+                        blocked_scores(kblk_full, q)
+                        probs_ref[0, h] = softmax_from_scores()
                 else:
                     need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
 
@@ -274,17 +302,26 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 # local V pruning: zero the probabilities of dropped
                 # blocks (phase B fetches only surviving blocks) -------
                 if do_vprune:
-                    mass = jax.lax.dot_general(
-                        probs, agg, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [G, nb]
+                    mass = jnp.concatenate([
+                        jax.lax.dot_general(
+                            probs[:, t * pblk:(t + 1) * pblk], agg_local,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        for t in range(num_tblk)
+                    ], axis=-1)                       # [G, num_vblk]
                     kth = _kth_largest(mass, keep_blocks)     # [G]
                     keep_gb = (mass >= kth[:, None]).astype(jnp.float32)
-                    keep_gc = jax.lax.dot_general(
-                        keep_gb, agg, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [G, C]
-                    probs_ref[0, h] = probs * keep_gc
+                    for t in range(num_tblk):
+                        keep_local = keep_gb[:, t * nb_local:
+                                             (t + 1) * nb_local]
+                        keep_cols = jax.lax.dot_general(
+                            keep_local, agg_local,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [G,pblk]
+                        probs_ref[0, h, :, pl.ds(t * pblk, pblk)] = \
+                            probs[:, t * pblk:(t + 1) * pblk] * keep_cols
 
-    return kernel, (num_kblk, num_fblk)
+    return kernel, (num_pblk, num_tblk)
 
 
 def decode_attention(
@@ -316,7 +353,7 @@ def decode_attention(
     assert cap % v_block_size == 0
     hpp = _heads_per_program(hkv, cap, d)
 
-    kernel, (num_kblk, num_fblk) = _make_kernel(
+    kernel, (num_pblk, num_tblk) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
@@ -365,8 +402,8 @@ def decode_attention(
             pltpu.VMEM((hpp, cap // 2, d), jnp.uint8),
             pltpu.VMEM((cap, d), jnp.int8),
             pltpu.VMEM((group, cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((hpp, num_kblk)),
-            pltpu.SemaphoreType.DMA((num_fblk,)),
+            pltpu.SemaphoreType.DMA((hpp, num_pblk)),
+            pltpu.SemaphoreType.DMA((num_tblk,)),
         ],
     )
 
