@@ -85,7 +85,7 @@ def time_decode(cfg, params, steps: int) -> float:
     engine's `generate` uses — so the measurement is pure device time
     (the remote-TPU dispatch path would otherwise dominate)."""
     import functools
-    from spatten_tpu.engine import generate as gen
+    import spatten_tpu.engine.generate as gen
     from spatten_tpu.engine.state import init_state
     from spatten_tpu.models import transformer
 

@@ -124,7 +124,7 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
     `value_fetch_num` the post-top-k V budget, `if_requant` the per-head
     progressive-quantization decision taken by the kernel.
     """
-    from spatten_tpu.engine import generate as gen
+    import spatten_tpu.engine.generate as gen
     from spatten_tpu.engine.state import init_state
 
     cfg.validate()

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spatten_tpu.config import SpAttenConfig
-from spatten_tpu.engine import generate as gen
+import spatten_tpu.engine.generate as gen
 from spatten_tpu.engine.state import init_state
 
 

@@ -9,3 +9,6 @@ from spatten_tpu.models.transformer import (
     forward,
     num_params,
 )
+from spatten_tpu.models import hf_loader
+
+__all__ = ["init_params", "forward", "num_params", "hf_loader"]

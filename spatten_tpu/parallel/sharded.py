@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spatten_tpu.config import SpAttenConfig
-from spatten_tpu.engine import generate as gen
+import spatten_tpu.engine.generate as gen
 from spatten_tpu.engine.state import DecodeState, init_state
 from spatten_tpu.models import transformer
 

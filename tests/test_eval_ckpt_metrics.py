@@ -14,7 +14,7 @@ import pytest
 from spatten_tpu.config import (
     EngineConfig, ModelConfig, PruningConfig, QuantConfig, SpAttenConfig,
 )
-from spatten_tpu.engine import generate as gen
+import spatten_tpu.engine.generate as gen
 from spatten_tpu.engine import checkpoint as ckpt
 from spatten_tpu.engine.metrics import collect_run_metrics
 from spatten_tpu.engine.state import init_state

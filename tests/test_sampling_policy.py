@@ -9,7 +9,7 @@ import numpy as np
 from spatten_tpu.config import (
     EngineConfig, ModelConfig, PruningConfig, SpAttenConfig,
 )
-from spatten_tpu.engine import generate as gen
+import spatten_tpu.engine.generate as gen
 from spatten_tpu.engine.policy import (
     head_importance_from_state, update_head_mask,
 )

@@ -7,7 +7,7 @@ import numpy as np
 from spatten_tpu.config import (
     EngineConfig, ModelConfig, PruningConfig, QuantConfig, SpAttenConfig,
 )
-from spatten_tpu.engine import generate as gen
+import spatten_tpu.engine.generate as gen
 from spatten_tpu.engine.server import SpAttenServer
 from spatten_tpu.models import transformer
 

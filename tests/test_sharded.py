@@ -12,7 +12,7 @@ import pytest
 from spatten_tpu.config import (
     EngineConfig, MeshConfig, ModelConfig, PruningConfig, SpAttenConfig,
 )
-from spatten_tpu.engine import generate as gen
+import spatten_tpu.engine.generate as gen
 from spatten_tpu.models import transformer
 from spatten_tpu.parallel import ShardedEngine, make_mesh
 
