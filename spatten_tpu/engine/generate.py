@@ -161,8 +161,10 @@ def generate(
 
     first_token = sample_token(last_logits, rng, sampling)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def scan_decode(state, first_token, rng):
+    # params is an explicit argument: closure-captured arrays lower as HLO
+    # constants (bloating the module; fatal on remote-compile backends)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def scan_decode(params, state, first_token, rng):
         def body(carry, step_rng):
             state, token, done = carry
             logits, state = _decode_logits(params, cfg, state, token)
@@ -178,7 +180,7 @@ def generate(
             body, (state, first_token, done0), step_keys)
         return state, toks.T                       # [B, max_new_tokens]
 
-    state, tokens = scan_decode(state, first_token, rng)
+    state, tokens = scan_decode(params, state, first_token, rng)
     return GenerateResult(tokens=tokens, state=state,
                           requant_events=state.requant_events)
 
