@@ -203,11 +203,8 @@ def forward(
             qh = (qh * c + rope_ops.rotate_half(qh) * sn).astype(qh.dtype)
 
         layer_cache = append_tokens(layer_cache, kh, vh, state.lengths)
-        # importance slots of the incoming tokens start fresh
-        slot = jnp.arange(cap)[None, None, :]
-        is_new = ((slot >= state.lengths[:, None, None])
-                  & (slot < (state.lengths + s)[:, None, None]))
-        imp = jnp.where(is_new, 0.0, imp)
+        # a pure-dense engine (no token/head pruning) tracks no importance
+        track_importance = p.enable_token_pruning or p.enable_head_pruning
 
         sm_scale = base_scale
         if m.use_attn_scale_by_layer:
@@ -235,17 +232,29 @@ def forward(
                 qh, layer_cache.k, layer_cache.v, cos, sin,
                 state.lengths + s,
                 interpret=(jax.default_backend() == "cpu"),
+                importance_in=(imp if (track_importance
+                                       and p.cascade_accumulate) else None),
                 **attn_kwargs,
             )
+            if track_importance:
+                # fused path: importance_delta already holds the updated
+                # accumulator (or the bare delta if not accumulating)
+                imp = stats.importance_delta
         else:
             attn_out, stats = spatten_attention_reference(
                 qh, layer_cache.k, layer_cache.v, cos, sin,
                 state.lengths + s, positions, **attn_kwargs,
             )
-        if p.cascade_accumulate:
-            imp = imp + stats.importance_delta
-        else:
-            imp = stats.importance_delta
+            if track_importance:
+                # reset the incoming tokens' accumulator slots, then add
+                slot = jnp.arange(cap)[None, None, :]
+                is_new = ((slot >= state.lengths[:, None, None])
+                          & (slot < (state.lengths + s)[:, None, None]))
+                if p.cascade_accumulate:
+                    imp = jnp.where(is_new, 0.0, imp)
+                    imp = imp + stats.importance_delta
+                else:
+                    imp = stats.importance_delta
 
         o = attn_out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
             b, s, hq * dh)

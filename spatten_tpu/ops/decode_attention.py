@@ -86,7 +86,8 @@ def _heads_per_program(hkv: int, cap: int, head_dim: int) -> int:
 def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  sm_scale: float, requant_threshold: float,
                  quant_enabled: bool, v_keep: int, v_block: int,
-                 importance_kind: str, use_rope: bool):
+                 importance_kind: str, use_rope: bool,
+                 accumulate_importance: bool):
     half = cap // 2
     # all K processing is row-blocked in token blocks of `pblk` rows (also
     # the DMA granule), so per-program VMEM stays bounded at any capacity;
@@ -113,6 +114,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                        #                in VMEM, halving HBM
                                        #                + VMEM footprint)
         hmask_ref,                     # [1, HPP, 1, G] f32 (1=alive)
+        imp_in_ref,                    # [1, HPP, 1, C] f32 (accumulator,
+                                       #   aliased in-place with imp_ref)
         # HBM (manually DMA'd, length- and liveness-gated)
         kmsb_hbm,                      # [B, Hkv, C//2, D] uint8 (packed)
         kfull_hbm,                     # [B, Hkv, C, D] int8
@@ -231,7 +234,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 probs_ref[0, h] = jnp.zeros((group, cap), jnp.float32)
                 maxp_ref[0, h, 0, :] = jnp.zeros((128,), jnp.float32)
                 need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
-                imp_ref[0, h, 0] = jnp.zeros((cap,), jnp.float32)
+                if accumulate_importance:
+                    # dead head adds nothing; carry the accumulator through
+                    imp_ref[0, h, 0] = imp_in_ref[0, h, 0]
+                else:
+                    imp_ref[0, h, 0] = jnp.zeros((cap,), jnp.float32)
 
             @pl.when(alive[h])
             def _live(h=h, hmask_h=hmask_h):
@@ -293,11 +300,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
                 # importance epilogue ----------------------------------
                 if importance_kind == "prob":
-                    imp_ref[0, h, 0] = jnp.sum(probs, axis=0)
+                    delta = jnp.sum(probs, axis=0)
                 else:                                 # "presoftmax"
-                    imp_ref[0, h, 0] = jnp.sum(
+                    delta = jnp.sum(
                         jnp.where(valid, scores_scr[:], 0.0) *
                         hmask_h[:, None], axis=0)
+                if accumulate_importance:
+                    # fused accumulate (in-place via aliasing): the slot
+                    # of the just-appended token (length-1) starts fresh
+                    prev = jnp.where(col[0] == length - 1, 0.0,
+                                     imp_in_ref[0, h, 0])
+                    imp_ref[0, h, 0] = prev + delta
+                else:
+                    imp_ref[0, h, 0] = delta
 
                 # local V pruning: zero the probabilities of dropped
                 # blocks (phase B fetches only surviving blocks) -------
@@ -340,10 +355,16 @@ def decode_attention(
     head_mask: Optional[jax.Array] = None,     # [Hq] or [B, Hq] bool
     importance_kind: str = "prob",
     use_rope: bool = True,
+    importance_in: Optional[jax.Array] = None,  # [B, Hkv, C] accumulator
     interpret: bool = False,
 ) -> Tuple[jax.Array, AttentionStats]:
     """Single-token (decode) SpAtten attention.  Returns (out [B,Hq,1,D],
-    stats) matching `spatten_attention_reference` for q_len == 1."""
+    stats) matching `spatten_attention_reference` for q_len == 1.
+
+    When `importance_in` is given, the cascade accumulation is fused into
+    the kernel (in-place via buffer aliasing): `stats.importance_delta`
+    then holds the UPDATED accumulator (with the new token's slot reset
+    before accumulation), halving the accumulator's HBM traffic."""
     b, hq, q_len, d = q.shape
     assert q_len == 1, "decode kernel is single-query; use the reference/" \
         "prefill path for q_len > 1"
@@ -353,11 +374,13 @@ def decode_attention(
     assert cap % v_block_size == 0
     hpp = _heads_per_program(hkv, cap, d)
 
+    accumulate = importance_in is not None
     kernel, (num_pblk, num_tblk) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
         importance_kind=importance_kind, use_rope=use_rope,
+        accumulate_importance=accumulate,
     )
 
     qg = q.astype(jnp.float32).reshape(b, hkv, group, d)
@@ -384,6 +407,8 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hpp, 1, group), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hpp, 1, cap), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),     # importance in
             pl.BlockSpec(memory_space=pl.ANY),         # k msb (HBM)
             pl.BlockSpec(memory_space=pl.ANY),         # k full (HBM)
         ],
@@ -407,6 +432,14 @@ def decode_attention(
         ],
     )
 
+    if accumulate:
+        imp_in = importance_in.astype(jnp.float32).reshape(b, hkv, 1, cap)
+        # operand index counts the scalar-prefetch arg too: lengths=0,
+        # q=1, kscale=2, cos=3, sin=4, hmask=5, imp_in=6; output imp=3
+        aliases = {6: 3}
+    else:
+        imp_in = jnp.zeros((b, hkv, 1, cap), jnp.float32)
+        aliases = {}
     probs_pv, maxp, need, imp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -416,12 +449,13 @@ def decode_attention(
             jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.int32),
             jax.ShapeDtypeStruct((b, hkv, 1, cap), jnp.float32),
         ],
+        input_output_aliases=aliases,
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
         qg, kscale,
         cos[:, : d // 2].astype(jnp.float32),
-        sin[:, : d // 2].astype(jnp.float32), hm,
+        sin[:, : d // 2].astype(jnp.float32), hm, imp_in,
         k_quant.msb, k_quant.full,
     )
 
