@@ -79,7 +79,8 @@ def build_cfg(spatten: bool, cache: int, batch: int):
     return SpAttenConfig(
         model=shard_model_cfg(), pruning=pruning, quant=quant,
         engine=EngineConfig(max_batch_size=batch, cache_capacity=cache,
-                            prefill_chunk=128, use_pallas=use_pallas),
+                            prefill_chunk=128, use_pallas=use_pallas,
+                            rope_mode="cached" if spatten else "read"),
     ).validate()
 
 

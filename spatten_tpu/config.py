@@ -184,6 +184,15 @@ class EngineConfig:
     param_dtype: str = "bfloat16"
     activation_dtype: str = "bfloat16"
     use_pallas: bool = True          # fused kernels vs jnp reference path
+    # RoPE placement for cached keys:
+    #   "read"   — store K unrotated, rotate at attention time (exact
+    #              reference pos-shift semantics, modify_llama.py:90-104);
+    #   "cached" — store K rotated at its slot; a prune re-rotates each
+    #              survivor by its slot delta (R(p')x = R(p'-p)R(p)x).
+    #              Removes all rope work + tables from the decode kernel at
+    #              the cost of one extra int8 requantization per prune
+    #              event (rare; amortized over the capacity headroom).
+    rope_mode: str = "read"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

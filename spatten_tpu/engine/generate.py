@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from spatten_tpu.config import SpAttenConfig
 from spatten_tpu.engine import kv_cache as kvc
+from spatten_tpu.ops import quantize as qz
 from spatten_tpu.engine.sampling import SamplingParams, sample_token
 from spatten_tpu.engine.state import DecodeState, init_state
 from spatten_tpu.models import transformer
@@ -66,6 +67,23 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
             num_coming=0,
         )                                                # [L, B, Hkv, keep]
         pruned_cache = kvc.prune_layer(st.cache, keep_idx)
+        if cfg.engine.rope_mode == "cached" and \
+                not cfg.model.use_abs_pos_emb:
+            # cached-rotated K: a survivor moved from slot keep_idx[i] to
+            # slot i must be re-rotated by the (non-positive) delta
+            from spatten_tpu.ops import rope as rope_ops
+            cos_t, sin_t = rope_ops.rope_table(
+                cap, cfg.model.head_dim, cfg.model.rope_theta)
+            new_slot = jnp.arange(keep_total, dtype=jnp.int32)
+            pad = jnp.zeros((cap - keep_total,), jnp.int32)
+            delta = jnp.concatenate(
+                [new_slot, pad], axis=0) - jnp.concatenate(
+                [keep_idx, jnp.zeros(
+                    keep_idx.shape[:-1] + (cap - keep_total,),
+                    jnp.int32)], axis=-1)                # [L,B,Hkv,C] <= 0
+            pruned_cache = pruned_cache._replace(
+                k=qz.rotate_rows_by_delta(pruned_cache.k, delta,
+                                          cos_t, sin_t))
         (pruned_imp,) = token_pruning.prune_arrays(keep_idx, st.importance)
         pad = jnp.zeros(
             pruned_imp.shape[:-1] + (cap - keep_total,), pruned_imp.dtype

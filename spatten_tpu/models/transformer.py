@@ -197,10 +197,16 @@ def forward(
 
         if not m.use_abs_pos_emb:
             # pos-shift: rotate queries at their cache positions; keys are
-            # cached unrotated and rotated at read time inside attention.
+            # cached unrotated and rotated at read time inside attention
+            # ("read" mode), or rotated here before caching ("cached"
+            # mode — the prune path re-rotates survivors by their slot
+            # delta, see engine.generate.maybe_prune).
             c = jnp.take(cos, pos_clip, axis=0)[:, None]    # [B,1,S,dh]
             sn = jnp.take(sin, pos_clip, axis=0)[:, None]
             qh = (qh * c + rope_ops.rotate_half(qh) * sn).astype(qh.dtype)
+            if e.rope_mode == "cached":
+                kh = (kh * c + rope_ops.rotate_half(kh) * sn
+                      ).astype(kh.dtype)
 
         layer_cache = append_tokens(layer_cache, kh, vh, state.lengths)
         # a pure-dense engine (no token/head pruning) tracks no importance
@@ -219,7 +225,7 @@ def forward(
             v_block_size=p.v_block_size,
             head_mask=hmask_l if p.enable_head_pruning else None,
             importance_kind=p.importance_kind,
-            use_rope=not m.use_abs_pos_emb,
+            use_rope=(not m.use_abs_pos_emb) and e.rope_mode == "read",
         )
         # Decode (single query, no per-layer attn scale) takes the fused
         # Pallas kernel; prefill chunks and GPT-2's per-layer-scaled

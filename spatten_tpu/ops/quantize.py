@@ -153,6 +153,28 @@ def gather_tokens(q: QuantizedKV, indices: jax.Array) -> QuantizedKV:
     return QuantizedKV(full=full, msb=pack_msb(full), scale=scale)
 
 
+def rotate_rows_by_delta(q: QuantizedKV, delta: jax.Array, cos: jax.Array,
+                         sin: jax.Array) -> QuantizedKV:
+    """Re-rotate each token row by a (non-positive) position delta.
+
+    Used by the cached-rotated-K cache mode: after a prune moves a kept
+    token from slot p to slot p' <= p, its stored rotation must shift by
+    Δ = p' - p (rotations compose: R(p') = R(Δ)R(p)).  Dequantizes,
+    rotates by Δ (cos is even, sin is odd: cos(Δ)=cos(-Δ),
+    sin(Δ)=-sin(-Δ)), and requantizes both planes.
+
+    q: planes [..., T, D]; delta: int32 [..., T] with delta <= 0;
+    cos/sin: [P, D] rope tables.
+    """
+    x = dequantize_full(q, jnp.float32)                  # [..., T, D]
+    mag = jnp.clip(-delta, 0, cos.shape[0] - 1)
+    c = jnp.take(cos, mag, axis=0)                       # [..., T, D]
+    s = -jnp.take(sin, mag, axis=0)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return quantize(x * c + rot * s)
+
+
 def _dus(arr: jax.Array, update: jax.Array, index: jax.Array, axis: int
          ) -> jax.Array:
     """dynamic_update_slice of one row along `axis` (negative ok)."""
