@@ -193,11 +193,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             return kb * cf + _rotate_half(kb) * sf
 
         def blocked_scores(get_kblk, q):
-            """Write q @ rope(K_t)^T * scale into scores_scr, per block.
+            """Write q @ K_t^T (raw dot) into scores_scr, per block.
 
             Blocks at/after `length` are skipped entirely (no decode, no
             rope, no matmul) — compute is length-gated like the DMA.
-            Stale values beyond `length` are neutralized by `valid`."""
+            Stale values beyond `length` are neutralized by `valid`.
+            Per-column scales / offsets / sm_scale are applied in
+            `softmax_from_scores` (dequantization folded into the score
+            epilogue: kscale_c·(16·(q·k4)_c + 7.5·Σq_g) — O(G·C) instead
+            of O(C·D) elementwise work)."""
             for t in range(num_tblk):
                 @pl.when(t * pblk < length)
                 def _(t=t):
@@ -205,11 +209,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     s_blk = jax.lax.dot_general(
                         q, kb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * sm_scale                      # [G, pblk]
+                    )                                 # [G, pblk]
                     scores_scr[:, pl.ds(t * pblk, pblk)] = s_blk
 
-        def softmax_from_scores():
-            s_masked = jnp.where(valid, scores_scr[:], MASK_VALUE)
+        def softmax_from_scores(colscale, coloffset):
+            """Affine epilogue + masked softmax.  colscale/coloffset are
+            [C] vectors (or scalars); the scaled scores are written back
+            to scores_scr for the presoftmax-importance consumer."""
+            s = scores_scr[:] * colscale + coloffset
+            scores_scr[:] = s
+            s_masked = jnp.where(valid, s, MASK_VALUE)
             m = jnp.max(s_masked, axis=-1, keepdims=True)
             e = jnp.exp(s_masked - m)
             e = jnp.where(valid, e, 0.0)
@@ -244,11 +253,24 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             def _live(h=h, hmask_h=hmask_h):
                 q = q_ref[0, h]                       # [G, D]
                 kscale = kscale_ref[0, h, 0]          # [C]
+                qsum = jnp.sum(q, axis=-1, keepdims=True)     # [G, 1]
+
+                # With rope off, K dequantization folds into the score
+                # epilogue (kblk returns raw int values as f32); with rope
+                # on, the rotation is value-dependent so blocks dequantize
+                # in full and the epilogue is just sm_scale.
+                fold = not use_rope
 
                 def kblk_full(t):
                     rows = kfull_scr[pl.ds(t * pblk, pblk), :]
+                    raw = rows.astype(jnp.float32)
+                    if fold:
+                        return raw
                     sc = kscale[t * pblk:(t + 1) * pblk]
-                    return rows.astype(jnp.float32) * sc[:, None]
+                    return raw * sc[:, None]
+
+                full_scale = (kscale * sm_scale) if fold else sm_scale
+                full_offset = 0.0
 
                 if quant_enabled:
                     def wait(i, _):
@@ -261,21 +283,38 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     def kblk_msb(t):
                         # split-token packing: token block t < num_pblk is
                         # the hi nibble of packed block t; else the lo
-                        # nibble of packed block t - num_pblk
+                        # nibble of packed block t - num_pblk.  Nibble
+                        # extraction stays in the int8 domain (4x denser
+                        # vregs than int32).
                         p = t if t < num_pblk else t - num_pblk
                         rows = kmsb_scr[h, pl.ds(p * pblk, pblk), :]
-                        nib = rows.astype(jnp.int32)
-                        nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
-                        k4 = ((nib ^ 8) - 8).astype(jnp.float32)
+                        i8 = jax.lax.bitcast_convert_type(rows, jnp.int8)
+                        if t < num_pblk:
+                            nib = jax.lax.shift_right_arithmetic(
+                                i8, jnp.int8(4))
+                        else:
+                            nib = jax.lax.shift_right_arithmetic(
+                                jax.lax.shift_left(i8, jnp.int8(4)),
+                                jnp.int8(4))
+                        k4 = nib.astype(jnp.float32)
+                        if fold:
+                            return k4
                         sc = kscale[t * pblk:(t + 1) * pblk]
                         return (k4 * 16.0 + qz.MSB_MIDPOINT) * sc[:, None]
 
                     blocked_scores(kblk_msb, q)
+                    if fold:
+                        p1_scale = kscale * (16.0 * sm_scale)
+                        p1_offset = qsum * (
+                            kscale * (qz.MSB_MIDPOINT * sm_scale))[None, :]
+                    else:
+                        p1_scale, p1_offset = sm_scale, 0.0
                 else:
                     fetch_kfull(h)
                     blocked_scores(kblk_full, q)
+                    p1_scale, p1_offset = full_scale, full_offset
 
-                probs1 = softmax_from_scores()
+                probs1 = softmax_from_scores(p1_scale, p1_offset)
 
                 # requant decision + conditional recompute --------------
                 max_prob = jnp.max(probs1)
@@ -291,7 +330,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     def _():
                         fetch_kfull(h)
                         blocked_scores(kblk_full, q)
-                        probs_ref[0, h] = softmax_from_scores()
+                        probs_ref[0, h] = softmax_from_scores(
+                            full_scale, full_offset)
                 else:
                     need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
 

@@ -120,3 +120,17 @@ def test_kernel_gqa_group1():
     # MHA case: hq == hkv
     r, k = run_both(jax.random.PRNGKey(8), hq=2, hkv=2)
     assert_match(r, k)
+
+
+def test_kernel_no_rope_folded_epilogue():
+    # use_rope=False exercises the folded dequant epilogue (cached-rotated
+    # K mode and the GPT-2 family)
+    r, k = run_both(jax.random.PRNGKey(9), use_rope=False,
+                    requant_threshold=0.12, v_keep=24, v_block_size=16)
+    assert_match(r, k, atol=5e-5)
+
+
+def test_kernel_no_rope_quant_off():
+    r, k = run_both(jax.random.PRNGKey(10), use_rope=False,
+                    quant_enabled=False)
+    assert_match(r, k, atol=5e-5)
