@@ -27,13 +27,13 @@ def make_inputs(key, b=2, hq=4, hkv=2, cap=64, d=32, length=50):
 
 def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
              quant_enabled=True, v_keep=0, v_block_size=16,
-             head_mask=None, importance_kind="prob", **mk):
+             head_mask=None, importance_kind="prob", use_rope=True, **mk):
     q, kq, vq, cos, sin, lengths, q_pos = make_inputs(key, **mk)
     kwargs = dict(
         sm_scale=sm_scale, requant_threshold=requant_threshold,
         quant_enabled=quant_enabled, v_keep=v_keep,
         v_block_size=v_block_size, head_mask=head_mask,
-        importance_kind=importance_kind,
+        importance_kind=importance_kind, use_rope=use_rope,
     )
     ref_out, ref_stats = spatten_attention_reference(
         q, kq, vq, cos, sin, lengths, q_pos, **kwargs)
