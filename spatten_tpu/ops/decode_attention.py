@@ -283,20 +283,13 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     def kblk_msb(t):
                         # split-token packing: token block t < num_pblk is
                         # the hi nibble of packed block t; else the lo
-                        # nibble of packed block t - num_pblk.  Nibble
-                        # extraction stays in the int8 domain (4x denser
-                        # vregs than int32).
+                        # nibble of packed block t - num_pblk.  (int32
+                        # nibble math: Mosaic has no int8 vector shifts.)
                         p = t if t < num_pblk else t - num_pblk
                         rows = kmsb_scr[h, pl.ds(p * pblk, pblk), :]
-                        i8 = jax.lax.bitcast_convert_type(rows, jnp.int8)
-                        if t < num_pblk:
-                            nib = jax.lax.shift_right_arithmetic(
-                                i8, jnp.int8(4))
-                        else:
-                            nib = jax.lax.shift_right_arithmetic(
-                                jax.lax.shift_left(i8, jnp.int8(4)),
-                                jnp.int8(4))
-                        k4 = nib.astype(jnp.float32)
+                        nib = rows.astype(jnp.int32)
+                        nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
+                        k4 = ((nib ^ 8) - 8).astype(jnp.float32)
                         if fold:
                             return k4
                         sc = kscale[t * pblk:(t + 1) * pblk]
