@@ -80,7 +80,9 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         model=shard_model_cfg(), pruning=pruning, quant=quant,
         engine=EngineConfig(max_batch_size=batch, cache_capacity=cache,
                             prefill_chunk=128, use_pallas=use_pallas,
-                            rope_mode="cached" if spatten else "read"),
+                            rope_mode="cached" if spatten else "read",
+                            probs_transport="bfloat16" if spatten
+                            else "float32"),
     ).validate()
 
 

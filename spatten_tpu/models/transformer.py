@@ -240,6 +240,7 @@ def forward(
                 interpret=(jax.default_backend() == "cpu"),
                 importance_in=(imp if (track_importance
                                        and p.cascade_accumulate) else None),
+                probs_dtype=jnp.dtype(e.probs_transport),
                 **attn_kwargs,
             )
             if track_importance:

@@ -240,7 +240,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
             @pl.when(jnp.logical_not(alive[h]))
             def _dead(h=h):
-                probs_ref[0, h] = jnp.zeros((group, cap), jnp.float32)
+                probs_ref[0, h] = jnp.zeros((group, cap),
+                                            probs_ref.dtype)
                 maxp_ref[0, h, 0, :] = jnp.zeros((128,), jnp.float32)
                 need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
                 if accumulate_importance:
@@ -313,7 +314,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 max_prob = jnp.max(probs1)
                 maxp_ref[0, h, 0, :] = jnp.full((128,), max_prob,
                                                 jnp.float32)
-                probs_ref[0, h] = probs1
+                probs_ref[0, h] = probs1.astype(probs_ref.dtype)
                 if do_requant:
                     need = max_prob < requant_threshold
                     need_ref[0, h, 0, :] = jnp.full(
@@ -324,12 +325,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         fetch_kfull(h)
                         blocked_scores(kblk_full, q)
                         probs_ref[0, h] = softmax_from_scores(
-                            full_scale, full_offset)
+                            full_scale, full_offset
+                        ).astype(probs_ref.dtype)
                 else:
                     need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
 
-                probs = probs_ref[0, h] * hmask_h[:, None]
-                probs_ref[0, h] = probs
+                probs = probs_ref[0, h].astype(jnp.float32) * \
+                    hmask_h[:, None]
+                probs_ref[0, h] = probs.astype(probs_ref.dtype)
 
                 # importance epilogue ----------------------------------
                 if importance_kind == "prob":
@@ -366,8 +369,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             keep_local, agg_local,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [G,pblk]
-                        probs_ref[0, h, :, pl.ds(t * pblk, pblk)] = \
+                        probs_ref[0, h, :, pl.ds(t * pblk, pblk)] = (
                             probs[:, t * pblk:(t + 1) * pblk] * keep_cols
+                        ).astype(probs_ref.dtype)
 
     return kernel, (num_pblk, num_tblk)
 
@@ -389,6 +393,9 @@ def decode_attention(
     importance_kind: str = "prob",
     use_rope: bool = True,
     importance_in: Optional[jax.Array] = None,  # [B, Hkv, C] accumulator
+    probs_dtype=jnp.float32,   # bf16 halves the phase-A->B transport (the
+                               # per-layer [B,Hkv,G,C] HBM round trip) at
+                               # ~1e-3 relative output error
     interpret: bool = False,
 ) -> Tuple[jax.Array, AttentionStats]:
     """Single-token (decode) SpAtten attention.  Returns (out [B,Hq,1,D],
@@ -477,7 +484,7 @@ def decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, group, cap), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, group, cap), probs_dtype),
             jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.int32),
             jax.ShapeDtypeStruct((b, hkv, 1, cap), jnp.float32),
@@ -582,7 +589,8 @@ def _pv_kernel(probs_pv: jax.Array, v_quant: qz.QuantizedKV,
         v_deq = v_scr[:].astype(jnp.float32) * \
             vscale_ref[0, 0, 0][:, None]
         out_ref[0, 0] = jax.lax.dot_general(
-            probs_ref[0, 0], v_deq, (((1,), (0,)), ((), ())),
+            probs_ref[0, 0].astype(jnp.float32), v_deq,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     vscale = v_quant.scale.reshape(b, hkv, 1, cap)
