@@ -167,7 +167,7 @@ def main():
     # long-context serving: the regime where KV traffic dominates and
     # SpAtten's pruning/quantization pays (the reference's whole premise)
     import os
-    cache = int(os.environ.get("SPATTEN_BENCH_CACHE", 8192))
+    cache = int(os.environ.get("SPATTEN_BENCH_CACHE", 4096))
     batch = int(os.environ.get("SPATTEN_BENCH_BATCH", 16))
     steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 16))
 
