@@ -230,14 +230,19 @@ def forward(
         # Decode (single query, no per-layer attn scale) takes the fused
         # Pallas kernel; prefill chunks and GPT-2's per-layer-scaled
         # attention use the jnp reference path (XLA fuses those fine).
+        # On real hardware Mosaic requires lane-aligned head dims for the
+        # per-head HBM DMA slices; smaller heads (GPT-2's 64) fall back to
+        # the jnp path there (interpret mode covers every shape in tests).
+        on_cpu = jax.default_backend() == "cpu"
         use_kernel = (
             e.use_pallas and s == 1 and not m.use_attn_scale_by_layer
+            and (m.head_dim % 128 == 0 or on_cpu)
         )
         if use_kernel:
             attn_out, stats = decode_attention(
                 qh, layer_cache.k, layer_cache.v, cos, sin,
                 state.lengths + s,
-                interpret=(jax.default_backend() == "cpu"),
+                interpret=on_cpu,
                 importance_in=(imp if (track_importance
                                        and p.cascade_accumulate) else None),
                 probs_dtype=jnp.dtype(e.probs_transport),
