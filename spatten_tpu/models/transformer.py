@@ -33,6 +33,7 @@ from spatten_tpu.engine.state import DecodeState
 from spatten_tpu.ops import rope as rope_ops
 from spatten_tpu.ops.attention_ref import spatten_attention_reference
 from spatten_tpu.ops.decode_attention import decode_attention
+from spatten_tpu.ops.prefill_attention import prefill_attention
 
 Params = Dict[str, Any]
 
@@ -252,6 +253,12 @@ def forward(
                 # fused path: importance_delta already holds the updated
                 # accumulator (or the bare delta if not accumulating)
                 imp = stats.importance_delta
+        elif s > 1:
+            # streaming-blocks prefill: O(S + C) memory, exact semantics
+            attn_out, stats = prefill_attention(
+                qh, layer_cache.k, layer_cache.v, cos, sin,
+                state.lengths + s, positions, **attn_kwargs,
+            )
         else:
             attn_out, stats = spatten_attention_reference(
                 qh, layer_cache.k, layer_cache.v, cos, sin,

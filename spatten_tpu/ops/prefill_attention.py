@@ -1,0 +1,263 @@
+"""Memory-bounded prefill attention: online softmax over cache blocks.
+
+The reference path (`spatten_attention_reference`) materializes the full
+[B, Hq, S, C] probability tensor — fine as a numerics anchor, quadratic
+HBM pressure at serving shapes (batch 16 x 4 heads x 128 queries x 8k cache
+x f32 = 268 MB per intermediate).  This implementation streams the cache in
+blocks with the flash-attention recurrence (running max / denominator /
+output), in O(S + C) memory, while keeping every SpAtten semantic:
+
+* pass 1 on the 4-bit MSB plane -> per-(seq, kv-head) max softmax prob;
+* requant decision + full-plane recompute for flagged groups (blockwise,
+  selected per group — both passes stream, the flagged one re-reads);
+* importance epilogue (column sums of final probabilities);
+* local V pruning as probability masking (per-query top-k over block
+  masses): during prefill the union of 128 queries' kept blocks covers
+  nearly the whole cache, so there is no fetch saving to exploit — V rows
+  stream once either way, and dropped (query, block) pairs are masked,
+  matching `v_block_keep_mask` exactly;
+* head pruning by group masking.
+
+Everything is lax.scan over cache blocks — XLA fuses dequant+rope+matmul
+per block and never materializes an [S, C] slice larger than one block.
+
+Numerics match `spatten_attention_reference` (tests compare directly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spatten_tpu.ops import quantize as qz
+from spatten_tpu.ops import rope as rope_ops
+from spatten_tpu.ops.attention_ref import (
+    MASK_VALUE, AttentionStats, _group_reduce, _repeat_kv,
+)
+
+
+def _block(arr, i, size, axis):
+    return jax.lax.dynamic_slice_in_dim(arr, i * size, size, axis)
+
+
+def prefill_attention(
+    q: jax.Array,                  # [B, Hq, S, D] (rotated queries)
+    k_quant: qz.QuantizedKV,       # planes [B, Hkv, C(/2), D]
+    v_quant: qz.QuantizedKV,
+    cos: jax.Array,                # [C, D]
+    sin: jax.Array,
+    lengths: jax.Array,            # [B] valid tokens incl. queries
+    q_positions: jax.Array,        # [B, S] cache positions of the queries
+    *,
+    sm_scale: float,
+    requant_threshold: float = 0.0,
+    quant_enabled: bool = True,
+    v_keep: int = 0,
+    v_block_size: int = 16,
+    head_mask: Optional[jax.Array] = None,
+    importance_kind: str = "prob",
+    use_rope: bool = True,
+    block_size: int = 512,
+) -> Tuple[jax.Array, AttentionStats]:
+    """Streaming-blocks equivalent of `spatten_attention_reference`."""
+    b, hq, s, d = q.shape
+    hkv = k_quant.full.shape[1]
+    cap = k_quant.full.shape[2]
+    group = hq // hkv
+    block_size = max(block_size, v_block_size)
+    while cap % block_size:
+        block_size //= 2
+    block_size = max(block_size, v_block_size)
+    assert block_size % v_block_size == 0
+    nblk = cap // block_size
+    assert cap % v_block_size == 0
+    nvb = cap // v_block_size
+    do_requant = quant_enabled and requant_threshold > 0.0
+    do_vprune = v_keep > 0 and -(-v_keep // v_block_size) < nvb
+    keep_blocks = max(1, -(-v_keep // v_block_size))
+
+    if lengths.ndim == 0:
+        lengths = jnp.broadcast_to(lengths, (b,))
+    if q_positions.ndim == 1:
+        q_positions = jnp.broadcast_to(q_positions[None], (b, s))
+
+    qf = q.astype(jnp.float32)
+    hm = None
+    if head_mask is not None:
+        hm = head_mask if head_mask.ndim == 2 else \
+            jnp.broadcast_to(head_mask[None], (b, hq))
+
+    half_blocks = max(1, nblk // 2)
+
+    def k_block(i, plane):
+        """Dequantized (+rotated) K block [B, Hkv, blk, D]."""
+        if quant_enabled and plane == "msb" and nblk >= 2:
+            # split-token packing: token block i < nblk/2 is the hi nibble
+            # of packed block i, else the lo nibble of block i - nblk/2 —
+            # only one packed block is ever sliced (0.5 B/elem moved)
+            pk = jax.lax.dynamic_slice_in_dim(
+                k_quant.msb, (i % half_blocks) * block_size, block_size,
+                axis=2).astype(jnp.int32)
+            is_hi = i < half_blocks
+            nib = jnp.where(is_hi, pk >> 4, pk & 0xF)
+            kb = (((nib ^ 8) - 8).astype(jnp.float32)
+                  * 16.0 + qz.MSB_MIDPOINT)
+        elif quant_enabled and plane == "msb":
+            kb4 = qz.unpack_msb(k_quant.msb)          # tiny caps only
+            kb = _block(kb4, i, block_size, 2).astype(jnp.float32)
+            kb = kb * 16.0 + qz.MSB_MIDPOINT
+        else:
+            kb = _block(k_quant.full, i, block_size, 2).astype(jnp.float32)
+        sc = _block(k_quant.scale, i, block_size, 2)
+        kb = kb * sc[..., None]
+        if use_rope:
+            pos = i * block_size + jnp.arange(block_size)
+            kb = rope_ops.apply_rope(kb, cos, sin, pos)
+        return kb
+
+    col = jnp.arange(block_size)
+
+    def scores_block(i, plane):
+        kb = k_block(i, plane)                        # [B, Hkv, blk, D]
+        kb = _repeat_kv(kb, group)                    # [B, Hq, blk, D]
+        sc = jnp.einsum("bhqd,bhcd->bhqc", qf, kb,
+                        preferred_element_type=jnp.float32) * sm_scale
+        pos_k = i * block_size + col                  # [blk]
+        valid = pos_k[None, :] < lengths[:, None]     # [B, blk]
+        causal = pos_k[None, None, :] <= q_positions[:, :, None]
+        mask = (valid[:, None, None, :]
+                & causal[:, None, :, :])              # [B, 1, S, blk]
+        return jnp.where(mask, sc, MASK_VALUE), mask
+
+    # pass I: row maxes and denominators (streaming, O(S))
+    def stats_pass(plane):
+        def body(carry, i):
+            m, den = carry
+            sc, mask = scores_block(i, plane)
+            blk_max = jnp.max(sc, axis=-1)
+            m_new = jnp.maximum(m, blk_max)
+            den = den * jnp.exp(m - m_new) + jnp.where(
+                mask, jnp.exp(sc - m_new[..., None]), 0.0).sum(-1)
+            return (m_new, den), None
+        init = (jnp.full((b, hq, s), MASK_VALUE, jnp.float32),
+                jnp.zeros((b, hq, s), jnp.float32))
+        (m, den), _ = jax.lax.scan(body, init, jnp.arange(nblk))
+        return m, jnp.maximum(den, 1e-30)
+
+    def probs_block(i, plane, m, den):
+        sc, mask = scores_block(i, plane)
+        p = jnp.where(mask, jnp.exp(sc - m[..., None]), 0.0) \
+            / den[..., None]
+        return p, sc, mask
+
+    # pass II over blocks computing: max_prob, importance cols, V-block
+    # mass, and (after the keep decision) the PV accumulation.  To keep one
+    # code path, accumulate mass + imp + maxp first, then a third pass for
+    # PV with the keep mask (V pruning needs the global mass ranking).
+    def reduce_pass(plane, m, den):
+        def body(carry, i):
+            maxp, imp, mass = carry
+            p, sc, mask = probs_block(i, plane, m, den)
+            if hm is not None:
+                p = jnp.where(hm[:, :, None, None], p, 0.0)
+                sc = jnp.where(hm[:, :, None, None], sc, 0.0)
+            maxp = jnp.maximum(maxp, p.max(axis=(-1, -2)))
+            if importance_kind == "prob":
+                contrib = p.sum(axis=-2)              # [B, Hq, blk]
+            else:
+                contrib = jnp.where(mask, sc, 0.0).sum(axis=-2)
+            imp = jax.lax.dynamic_update_slice_in_dim(
+                imp, contrib, i * block_size, axis=-1)
+            bm = p.reshape(b, hq, s, block_size // v_block_size,
+                           v_block_size).sum(-1)      # [B,Hq,S,nvb_blk]
+            mass = jax.lax.dynamic_update_slice_in_dim(
+                mass, bm, i * (block_size // v_block_size), axis=-1)
+            return (maxp, imp, mass), None
+        init = (jnp.zeros((b, hq), jnp.float32),
+                jnp.zeros((b, hq, cap), jnp.float32),
+                jnp.zeros((b, hq, s, nvb), jnp.float32))
+        (maxp, imp, mass), _ = jax.lax.scan(body, init, jnp.arange(nblk))
+        return maxp, imp, mass
+
+    def pv_pass(plane, m, den, keep_blk):
+        """keep_blk: [B, Hq, S, nvb] keep mask (or None)."""
+        def body(acc, i):
+            p, _, _ = probs_block(i, plane, m, den)
+            if hm is not None:
+                p = jnp.where(hm[:, :, None, None], p, 0.0)
+            if keep_blk is not None:
+                kb = jax.lax.dynamic_slice_in_dim(
+                    keep_blk, i * (block_size // v_block_size),
+                    block_size // v_block_size, axis=-1)
+                kcols = jnp.repeat(kb, v_block_size, axis=-1)
+                p = p * kcols
+            vb = _repeat_kv(
+                _block(v_quant.full, i, block_size, 2).astype(jnp.float32)
+                * _block(v_quant.scale, i, block_size, 2)[..., None],
+                group)
+            return acc + jnp.einsum("bhqc,bhcd->bhqd", p, vb,
+                                    preferred_element_type=jnp.float32), \
+                None
+        acc0 = jnp.zeros((b, hq, s, d), jnp.float32)
+        out, _ = jax.lax.scan(body, acc0, jnp.arange(nblk))
+        return out
+
+    # ---- pass 1 plane selection + requant ---------------------------------
+    plane1 = "msb" if quant_enabled else "full"
+    m1, den1 = stats_pass(plane1)
+    maxp1, imp1, mass1 = reduce_pass(plane1, m1, den1)
+
+    # requant decision on pass-1 max prob (pre head-mask in the reference;
+    # with a dead group the reference zeroes its stats afterwards)
+    maxp1_raw = maxp1
+    max_prob = _group_reduce(maxp1_raw, hkv, lambda x, a: x.max(axis=a))
+    if do_requant:
+        need = max_prob < requant_threshold            # [B, Hkv]
+        m2, den2 = stats_pass("full")
+        maxp2, imp2, mass2 = reduce_pass("full", m2, den2)
+        sel_q = _repeat_kv(need[..., None], group)     # [B, Hq, 1]
+        m = jnp.where(sel_q, m2, m1)
+        den = jnp.where(sel_q, den2, den1)
+        imp = jnp.where(sel_q, imp2, imp1)
+        mass = jnp.where(sel_q[..., None], mass2, mass1)
+        plane_sel = need                               # [B, Hkv] bool
+    else:
+        need = jnp.zeros((b, hkv), dtype=bool)
+        m, den, imp, mass = m1, den1, imp1, mass1
+        plane_sel = None
+
+    # ---- head pruning adjustments ----------------------------------------
+    if hm is not None:
+        group_alive = _group_reduce(hm, hkv, lambda x, a: x.any(axis=a))
+        max_prob = jnp.where(group_alive, max_prob, 0.0)
+        need = need & group_alive
+
+    # ---- local V pruning keep mask ---------------------------------------
+    keep_blk = None
+    if do_vprune:
+        kth = jax.lax.top_k(mass, keep_blocks)[0][..., -1:]
+        keep_blk = (mass >= kth).astype(jnp.float32)   # [B, Hq, S, nvb]
+
+    # ---- P·V --------------------------------------------------------------
+    if plane_sel is not None:
+        # both-plane PV with per-group plane choice: probabilities differ
+        # only via (m, den, scores); pv_pass recomputes scores per plane —
+        # run it per plane and select (flagged groups are typically few;
+        # the extra pass streams, it does not materialize)
+        out1 = pv_pass("msb", m1, den1, keep_blk)
+        out2 = pv_pass("full", m2, den2, keep_blk)
+        sel = _repeat_kv(need[..., None, None], group)
+        out = jnp.where(sel, out2, out1)
+    else:
+        out = pv_pass(plane1, m, den, keep_blk)
+
+    imp_kv = _group_reduce(imp, hkv, lambda x, a: x.sum(axis=a))
+    stats = AttentionStats(
+        max_prob=max_prob,
+        need_requant=need,
+        importance_delta=imp_kv,
+        probs=None,
+    )
+    return out, stats

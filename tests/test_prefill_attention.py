@@ -1,0 +1,84 @@
+"""Streaming prefill attention vs the materializing reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatten_tpu.ops import quantize as qz, rope as rope_ops
+from spatten_tpu.ops.attention_ref import spatten_attention_reference
+from spatten_tpu.ops.prefill_attention import prefill_attention
+
+
+def make_inputs(key, b=2, hq=4, hkv=2, s=8, cap=64, d=32, length=40):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, hq, s, d), jnp.float32)
+    kq = qz.quantize(jax.random.normal(ks[1], (b, hkv, cap, d)))
+    vq = qz.quantize(jax.random.normal(ks[2], (b, hkv, cap, d)))
+    cos, sin = rope_ops.rope_table(cap, d)
+    lengths = jnp.full((b,), length, jnp.int32)
+    # queries occupy the last s cache slots
+    q_pos = (length - s) + jnp.arange(s)[None, :] + jnp.zeros((b, 1),
+                                                             jnp.int32)
+    return q, kq, vq, cos, sin, lengths, q_pos
+
+
+def run_both(key, block_size=16, atol=3e-5, **kw):
+    mk = {k: kw.pop(k) for k in list(kw)
+          if k in ("b", "hq", "hkv", "s", "cap", "d", "length")}
+    q, kq, vq, cos, sin, lengths, q_pos = make_inputs(key, **mk)
+    kw.setdefault("sm_scale", 0.18)
+    ref_out, ref_stats = spatten_attention_reference(
+        q, kq, vq, cos, sin, lengths, q_pos, **kw)
+    got_out, got_stats = prefill_attention(
+        q, kq, vq, cos, sin, lengths, q_pos, block_size=block_size, **kw)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_stats.max_prob),
+                               np.asarray(ref_stats.max_prob), atol=atol)
+    np.testing.assert_array_equal(np.asarray(got_stats.need_requant),
+                                  np.asarray(ref_stats.need_requant))
+    np.testing.assert_allclose(np.asarray(got_stats.importance_delta),
+                               np.asarray(ref_stats.importance_delta),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_basic_msb():
+    run_both(jax.random.PRNGKey(0))
+
+
+def test_quant_disabled():
+    run_both(jax.random.PRNGKey(1), quant_enabled=False)
+
+
+def test_requant_all_and_mixed():
+    run_both(jax.random.PRNGKey(2), requant_threshold=1.1)
+    run_both(jax.random.PRNGKey(3), requant_threshold=0.3)
+
+
+def test_v_pruning():
+    run_both(jax.random.PRNGKey(4), v_keep=24, v_block_size=16)
+
+
+def test_head_mask():
+    run_both(jax.random.PRNGKey(5),
+             head_mask=jnp.array([True, False, True, True]))
+
+
+def test_presoftmax_importance():
+    run_both(jax.random.PRNGKey(6), importance_kind="presoftmax")
+
+
+def test_no_rope():
+    run_both(jax.random.PRNGKey(7), use_rope=False)
+
+
+def test_full_pipeline_larger():
+    run_both(jax.random.PRNGKey(8), b=1, hq=4, hkv=4, s=16, cap=128,
+             length=100, block_size=32, requant_threshold=0.25,
+             v_keep=48, v_block_size=16)
+
+
+def test_block_size_invariance():
+    for bs in (8, 16, 64):
+        run_both(jax.random.PRNGKey(9), block_size=bs)
