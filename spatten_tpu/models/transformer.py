@@ -146,33 +146,45 @@ class StepAux(NamedTuple):
     max_probs: jax.Array        # f32 [L, B, Hkv]
 
 
-def forward(
-    params: Params,
-    cfg: SpAttenConfig,
-    state: DecodeState,
-    tokens: jax.Array,          # int32 [B, S]
-    tp_axis: str | None = None,
-) -> Tuple[jax.Array, DecodeState, StepAux]:
-    """Run S tokens through the model, appending them to the cache.
-
-    Returns (logits [B, S, vocab], new_state, aux).  Token positions are
-    the current cache slots [lengths, lengths+S) — pos-shift positioning.
-
-    When `tp_axis` is set, the call must be inside a `shard_map` whose mesh
-    has that axis: attention heads and MLP intermediate are head/column
-    sharded (cfg.model must already describe the *local* head counts) and
-    the o_proj / down_proj partial sums are reduced with `lax.psum` over the
-    axis — the Megatron layout expressed as explicit ICI collectives.
-    """
-    m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
-    b, s = tokens.shape
-    hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
-    cap = state.capacity
-
+def embed_tokens(params: Params, cfg: SpAttenConfig, state: DecodeState,
+                 tokens: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Token (+ absolute position) embedding.  Returns (x, positions)."""
+    m = cfg.model
+    s = tokens.shape[1]
     x = jnp.take(params["embed"], tokens, axis=0)          # [B, S, D]
     positions = state.lengths[:, None] + jnp.arange(s)[None, :]   # [B, S]
     if m.use_abs_pos_emb:
         x = x + jnp.take(params["wpe"], positions, axis=0)
+    return x, positions
+
+
+def lm_head(params: Params, cfg: SpAttenConfig, x: jax.Array) -> jax.Array:
+    m = cfg.model
+    x = _norm(x, params["final_norm_w"], params.get("final_norm_b"),
+              m.layernorm_kind, m.norm_eps)
+    if m.tie_word_embeddings:
+        logits = x @ params["embed"].T
+    else:
+        logits = x @ params["lm_head"]
+    return logits.astype(jnp.float32)
+
+
+def run_layers(
+    layer_params: Params,       # stacked [L_local, ...]
+    cfg: SpAttenConfig,         # cfg.model.num_layers == L_local
+    state: DecodeState,         # leaves stacked [L_local, ...]
+    x: jax.Array,               # [B, S, D]
+    positions: jax.Array,       # [B, S]
+    layer_offset: jax.Array | int = 0,    # global index of local layer 0
+    tp_axis: str | None = None,
+):
+    """Scan x through a (possibly local) stack of layers, appending the S
+    tokens to each layer's cache.  Returns
+    (x, new_cache, new_importance, requants, max_probs)."""
+    m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
+    b, s = x.shape[0], x.shape[1]
+    hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
+    cap = state.capacity
 
     cos, sin = rope_ops.rope_table(cap, dh, m.rope_theta)
     pos_clip = jnp.minimum(positions, cap - 1)
@@ -215,7 +227,8 @@ def forward(
 
         sm_scale = base_scale
         if m.use_attn_scale_by_layer:
-            sm_scale = base_scale / (layer_idx.astype(jnp.float32) + 1.0)
+            sm_scale = base_scale / (
+                (layer_idx + layer_offset).astype(jnp.float32) + 1.0)
 
         attn_kwargs = dict(
             sm_scale=sm_scale,
@@ -298,16 +311,35 @@ def forward(
     x, (new_cache, new_imp, requants, max_probs) = jax.lax.scan(
         layer_fn,
         x,
-        (params["layers"], state.cache, state.importance, state.head_mask,
+        (layer_params, state.cache, state.importance, state.head_mask,
          layer_ids),
     )
+    return x, new_cache, new_imp, requants, max_probs
 
-    x = _norm(x, params["final_norm_w"], params.get("final_norm_b"),
-              m.layernorm_kind, m.norm_eps)
-    if m.tie_word_embeddings:
-        logits = x @ params["embed"].T
-    else:
-        logits = x @ params["lm_head"]
+
+def forward(
+    params: Params,
+    cfg: SpAttenConfig,
+    state: DecodeState,
+    tokens: jax.Array,          # int32 [B, S]
+    tp_axis: str | None = None,
+) -> Tuple[jax.Array, DecodeState, StepAux]:
+    """Run S tokens through the model, appending them to the cache.
+
+    Returns (logits [B, S, vocab], new_state, aux).  Token positions are
+    the current cache slots [lengths, lengths+S) — pos-shift positioning.
+
+    When `tp_axis` is set, the call must be inside a `shard_map` whose mesh
+    has that axis: attention heads and MLP intermediate are head/column
+    sharded (cfg.model must already describe the *local* head counts) and
+    the o_proj / down_proj partial sums are reduced with `lax.psum` over the
+    axis — the Megatron layout expressed as explicit ICI collectives.
+    """
+    s = tokens.shape[1]
+    x, positions = embed_tokens(params, cfg, state, tokens)
+    x, new_cache, new_imp, requants, max_probs = run_layers(
+        params["layers"], cfg, state, x, positions, tp_axis=tp_axis)
+    logits = lm_head(params, cfg, x)
 
     new_state = DecodeState(
         cache=new_cache,
@@ -317,4 +349,4 @@ def forward(
         requant_events=state.requant_events + requants.sum(),
     )
     aux = StepAux(requant_events=requants.sum(), max_probs=max_probs)
-    return logits.astype(jnp.float32), new_state, aux
+    return logits, new_state, aux

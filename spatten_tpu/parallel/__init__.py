@@ -18,10 +18,12 @@ from spatten_tpu.parallel.sharded import (
     param_pspecs,
     state_pspecs,
 )
+from spatten_tpu.parallel.pipeline import PipelineEngine
 
 __all__ = [
     "make_mesh",
     "ShardedEngine",
+    "PipelineEngine",
     "local_config",
     "param_pspecs",
     "state_pspecs",
