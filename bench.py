@@ -69,7 +69,7 @@ def build_cfg(spatten: bool, cache: int, batch: int):
             enable_v_pruning=True, v_keep_ratio=0.25, v_block_size=64,
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
-                            requant_threshold=0.05)
+                            requant_threshold=0.05, quantize_queries=True)
         use_pallas = True
     else:
         pruning = PruningConfig(enable_token_pruning=False,

@@ -117,6 +117,12 @@ class QuantConfig:
     requant_threshold: float = 0.08
     enable_requant: bool = True
     scale_dtype: str = "float32"
+    # Quantize queries to int8 per head row inside the decode kernel and
+    # run QK^T as integer MXU dots (the reference hardware computes on
+    # 12-bit fixed-point queries, SpAtten.scala:94-120 — fp queries are
+    # the approximation, not this).  Requires rope_mode="cached" (rotation
+    # must already be folded into the stored keys).
+    quantize_queries: bool = False
 
     @property
     def disabled(self) -> "QuantConfig":

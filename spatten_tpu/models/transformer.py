@@ -260,6 +260,7 @@ def run_layers(
                 importance_in=(imp if (track_importance
                                        and p.cascade_accumulate) else None),
                 probs_dtype=jnp.dtype(e.probs_transport),
+                quantize_queries=q.quantize_queries,
                 **attn_kwargs,
             )
             if track_importance:

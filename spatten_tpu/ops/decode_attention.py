@@ -87,7 +87,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  sm_scale: float, requant_threshold: float,
                  quant_enabled: bool, v_keep: int, v_block: int,
                  importance_kind: str, use_rope: bool,
-                 accumulate_importance: bool):
+                 accumulate_importance: bool, quantize_queries: bool):
     half = cap // 2
     # all K processing is row-blocked in token blocks of `pblk` rows (also
     # the DMA granule), so per-program VMEM stays bounded at any capacity;
@@ -102,6 +102,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             f"token block {pblk} must be a multiple of v_block {v_block}")
     nb_local = pblk // v_block if do_vprune else 0
     do_requant = quant_enabled and requant_threshold > 0.0
+    int_dots = quantize_queries and not use_rope
 
     def kernel(
         # scalar prefetch
@@ -192,7 +193,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             sf = jnp.concatenate([s, s], axis=-1)
             return kb * cf + _rotate_half(kb) * sf
 
-        def blocked_scores(get_kblk, q):
+        def blocked_scores(get_kblk, q, acc_dtype=jnp.float32):
             """Write q @ K_t^T (raw dot) into scores_scr, per block.
 
             Blocks at/after `length` are skipped entirely (no decode, no
@@ -201,22 +202,26 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             Per-column scales / offsets / sm_scale are applied in
             `softmax_from_scores` (dequantization folded into the score
             epilogue: kscale_c·(16·(q·k4)_c + 7.5·Σq_g) — O(G·C) instead
-            of O(C·D) elementwise work)."""
+            of O(C·D) elementwise work).  With int8 q and K the dot runs
+            on the integer MXU (acc_dtype=int32) — the reference computes
+            on fixed-point operands too (12-bit, SpAtten.scala:94-120)."""
             for t in range(num_tblk):
                 @pl.when(t * pblk < length)
                 def _(t=t):
-                    kb = rope_block(get_kblk(t), t)   # [pblk, D] f32
+                    kb = rope_block(get_kblk(t), t)   # [pblk, D]
                     s_blk = jax.lax.dot_general(
                         q, kb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=acc_dtype,
                     )                                 # [G, pblk]
-                    scores_scr[:, pl.ds(t * pblk, pblk)] = s_blk
+                    scores_scr[:, pl.ds(t * pblk, pblk)] = \
+                        s_blk.astype(jnp.float32)
 
-        def softmax_from_scores(colscale, coloffset):
+        def softmax_from_scores(colscale, coloffset, rowscale=1.0):
             """Affine epilogue + masked softmax.  colscale/coloffset are
-            [C] vectors (or scalars); the scaled scores are written back
-            to scores_scr for the presoftmax-importance consumer."""
-            s = scores_scr[:] * colscale + coloffset
+            [C] vectors (or scalars), rowscale [G, 1] (or scalar); the
+            scaled scores are written back to scores_scr for the
+            presoftmax-importance consumer."""
+            s = (scores_scr[:] * rowscale) * colscale + coloffset
             scores_scr[:] = s
             s_masked = jnp.where(valid, s, MASK_VALUE)
             m = jnp.max(s_masked, axis=-1, keepdims=True)
@@ -252,18 +257,36 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
             @pl.when(alive[h])
             def _live(h=h, hmask_h=hmask_h):
-                q = q_ref[0, h]                       # [G, D]
+                q = q_ref[0, h]                       # [G, D] f32
                 kscale = kscale_ref[0, h, 0]          # [C]
-                qsum = jnp.sum(q, axis=-1, keepdims=True)     # [G, 1]
 
                 # With rope off, K dequantization folds into the score
-                # epilogue (kblk returns raw int values as f32); with rope
-                # on, the rotation is value-dependent so blocks dequantize
-                # in full and the epilogue is just sm_scale.
+                # epilogue (kblk returns raw int values); with rope on,
+                # the rotation is value-dependent so blocks dequantize in
+                # full and the epilogue is just sm_scale.
                 fold = not use_rope
+
+                if int_dots:
+                    # per-row int8 query quantization: the integer MXU
+                    # carries the dot, scales move to the epilogue
+                    qamax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+                    qscale = jnp.maximum(qamax, 1e-20) / 127.0   # [G, 1]
+                    q_mat = jnp.clip(jnp.round(q / qscale),
+                                     -127, 127).astype(jnp.int8)
+                    qsum = jnp.sum(q_mat.astype(jnp.int32), axis=-1,
+                                   keepdims=True).astype(jnp.float32)
+                    rowscale = qscale
+                    acc = jnp.int32
+                else:
+                    q_mat = q
+                    qsum = jnp.sum(q, axis=-1, keepdims=True)    # [G, 1]
+                    rowscale = 1.0
+                    acc = jnp.float32
 
                 def kblk_full(t):
                     rows = kfull_scr[pl.ds(t * pblk, pblk), :]
+                    if int_dots:
+                        return rows                    # int8, raw
                     raw = rows.astype(jnp.float32)
                     if fold:
                         return raw
@@ -290,25 +313,28 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         rows = kmsb_scr[h, pl.ds(p * pblk, pblk), :]
                         nib = rows.astype(jnp.int32)
                         nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
-                        k4 = ((nib ^ 8) - 8).astype(jnp.float32)
+                        k4i = (nib ^ 8) - 8
+                        if int_dots:
+                            return k4i.astype(jnp.int8)
+                        k4 = k4i.astype(jnp.float32)
                         if fold:
                             return k4
                         sc = kscale[t * pblk:(t + 1) * pblk]
                         return (k4 * 16.0 + qz.MSB_MIDPOINT) * sc[:, None]
 
-                    blocked_scores(kblk_msb, q)
+                    blocked_scores(kblk_msb, q_mat, acc)
                     if fold:
                         p1_scale = kscale * (16.0 * sm_scale)
-                        p1_offset = qsum * (
+                        p1_offset = (rowscale * qsum) * (
                             kscale * (qz.MSB_MIDPOINT * sm_scale))[None, :]
                     else:
                         p1_scale, p1_offset = sm_scale, 0.0
                 else:
                     fetch_kfull(h)
-                    blocked_scores(kblk_full, q)
+                    blocked_scores(kblk_full, q_mat, acc)
                     p1_scale, p1_offset = full_scale, full_offset
 
-                probs1 = softmax_from_scores(p1_scale, p1_offset)
+                probs1 = softmax_from_scores(p1_scale, p1_offset, rowscale)
 
                 # requant decision + conditional recompute --------------
                 max_prob = jnp.max(probs1)
@@ -323,9 +349,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     @pl.when(need)
                     def _():
                         fetch_kfull(h)
-                        blocked_scores(kblk_full, q)
+                        blocked_scores(kblk_full, q_mat, acc)
                         probs_ref[0, h] = softmax_from_scores(
-                            full_scale, full_offset
+                            full_scale, full_offset, rowscale
                         ).astype(probs_ref.dtype)
                 else:
                     need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
@@ -392,6 +418,8 @@ def decode_attention(
     head_mask: Optional[jax.Array] = None,     # [Hq] or [B, Hq] bool
     importance_kind: str = "prob",
     use_rope: bool = True,
+    quantize_queries: bool = False,  # int8 queries + integer MXU dots
+                                     # (requires use_rope=False)
     importance_in: Optional[jax.Array] = None,  # [B, Hkv, C] accumulator
     probs_dtype=jnp.float32,   # bf16 halves the phase-A->B transport (the
                                # per-layer [B,Hkv,G,C] HBM round trip) at
@@ -421,6 +449,7 @@ def decode_attention(
         v_keep=v_keep, v_block=v_block_size,
         importance_kind=importance_kind, use_rope=use_rope,
         accumulate_importance=accumulate,
+        quantize_queries=quantize_queries,
     )
 
     qg = q.astype(jnp.float32).reshape(b, hkv, group, d)

@@ -134,3 +134,32 @@ def test_kernel_no_rope_quant_off():
     r, k = run_both(jax.random.PRNGKey(10), use_rope=False,
                     quant_enabled=False)
     assert_match(r, k, atol=5e-5)
+
+
+def test_kernel_int8_queries_close():
+    """quantize_queries: int8 queries + integer MXU dots — approximates
+    the f32-query reference within query-quantization noise (the HW
+    computes on fixed-point queries, SpAtten.scala:94-120)."""
+    q, kq, vq, cos, sin, lengths, q_pos = make_inputs(jax.random.PRNGKey(11))
+    kwargs = dict(sm_scale=0.18, requant_threshold=0.0, quant_enabled=True,
+                  v_keep=0, v_block_size=16, use_rope=False)
+    ref_out, _ = spatten_attention_reference(
+        q, kq, vq, cos, sin, lengths, q_pos, **kwargs)
+    got_out, _ = decode_attention(
+        q, kq, vq, cos, sin, lengths, quantize_queries=True,
+        interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=0.03, rtol=0.05)
+
+
+def test_kernel_int8_queries_full_pipeline():
+    q, kq, vq, cos, sin, lengths, q_pos = make_inputs(jax.random.PRNGKey(12))
+    kwargs = dict(sm_scale=0.18, requant_threshold=0.3, quant_enabled=True,
+                  v_keep=24, v_block_size=16, use_rope=False)
+    ref_out, _ = spatten_attention_reference(
+        q, kq, vq, cos, sin, lengths, q_pos, **kwargs)
+    got_out, _ = decode_attention(
+        q, kq, vq, cos, sin, lengths, quantize_queries=True,
+        interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=0.05, rtol=0.1)
