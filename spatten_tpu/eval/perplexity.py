@@ -11,6 +11,7 @@ north-star ppl-delta metric (BASELINE.md)."""
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -21,6 +22,7 @@ import numpy as np
 from spatten_tpu.config import SpAttenConfig
 import spatten_tpu.engine.generate as gen
 from spatten_tpu.engine.state import init_state
+from spatten_tpu.models import transformer
 
 
 @dataclass
@@ -29,6 +31,19 @@ class PerplexityResult:
     nll: float
     num_tokens: int
     requant_events: int
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _eval_chunk(params, cfg: SpAttenConfig, state, inp, tgt):
+    """One teacher-forced chunk: prune-if-needed, forward, summed NLL.
+
+    Jitted once per (cfg, chunk-shape) — the whole step (including the
+    prune branch) runs as a single compiled program."""
+    state, _ = gen.maybe_prune(cfg, state, inp.shape[1])
+    logits, state, _ = transformer.forward(params, cfg, state, inp)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return -picked.sum(), state
 
 
 def evaluate_perplexity(
@@ -49,23 +64,13 @@ def evaluate_perplexity(
     state = init_state(cfg, batch=1)
     total_nll, total_cnt = 0.0, 0
 
-    @jax.jit
-    def chunk_nll(logits, targets):
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        picked = jnp.take_along_axis(
-            logp, targets[..., None], axis=-1)[..., 0]
-        return -picked.sum()
-
     pos = 0
     while pos < t - 1:
         n = min(chunk, t - 1 - pos)
         inp = jnp.asarray(tokens[pos:pos + n][None], jnp.int32)
         tgt = jnp.asarray(tokens[pos + 1:pos + 1 + n][None], jnp.int32)
-        state, _ = gen.maybe_prune(cfg, state, n)
-        from spatten_tpu.models import transformer
-        logits, state, _ = jax.jit(
-            transformer.forward, static_argnums=1)(params, cfg, state, inp)
-        total_nll += float(chunk_nll(logits, tgt))
+        nll_chunk, state = _eval_chunk(params, cfg, state, inp, tgt)
+        total_nll += float(nll_chunk)
         total_cnt += n
         pos += n
 

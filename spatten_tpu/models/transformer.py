@@ -267,19 +267,22 @@ def run_layers(
                 # fused path: importance_delta already holds the updated
                 # accumulator (or the bare delta if not accumulating)
                 imp = stats.importance_delta
-        elif s > 1:
-            # streaming-blocks prefill: O(S + C) memory, exact semantics
-            attn_out, stats = prefill_attention(
-                qh, layer_cache.k, layer_cache.v, cos, sin,
-                state.lengths + s, positions, **attn_kwargs,
-            )
         else:
-            attn_out, stats = spatten_attention_reference(
-                qh, layer_cache.k, layer_cache.v, cos, sin,
-                state.lengths + s, positions, **attn_kwargs,
-            )
+            if s > 1:
+                # streaming-blocks prefill: O(S + C) memory, exact semantics
+                attn_out, stats = prefill_attention(
+                    qh, layer_cache.k, layer_cache.v, cos, sin,
+                    state.lengths + s, positions, **attn_kwargs,
+                )
+            else:
+                attn_out, stats = spatten_attention_reference(
+                    qh, layer_cache.k, layer_cache.v, cos, sin,
+                    state.lengths + s, positions, **attn_kwargs,
+                )
             if track_importance:
                 # reset the incoming tokens' accumulator slots, then add
+                # (shared by both non-kernel branches: chunked prefill must
+                # accumulate importance exactly like s=1 stepping)
                 slot = jnp.arange(cap)[None, None, :]
                 is_new = ((slot >= state.lengths[:, None, None])
                           & (slot < (state.lengths + s)[:, None, None]))

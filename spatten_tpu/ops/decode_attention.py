@@ -612,6 +612,11 @@ def _pv_kernel(probs_pv: jax.Array, v_quant: qz.QuantizedKV,
                 return 0
             jax.lax.fori_loop(0, ub, body, 0)
 
+        if do_vprune:
+            # tie overflow past `ub` can leave a surviving block unfetched
+            # with nonzero probability; zero-init the scratch so unfetched
+            # always means a zero contribution (never stale VMEM)
+            v_scr[...] = jnp.zeros_like(v_scr)
         phase(False)
         phase(True)
 

@@ -160,10 +160,13 @@ def prefill_attention(
         def body(carry, i):
             maxp, imp, mass = carry
             p, sc, mask = probs_block(i, plane, m, den)
+            # max prob is pre-mask (like attention_ref / the decode kernel:
+            # only fully-dead groups are zeroed, after _group_reduce), so
+            # the requant decision can't diverge for partially masked groups
+            maxp = jnp.maximum(maxp, p.max(axis=(-1, -2)))
             if hm is not None:
                 p = jnp.where(hm[:, :, None, None], p, 0.0)
                 sc = jnp.where(hm[:, :, None, None], sc, 0.0)
-            maxp = jnp.maximum(maxp, p.max(axis=(-1, -2)))
             if importance_kind == "prob":
                 contrib = p.sum(axis=-2)              # [B, Hq, blk]
             else:

@@ -151,3 +151,32 @@ def test_eos_freezes_sequence():
     toks = np.asarray(res2.tokens[0])
     first = np.argmax(toks == eos)
     assert (toks[first:] == eos).all()
+
+
+def test_chunked_prefill_importance_matches_stepping():
+    """Chunked prefill (s>1, streaming-blocks path) must accumulate the
+    same importance as feeding the same tokens one at a time (s=1) —
+    the cascade signal can't silently drop on the prefill path."""
+    # quant off: the requant decision is per-chunk on the prefill path but
+    # per-step when stepping — a real (documented) granularity difference
+    # that would make probs differ; importance parity is what's under test
+    cfg = tiny_cfg(
+        engine=EngineConfig(max_batch_size=1, cache_capacity=32,
+                            prefill_chunk=8),
+        quant=QuantConfig(enabled=False, enable_requant=False))
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(7), (1, 16), 0, 255)
+
+    state_c = init_state(cfg, batch=1)
+    _, state_c, _ = gen.prefill_chunk(params, cfg, state_c, toks[:, :8])
+    _, state_c, _ = gen.prefill_chunk(params, cfg, state_c, toks[:, 8:])
+
+    state_s = init_state(cfg, batch=1)
+    for i in range(16):
+        _, state_s, _ = gen.prefill_chunk(
+            params, cfg, state_s, toks[:, i:i + 1])
+
+    imp_c = np.asarray(state_c.importance)
+    imp_s = np.asarray(state_s.importance)
+    assert np.abs(imp_c).max() > 0, "prefill importance is all-zero"
+    np.testing.assert_allclose(imp_c, imp_s, rtol=2e-4, atol=2e-5)
