@@ -32,7 +32,7 @@ from spatten_tpu.engine.kv_cache import LayerKVCache, append_tokens
 from spatten_tpu.engine.state import DecodeState
 from spatten_tpu.ops import rope as rope_ops
 from spatten_tpu.ops.attention_ref import spatten_attention_reference
-from spatten_tpu.ops.decode_attention import decode_attention
+from spatten_tpu.ops.fused_decode import fused_decode_attention
 from spatten_tpu.ops.prefill_attention import prefill_attention
 
 Params = Dict[str, Any]
@@ -221,7 +221,6 @@ def run_layers(
                 kh = (kh * c + rope_ops.rotate_half(kh) * sn
                       ).astype(kh.dtype)
 
-        layer_cache = append_tokens(layer_cache, kh, vh, state.lengths)
         # a pure-dense engine (no token/head pruning) tracks no importance
         track_importance = p.enable_token_pruning or p.enable_head_pruning
 
@@ -231,7 +230,6 @@ def run_layers(
                 (layer_idx + layer_offset).astype(jnp.float32) + 1.0)
 
         attn_kwargs = dict(
-            sm_scale=sm_scale,
             requant_threshold=(q.requant_threshold
                                if (q.enabled and q.enable_requant) else 0.0),
             quant_enabled=q.enabled,
@@ -241,43 +239,53 @@ def run_layers(
             importance_kind=p.importance_kind,
             use_rope=(not m.use_abs_pos_emb) and e.rope_mode == "read",
         )
-        # Decode (single query, no per-layer attn scale) takes the fused
-        # Pallas kernel; prefill chunks and GPT-2's per-layer-scaled
-        # attention use the jnp reference path (XLA fuses those fine).
+        # Decode (single query) takes the fused Pallas kernel (append +
+        # attention + P·V in one pallas_call; the cache planes alias in
+        # place).  Per-layer attention scale (GPT-2) folds into the
+        # queries since the kernel's sm_scale must be static.  Prefill
+        # chunks use the streaming jnp path (XLA fuses those fine).
         # On real hardware Mosaic requires lane-aligned head dims for the
         # per-head HBM DMA slices; smaller heads (GPT-2's 64) fall back to
         # the jnp path there (interpret mode covers every shape in tests).
         on_cpu = jax.default_backend() == "cpu"
         use_kernel = (
-            e.use_pallas and s == 1 and not m.use_attn_scale_by_layer
-            and (m.head_dim % 128 == 0 or on_cpu)
+            e.use_pallas and s == 1 and (m.head_dim % 128 == 0 or on_cpu)
         )
         if use_kernel:
-            attn_out, stats = decode_attention(
-                qh, layer_cache.k, layer_cache.v, cos, sin,
-                state.lengths + s,
+            if m.use_attn_scale_by_layer:
+                q_kernel = qh * (sm_scale / base_scale)
+            else:
+                q_kernel = qh
+            attn_out, stats, new_k, new_v = fused_decode_attention(
+                q_kernel, layer_cache.k, layer_cache.v,
+                kh, vh, cos, sin, state.lengths + s,
+                sm_scale=base_scale,
                 interpret=on_cpu,
                 importance_in=(imp if (track_importance
                                        and p.cascade_accumulate) else None),
-                probs_dtype=jnp.dtype(e.probs_transport),
                 quantize_queries=q.quantize_queries,
+                track_importance=track_importance,
                 **attn_kwargs,
             )
+            layer_cache = LayerKVCache(k=new_k, v=new_v)
             if track_importance:
                 # fused path: importance_delta already holds the updated
                 # accumulator (or the bare delta if not accumulating)
                 imp = stats.importance_delta
         else:
+            layer_cache = append_tokens(layer_cache, kh, vh, state.lengths)
             if s > 1:
                 # streaming-blocks prefill: O(S + C) memory, exact semantics
                 attn_out, stats = prefill_attention(
                     qh, layer_cache.k, layer_cache.v, cos, sin,
-                    state.lengths + s, positions, **attn_kwargs,
+                    state.lengths + s, positions, sm_scale=sm_scale,
+                    **attn_kwargs,
                 )
             else:
                 attn_out, stats = spatten_attention_reference(
                     qh, layer_cache.k, layer_cache.v, cos, sin,
-                    state.lengths + s, positions, **attn_kwargs,
+                    state.lengths + s, positions, sm_scale=sm_scale,
+                    **attn_kwargs,
                 )
             if track_importance:
                 # reset the incoming tokens' accumulator slots, then add

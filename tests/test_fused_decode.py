@@ -1,0 +1,194 @@
+"""Fused decode kernel (append + attention + P·V) vs the jnp reference.
+
+The fused kernel appends the new token's K/V row in-kernel, so the
+reference computation is: `append_tokens` (the XLA path) followed by
+`spatten_attention_reference` over the appended cache.  Cache planes must
+match the XLA append bit-exactly (same quantize semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatten_tpu.engine import kv_cache as kvc
+from spatten_tpu.ops import quantize as qz
+from spatten_tpu.ops import rope as rope_ops
+from spatten_tpu.ops.attention_ref import spatten_attention_reference
+from spatten_tpu.ops.fused_decode import fused_decode_attention
+
+
+def make_inputs(key, b=2, hq=4, hkv=2, cap=64, d=32, length=50):
+    """`length` counts the valid tokens INCLUDING the row to append."""
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (b, hq, 1, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, cap, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, cap, d), jnp.float32)
+    k_new = jax.random.normal(ks[3], (b, hkv, 1, d), jnp.float32)
+    v_new = jax.random.normal(ks[4], (b, hkv, 1, d), jnp.float32)
+    kq, vq = qz.quantize(k), qz.quantize(v)
+    cos, sin = rope_ops.rope_table(cap, d)
+    if np.ndim(length) == 0:
+        lengths = jnp.full((b,), length, jnp.int32)
+    else:
+        lengths = jnp.asarray(length, jnp.int32)
+    return q, kq, vq, k_new, v_new, cos, sin, lengths
+
+
+def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
+             quant_enabled=True, v_keep=0, v_block_size=16,
+             head_mask=None, importance_kind="prob", use_rope=True,
+             quantize_queries=False, importance_in=None,
+             track_importance=True, **mk):
+    q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(key, **mk)
+    kwargs = dict(
+        sm_scale=sm_scale, requant_threshold=requant_threshold,
+        quant_enabled=quant_enabled, v_keep=v_keep,
+        v_block_size=v_block_size, head_mask=head_mask,
+        importance_kind=importance_kind, use_rope=use_rope,
+    )
+    # reference: XLA append, then attend over the appended cache
+    cache = kvc.LayerKVCache(k=kq, v=vq)
+    cache_ref = kvc.append_tokens(cache, k_new, v_new, lengths - 1)
+    q_pos = lengths[:, None] - 1
+    ref_out, ref_stats = spatten_attention_reference(
+        q, cache_ref.k, cache_ref.v, cos, sin, lengths, q_pos, **kwargs)
+
+    ker_out, ker_stats, k2, v2 = fused_decode_attention(
+        q, kq, vq, k_new, v_new, cos, sin, lengths,
+        quantize_queries=quantize_queries, importance_in=importance_in,
+        track_importance=track_importance, interpret=True, **kwargs)
+    return (ref_out, ref_stats, cache_ref), (ker_out, ker_stats,
+                                             kvc.LayerKVCache(k=k2, v=v2))
+
+
+def assert_planes_match(cache_ref, cache_ker, lengths):
+    """Valid rows (and scales) of every plane must match the XLA append."""
+    ln = np.asarray(lengths)
+    for name in ("k", "v"):
+        qref = getattr(cache_ref, name)
+        qker = getattr(cache_ker, name)
+        for b in range(ln.shape[0]):
+            L = int(ln[b])
+            np.testing.assert_array_equal(
+                np.asarray(qker.full)[b, :, :L], np.asarray(qref.full)[b, :, :L],
+                err_msg=f"{name}.full row mismatch (b={b})")
+            np.testing.assert_allclose(
+                np.asarray(qker.scale)[b, :, :L],
+                np.asarray(qref.scale)[b, :, :L], rtol=1e-6,
+                err_msg=f"{name}.scale mismatch (b={b})")
+            # packed plane: check the nibbles of all valid tokens
+            ref4 = np.asarray(qz.unpack_msb(qref.msb))[b, :, :L]
+            ker4 = np.asarray(qz.unpack_msb(qker.msb))[b, :, :L]
+            np.testing.assert_array_equal(ker4, ref4,
+                                          err_msg=f"{name}.msb (b={b})")
+
+
+def assert_match(ref, ker, lengths=None, atol=2e-5):
+    (ref_out, ref_stats, cache_ref) = ref
+    (ker_out, ker_stats, cache_ker) = ker
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ker_stats.max_prob),
+                               np.asarray(ref_stats.max_prob),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ker_stats.need_requant),
+                                  np.asarray(ref_stats.need_requant))
+    if lengths is not None:
+        assert_planes_match(cache_ref, cache_ker, lengths)
+
+
+def test_fused_basic_and_planes():
+    lengths = jnp.array([50, 31], jnp.int32)
+    r, k = run_both(jax.random.PRNGKey(0), length=np.array([50, 31]))
+    assert_match(r, k, lengths=lengths)
+    np.testing.assert_allclose(np.asarray(k[1].importance_delta),
+                               np.asarray(r[1].importance_delta),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_quant_disabled_dense_mode():
+    lengths = jnp.array([50, 64], jnp.int32)   # incl. a full cache
+    r, k = run_both(jax.random.PRNGKey(1), quant_enabled=False,
+                    length=np.array([50, 64]))
+    assert_match(r, k, lengths=lengths)
+
+
+def test_fused_requant_fire():
+    r, k = run_both(jax.random.PRNGKey(2), requant_threshold=1.1)
+    assert np.asarray(k[1].need_requant).all()
+    assert_match(r, k)
+
+
+def test_fused_requant_mixed_vprune():
+    r, k = run_both(jax.random.PRNGKey(3), requant_threshold=0.12,
+                    v_keep=24, v_block_size=16, length=60)
+    assert_match(r, k)
+
+
+def test_fused_v_pruning_exact():
+    r, k = run_both(jax.random.PRNGKey(4), v_keep=24, v_block_size=16)
+    assert_match(r, k)
+    np.testing.assert_allclose(np.asarray(k[0]), np.asarray(r[0]),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_gqa_vprune():
+    # group = 2: per-query-head keep decisions, union fetch
+    r, k = run_both(jax.random.PRNGKey(5), hq=4, hkv=2,
+                    v_keep=16, v_block_size=8)
+    assert_match(r, k)
+
+
+def test_fused_head_mask_dead_head():
+    hm = jnp.array([True, False, True, True])
+    lengths = jnp.array([50, 50], jnp.int32)
+    r, k = run_both(jax.random.PRNGKey(6), head_mask=hm,
+                    length=np.array([50, 50]))
+    # dead heads still append (cache must stay correct for later revival)
+    assert_match(r, k, lengths=lengths)
+
+
+def test_fused_no_rope_int8_queries():
+    q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(
+        jax.random.PRNGKey(7))
+    kwargs = dict(sm_scale=0.18, requant_threshold=0.0, quant_enabled=True,
+                  v_keep=0, v_block_size=16, use_rope=False)
+    cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
+                                  k_new, v_new, lengths - 1)
+    ref_out, _ = spatten_attention_reference(
+        q, cache_ref.k, cache_ref.v, cos, sin, lengths,
+        lengths[:, None] - 1, **kwargs)
+    got_out, _, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, cos, sin, lengths,
+        quantize_queries=True, interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=0.03, rtol=0.05)
+
+
+def test_fused_importance_accumulate_in_place():
+    b, hkv, cap = 2, 2, 64
+    imp0 = jax.random.uniform(jax.random.PRNGKey(8), (b, hkv, cap))
+    r, k = run_both(jax.random.PRNGKey(9), importance_in=imp0, length=50)
+    # the kernel resets the appended slot then accumulates
+    lengths = np.full((b,), 50)
+    want = np.asarray(imp0).copy()
+    for bb in range(b):
+        want[bb, :, lengths[bb] - 1] = 0.0
+    want = want + np.asarray(r[1].importance_delta)
+    np.testing.assert_allclose(np.asarray(k[1].importance_delta), want,
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_track_importance_off():
+    r, k = run_both(jax.random.PRNGKey(10), track_importance=False,
+                    quant_enabled=False)
+    (ref_out, _, _), (ker_out, ker_stats, _) = r, k
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-4)
+    assert not np.asarray(ker_stats.importance_delta).any()
+
+
+def test_fused_tiny_length():
+    # appending into a nearly-empty cache (idx = 0 / low slots)
+    lengths = jnp.array([1, 2], jnp.int32)
+    r, k = run_both(jax.random.PRNGKey(11), length=np.array([1, 2]))
+    assert_match(r, k, lengths=lengths)
