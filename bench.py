@@ -70,20 +70,45 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True)
-        use_pallas = True
     else:
+        # honest dense-int8 baseline: the SAME fused kernel in dense mode
+        # (length-gated K and V fetch, int8 KV + int8 queries on the
+        # integer MXU, cached-rotated keys) with every SpAtten stage off —
+        # no strawman jnp path, no full-capacity masked reads
         pruning = PruningConfig(enable_token_pruning=False,
                                 enable_v_pruning=False)
-        quant = QuantConfig(enabled=False, enable_requant=False)
-        use_pallas = False
+        quant = QuantConfig(enabled=False, enable_requant=False,
+                            quantize_queries=True)
     return SpAttenConfig(
         model=shard_model_cfg(), pruning=pruning, quant=quant,
         engine=EngineConfig(max_batch_size=batch, cache_capacity=cache,
-                            prefill_chunk=128, use_pallas=use_pallas,
-                            rope_mode="cached" if spatten else "read",
-                            probs_transport="bfloat16" if spatten
-                            else "float32"),
+                            prefill_chunk=128, use_pallas=True,
+                            rope_mode="cached"),
     ).validate()
+
+
+def warm_state(cfg, state):
+    """Steady-state lengths: the pruned engine holds its per-layer cascade
+    budgets (deeper layers fewer tokens); the dense engine holds the full
+    context."""
+    import jax.numpy as jnp
+    b = state.lengths.shape[0]
+    if cfg.pruning.enable_token_pruning:
+        from spatten_tpu.pruning import token_pruning
+        p = cfg.pruning
+        budgets = token_pruning.layer_budgets(p, cfg.model.num_layers)
+        per_layer = p.start_size + budgets + p.recent_size        # [L]
+        layer_lengths = jnp.broadcast_to(
+            per_layer[:, None], (cfg.model.num_layers, b)
+        ).astype(jnp.int32)
+        warm = int(per_layer.max())
+    else:
+        warm = int(cfg.engine.cache_capacity * 0.9)
+        layer_lengths = jnp.full((cfg.model.num_layers, b), warm,
+                                 jnp.int32)
+    return state._replace(
+        lengths=jnp.full((b,), warm, jnp.int32),
+        layer_lengths=layer_lengths)
 
 
 def time_decode(cfg, params, steps: int) -> float:
@@ -99,14 +124,7 @@ def time_decode(cfg, params, steps: int) -> float:
 
     b = cfg.engine.max_batch_size
     state = init_state(cfg, batch=b)
-    # steady-state lengths: the pruned engine holds cache_size tokens
-    # (cascade pruning compacts back to it); the dense engine holds the
-    # full context
-    if cfg.pruning.enable_token_pruning:
-        warm_len = cfg.pruning.cache_size
-    else:
-        warm_len = int(cfg.engine.cache_capacity * 0.9)
-    state = state._replace(lengths=jnp.full((b,), warm_len, jnp.int32))
+    state = warm_state(cfg, state)
     token = jnp.zeros((b,), jnp.int32)
 
     # params MUST be an argument (not a closure capture): captured arrays
@@ -148,8 +166,7 @@ def calibrate_requant(cfg, params, quantile=0.15):
 
     b = cfg.engine.max_batch_size
     state = init_state(cfg, batch=b)
-    state = state._replace(
-        lengths=jnp.full((b,), cfg.pruning.cache_size, jnp.int32))
+    state = warm_state(cfg, state)
     token = jnp.zeros((b,), jnp.int32)
 
     @jax.jit

@@ -143,6 +143,21 @@ class PruningConfig:
     important_size: int = 384
     recent_size: int = 384
     enable_token_pruning: bool = True
+    # Per-layer cascade schedule: layer l keeps round(important_size *
+    # cascade_layer_decay**l) important tokens, so key_fetch_num decays
+    # across layers within one iteration — the reference traces' defining
+    # signature (summary-gpt2-small-wikitext2-per8.csv: 993->921->716...).
+    # 1.0 = uniform budgets (no per-layer decay).
+    cascade_layer_decay: float = 1.0
+    # Explicit per-layer multipliers on important_size (overrides the
+    # geometric decay when set; padded with its last value if shorter than
+    # num_layers).  The reference GPT-2-small trace's normalized profile
+    # is stepped: (1.0, 0.78, 0.25 x4, 0.14 x6).
+    cascade_layer_ratios: Optional[Tuple[float, ...]] = None
+    # Importance accumulator EMA: imp <- ema * imp + delta.  1.0 = plain
+    # cascade sum; < 1.0 implements the traces' per-row
+    # `if_rescale_previous_importance` (CSV col 15) semantics.
+    importance_ema: float = 1.0
 
     # --- local V pruning (per-query top-k over softmax output) ---
     enable_v_pruning: bool = True

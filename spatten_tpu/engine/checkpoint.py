@@ -48,8 +48,16 @@ def restore(path: str) -> Tuple[Any, Optional[DecodeState]]:
         cache = d["cache"]
         if not isinstance(cache, LayerKVCache):
             cache = as_kv(cache)
+        import jax.numpy as _jnp
+        num_layers = d["importance"].shape[0]
+        layer_lengths = d.get("layer_lengths")
+        if layer_lengths is None:       # pre-cascade checkpoints
+            layer_lengths = _jnp.broadcast_to(
+                _jnp.asarray(d["lengths"])[None], (num_layers,)
+                + d["lengths"].shape).astype(_jnp.int32)
         state = DecodeState(
             cache=cache, importance=d["importance"], lengths=d["lengths"],
+            layer_lengths=layer_lengths,
             head_mask=d["head_mask"], requant_events=d["requant_events"],
         )
     return params, state

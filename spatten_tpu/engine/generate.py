@@ -50,22 +50,21 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
     """
     p = cfg.pruning
     cap = state.capacity
-    keep_total = p.cache_size
+    num_layers = cfg.model.num_layers
     trigger = state.lengths + num_coming > cap                     # [B]
 
     if not p.enable_token_pruning:
         return state, jnp.zeros_like(trigger)
 
+    budgets = token_pruning.layer_budgets(p, num_layers)           # [L]
+    keep_max = p.cache_size
+
     def do_prune(st: DecodeState) -> DecodeState:
-        # lengths broadcast over [L, B, Hkv]
-        lb = jnp.broadcast_to(
-            st.lengths[None, :, None], st.importance.shape[:-1]
-        )
-        keep_idx = token_pruning.select_keep_indices(
-            st.importance, lb,
-            p.start_size, p.important_size, p.recent_size,
+        keep_idx, keep_count = token_pruning.select_keep_indices_budgeted(
+            st.importance, st.layer_lengths,
+            p.start_size, budgets, p.important_size, p.recent_size,
             num_coming=0,
-        )                                                # [L, B, Hkv, keep]
+        )                       # [L, B, Hkv, keep_max], [L, B]
         pruned_cache = kvc.prune_layer(st.cache, keep_idx)
         if cfg.engine.rope_mode == "cached" and \
                 not cfg.model.use_abs_pos_emb:
@@ -74,19 +73,22 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
             from spatten_tpu.ops import rope as rope_ops
             cos_t, sin_t = rope_ops.rope_table(
                 cap, cfg.model.head_dim, cfg.model.rope_theta)
-            new_slot = jnp.arange(keep_total, dtype=jnp.int32)
-            pad = jnp.zeros((cap - keep_total,), jnp.int32)
+            new_slot = jnp.arange(keep_max, dtype=jnp.int32)
+            pad = jnp.zeros((cap - keep_max,), jnp.int32)
             delta = jnp.concatenate(
                 [new_slot, pad], axis=0) - jnp.concatenate(
                 [keep_idx, jnp.zeros(
-                    keep_idx.shape[:-1] + (cap - keep_total,),
+                    keep_idx.shape[:-1] + (cap - keep_max,),
                     jnp.int32)], axis=-1)                # [L,B,Hkv,C] <= 0
+            # slots past a layer's keep_count are dead (masked by length);
+            # clamping their delta to 0 keeps the re-rotation a no-op there
+            delta = jnp.minimum(delta, 0)
             pruned_cache = pruned_cache._replace(
                 k=qz.rotate_rows_by_delta(pruned_cache.k, delta,
                                           cos_t, sin_t))
         (pruned_imp,) = token_pruning.prune_arrays(keep_idx, st.importance)
         pad = jnp.zeros(
-            pruned_imp.shape[:-1] + (cap - keep_total,), pruned_imp.dtype
+            pruned_imp.shape[:-1] + (cap - keep_max,), pruned_imp.dtype
         )
         pruned_imp = jnp.concatenate([pruned_imp, pad], axis=-1)
 
@@ -97,8 +99,11 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
 
         cache = jax.tree.map(sel_batch, pruned_cache, st.cache)
         imp = sel_batch(pruned_imp, st.importance)
-        lengths = jnp.where(trigger, keep_total, st.lengths)
+        layer_lengths = jnp.where(trigger[None, :], keep_count,
+                                  st.layer_lengths)
+        lengths = jnp.where(trigger, keep_count.max(axis=0), st.lengths)
         return DecodeState(cache=cache, importance=imp, lengths=lengths,
+                           layer_lengths=layer_lengths,
                            head_mask=st.head_mask,
                            requant_events=st.requant_events)
 

@@ -20,7 +20,12 @@ from spatten_tpu.engine.kv_cache import LayerKVCache, init_stacked_cache
 class DecodeState(NamedTuple):
     cache: LayerKVCache        # planes stacked [L, B, Hkv, ...]
     importance: jax.Array      # f32 [L, B, Hkv, C] cascade accumulator
-    lengths: jax.Array         # int32 [B] valid tokens per sequence
+    lengths: jax.Array         # int32 [B] nominal tokens per sequence
+                               #   (tokens fed; drives the prune trigger,
+                               #   positions and EOS bookkeeping)
+    layer_lengths: jax.Array   # int32 [L, B] live tokens in each layer's
+                               #   cache — with a cascade schedule deeper
+                               #   layers keep fewer (key_fetch_num decay)
     head_mask: jax.Array       # bool [L, Hq] — False = pruned head
     requant_events: jax.Array  # int32 [] cumulative low-confidence recomputes
 
@@ -50,8 +55,21 @@ def write_slot(state: DecodeState, sub: DecodeState, slot: int | jax.Array
     importance = scatter(state.importance, sub.importance)
     lengths = jax.lax.dynamic_update_slice(
         state.lengths, sub.lengths.astype(jnp.int32), (slot,))
+    layer_lengths = jax.lax.dynamic_update_slice(
+        state.layer_lengths, sub.layer_lengths.astype(jnp.int32),
+        (jnp.int32(0), slot))
     return state._replace(cache=cache, importance=importance,
-                          lengths=lengths)
+                          lengths=lengths, layer_lengths=layer_lengths)
+
+
+def with_lengths(state: DecodeState, lengths) -> DecodeState:
+    """Set nominal lengths and broadcast them to every layer (the uniform
+    pre-cascade situation; tests and warm-state builders use this)."""
+    lengths = jnp.asarray(lengths, jnp.int32)
+    L = state.layer_lengths.shape[0]
+    return state._replace(
+        lengths=lengths,
+        layer_lengths=jnp.broadcast_to(lengths[None], (L,) + lengths.shape))
 
 
 def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
@@ -64,6 +82,7 @@ def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
         importance=jnp.zeros((m.num_layers, b, m.num_kv_heads, cap),
                              jnp.float32),
         lengths=jnp.zeros((b,), jnp.int32),
+        layer_lengths=jnp.zeros((m.num_layers, b), jnp.int32),
         head_mask=jnp.ones((m.num_layers, m.num_heads), bool),
         requant_events=jnp.zeros((), jnp.int32),
     )

@@ -149,24 +149,28 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
     cap = cfg.engine.cache_capacity
     v_keep = 0
     if p.enable_v_pruning:
-        v_keep = max(p.v_block_size, int(p.v_keep_ratio * cap))
+        key_budget = p.cache_size if p.enable_token_pruning else cap
+        v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
 
     for it in range(max_new_tokens):
         token, state, aux = gen.decode_step(params, cfg, state, token)
-        lengths = np.asarray(state.lengths)
+        layer_lengths = np.asarray(state.layer_lengths)     # [L, B]
         # need_requant per (L, B, Hkv) is aggregated in aux.max_probs; we
         # recover the decision from the same threshold the kernel used
         maxp = np.asarray(aux.max_probs)            # [L, B, Hkv]
         need = (maxp < q.requant_threshold) & q.enabled & q.enable_requant
         hmask = np.asarray(state.head_mask)         # [L, Hq]
         group = m.num_heads // m.num_kv_heads
-        length = int(lengths[sequence])
+        length = int(np.asarray(state.lengths)[sequence])
         for layer in range(m.num_layers):
+            # per-layer cascade: key_fetch_num is THIS layer's live count
+            # (decays across layers when cascade_layer_decay < 1 — the
+            # reference traces' per-layer signature)
+            kf = int(layer_lengths[layer, sequence])
             for h in range(m.num_kv_heads):
                 alive = hmask[layer, h * group:(h + 1) * group].any()
                 if not alive:
                     continue          # pruned head: no request (no CSV row)
-                kf = length
                 vf = min(v_keep, kf) if v_keep > 0 else kf
                 rows.append(TraceRow(
                     iteration_id=it, layer_id=layer, head_id=h,
@@ -180,7 +184,8 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
                     auto_requant_incre=4 if q.enabled else -1,
                     value_fetch_num=vf, quant_value_bit=vbit,
                     if_accumulate_importance=p.cascade_accumulate,
-                    if_rescale_previous_importance=False,
+                    if_rescale_previous_importance=bool(
+                        p.importance_ema < 1.0),
                     if_topk=bool(v_keep > 0 and vf < kf),
                     topk=vf if (v_keep > 0 and vf < kf) else -1,
                 ))

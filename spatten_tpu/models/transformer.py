@@ -180,24 +180,26 @@ def run_layers(
 ):
     """Scan x through a (possibly local) stack of layers, appending the S
     tokens to each layer's cache.  Returns
-    (x, new_cache, new_importance, requants, max_probs)."""
+    (x, new_cache, new_importance, new_layer_lengths, requants,
+    max_probs)."""
     m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
     b, s = x.shape[0], x.shape[1]
     hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
     cap = state.capacity
 
     cos, sin = rope_ops.rope_table(cap, dh, m.rope_theta)
-    pos_clip = jnp.minimum(positions, cap - 1)
 
     base_scale = 1.0 / math.sqrt(dh)
     v_keep = 0
     if p.enable_v_pruning:
         # value fetch budget relative to the key budget (workload CSVs show
-        # value_fetch_num ≈ 0.2-0.35 × key_fetch_num)
-        v_keep = max(p.v_block_size, int(p.v_keep_ratio * cap))
+        # value_fetch_num ≈ 0.2-0.35 × key_fetch_num).  The key budget at
+        # steady state is the pruned cache_size, not the physical capacity.
+        key_budget = p.cache_size if p.enable_token_pruning else cap
+        v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
 
     def layer_fn(x, scanned):
-        lp, layer_cache, imp, hmask_l, layer_idx = scanned
+        lp, layer_cache, imp, hmask_l, lengths_l, layer_idx = scanned
 
         h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"),
                   m.layernorm_kind, m.norm_eps)
@@ -208,14 +210,20 @@ def run_layers(
         kh = kh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
         vh = vh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
 
+        # per-layer cache positions: with a cascade schedule each layer's
+        # cache holds a different number of live tokens, so the pos-shift
+        # positions (slot indices) are per layer
+        pos_l = jnp.minimum(lengths_l[:, None] + jnp.arange(s)[None, :],
+                            cap - 1)                       # [B, S]
+
         if not m.use_abs_pos_emb:
             # pos-shift: rotate queries at their cache positions; keys are
             # cached unrotated and rotated at read time inside attention
             # ("read" mode), or rotated here before caching ("cached"
             # mode — the prune path re-rotates survivors by their slot
             # delta, see engine.generate.maybe_prune).
-            c = jnp.take(cos, pos_clip, axis=0)[:, None]    # [B,1,S,dh]
-            sn = jnp.take(sin, pos_clip, axis=0)[:, None]
+            c = jnp.take(cos, pos_l, axis=0)[:, None]       # [B,1,S,dh]
+            sn = jnp.take(sin, pos_l, axis=0)[:, None]
             qh = (qh * c + rope_ops.rotate_half(qh) * sn).astype(qh.dtype)
             if e.rope_mode == "cached":
                 kh = (kh * c + rope_ops.rotate_half(kh) * sn
@@ -258,13 +266,14 @@ def run_layers(
                 q_kernel = qh
             attn_out, stats, new_k, new_v = fused_decode_attention(
                 q_kernel, layer_cache.k, layer_cache.v,
-                kh, vh, cos, sin, state.lengths + s,
+                kh, vh, cos, sin, lengths_l + s,
                 sm_scale=base_scale,
                 interpret=on_cpu,
                 importance_in=(imp if (track_importance
                                        and p.cascade_accumulate) else None),
                 quantize_queries=q.quantize_queries,
                 track_importance=track_importance,
+                importance_ema=p.importance_ema,
                 **attn_kwargs,
             )
             layer_cache = LayerKVCache(k=new_k, v=new_v)
@@ -273,18 +282,18 @@ def run_layers(
                 # accumulator (or the bare delta if not accumulating)
                 imp = stats.importance_delta
         else:
-            layer_cache = append_tokens(layer_cache, kh, vh, state.lengths)
+            layer_cache = append_tokens(layer_cache, kh, vh, lengths_l)
             if s > 1:
                 # streaming-blocks prefill: O(S + C) memory, exact semantics
                 attn_out, stats = prefill_attention(
                     qh, layer_cache.k, layer_cache.v, cos, sin,
-                    state.lengths + s, positions, sm_scale=sm_scale,
+                    lengths_l + s, pos_l, sm_scale=sm_scale,
                     **attn_kwargs,
                 )
             else:
                 attn_out, stats = spatten_attention_reference(
                     qh, layer_cache.k, layer_cache.v, cos, sin,
-                    state.lengths + s, positions, sm_scale=sm_scale,
+                    lengths_l + s, pos_l, sm_scale=sm_scale,
                     **attn_kwargs,
                 )
             if track_importance:
@@ -292,11 +301,12 @@ def run_layers(
                 # (shared by both non-kernel branches: chunked prefill must
                 # accumulate importance exactly like s=1 stepping)
                 slot = jnp.arange(cap)[None, None, :]
-                is_new = ((slot >= state.lengths[:, None, None])
-                          & (slot < (state.lengths + s)[:, None, None]))
+                is_new = ((slot >= lengths_l[:, None, None])
+                          & (slot < (lengths_l + s)[:, None, None]))
                 if p.cascade_accumulate:
+                    ema = p.importance_ema
                     imp = jnp.where(is_new, 0.0, imp)
-                    imp = imp + stats.importance_delta
+                    imp = ema * imp + stats.importance_delta
                 else:
                     imp = stats.importance_delta
 
@@ -314,19 +324,19 @@ def run_layers(
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         x = x + mlp_out + lp.get("b_down", 0)
 
-        layer_out = (layer_cache, imp,
+        layer_out = (layer_cache, imp, lengths_l + s,
                      stats.need_requant.sum().astype(jnp.int32),
                      stats.max_prob)
         return x, layer_out
 
     layer_ids = jnp.arange(m.num_layers, dtype=jnp.int32)
-    x, (new_cache, new_imp, requants, max_probs) = jax.lax.scan(
+    x, (new_cache, new_imp, new_lengths, requants, max_probs) = jax.lax.scan(
         layer_fn,
         x,
         (layer_params, state.cache, state.importance, state.head_mask,
-         layer_ids),
+         state.layer_lengths, layer_ids),
     )
-    return x, new_cache, new_imp, requants, max_probs
+    return x, new_cache, new_imp, new_lengths, requants, max_probs
 
 
 def forward(
@@ -349,7 +359,7 @@ def forward(
     """
     s = tokens.shape[1]
     x, positions = embed_tokens(params, cfg, state, tokens)
-    x, new_cache, new_imp, requants, max_probs = run_layers(
+    x, new_cache, new_imp, new_lengths, requants, max_probs = run_layers(
         params["layers"], cfg, state, x, positions, tp_axis=tp_axis)
     logits = lm_head(params, cfg, x)
 
@@ -357,6 +367,7 @@ def forward(
         cache=new_cache,
         importance=new_imp,
         lengths=state.lengths + s,
+        layer_lengths=new_lengths,
         head_mask=state.head_mask,
         requant_events=state.requant_events + requants.sum(),
     )

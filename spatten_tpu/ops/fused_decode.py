@@ -54,7 +54,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  quant_enabled: bool, v_keep: int, v_block: int,
                  importance_kind: str, use_rope: bool,
                  accumulate_importance: bool, quantize_queries: bool,
-                 track_importance: bool):
+                 track_importance: bool, importance_ema: float = 1.0):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, 1024)
     num_tblk = 2 * num_pblk
@@ -63,7 +63,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     do_vprune = 0 < v_keep and keep_blocks < num_vblk
     if do_vprune:
         assert pblk % v_block == 0
-    nb_local = pblk // v_block if do_vprune else 0
     do_requant = quant_enabled and requant_threshold > 0.0
     int_dots = quantize_queries and not use_rope
     d = head_dim
@@ -294,11 +293,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             return e / denom
 
         if do_vprune:
+            # full-width block-aggregation 0/1 matrix [C, nvb]: one MXU
+            # pass computes all block masses (and one more expands the
+            # keep mask back to columns) — probs live whole in VMEM here,
+            # so there is no reason to matmul per token block
             row_blk = jax.lax.broadcasted_iota(
-                jnp.int32, (pblk, nb_local), 0) // v_block
+                jnp.int32, (cap, num_vblk), 0) // v_block
             col_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (pblk, nb_local), 1)
-            agg_local = (row_blk == col_ids).astype(jnp.float32)
+                jnp.int32, (cap, num_vblk), 1)
+            agg_full = (row_blk == col_ids).astype(jnp.float32)
 
         # ------------------------------------------------------------------
         # per-head pipeline: scores -> softmax -> requant -> importance ->
@@ -421,6 +424,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     if accumulate_importance:
                         prev = jnp.where(col1 == idx, 0.0,
                                          imp_in_ref[0, h, 0])
+                        if importance_ema != 1.0:
+                            prev = prev * importance_ema
                         imp_ref[0, h, 0] = prev + delta
                     else:
                         imp_ref[0, h, 0] = delta
@@ -429,54 +434,79 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
                 # --- V selection + fetch flags -----------------------
                 if do_vprune:
-                    mass = jnp.concatenate([
-                        jax.lax.dot_general(
-                            probs[:, t * pblk:(t + 1) * pblk],
-                            agg_local, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        for t in range(num_tblk)
-                    ], axis=-1)                   # [G, num_vblk]
+                    mass = jax.lax.dot_general(
+                        probs, agg_full, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    )                             # [G, num_vblk]
                     kth = _kth_largest(mass, keep_blocks)
                     keep_gb = (mass >= kth[:, None]
                                ).astype(jnp.float32)
-                    # fetch flag per block: kept by any group member
-                    # AND has nonzero mass (mass==0 blocks are all
-                    # masked/out-of-length -> no fetch)
+                    # fetch score per block: kept by any group member AND
+                    # nonzero mass (mass==0 blocks are masked/out-of-length)
                     fetch_f = jnp.max(keep_gb * mass, axis=0)  # [nvb]
+                    # rank blocks by fetch score (descending, index ties):
+                    # only the top keep_ub are fetched, and — so unfetched
+                    # always means zero probability — only those stay kept
+                    # (ties past the budget drop deterministically, like
+                    # the reference TopK's keep_equal_num rule,
+                    # TopK.scala:148-224)
+                    keep_ub = min(num_vblk, group * keep_blocks)
+                    jvec = jax.lax.broadcasted_iota(
+                        jnp.int32, (num_vblk, num_vblk), 1)
+                    si = fetch_f[None, :]          # scores as columns
+                    sj = fetch_f[:, None]          # scores as rows
+                    gt = (si > sj) | ((si == sj) & (jvec < jvec.T))
+                    rank = jnp.sum(gt.astype(jnp.int32), axis=1)  # [nvb]
+                    fetched = ((rank < keep_ub) & (fetch_f > 0.0)
+                               ).astype(jnp.float32)              # [nvb]
+                    keep_gb = keep_gb * fetched[None, :]
                     # zero dropped (g, block) probabilities exactly
-                    probs_pv = jnp.concatenate([
-                        probs[:, t * pblk:(t + 1) * pblk] *
-                        jax.lax.dot_general(
-                            keep_gb[:, t * nb_local:(t + 1) * nb_local],
-                            agg_local, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        for t in range(num_tblk)
-                    ], axis=-1)
+                    keep_cols = jax.lax.dot_general(
+                        keep_gb, agg_full, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [G, C]
+                    probs_pv = probs * keep_cols
                 else:
                     fetch_f = None
                     probs_pv = probs
 
-                # --- V fetch (indexed / length-gated) ----------------
-                def vdma(j):
+                # --- V fetch --------------------------------------------
+                def vdma(j, s):
                     return pltpu.make_async_copy(
                         vfull_out.at[b, h0 + h,
                                      pl.ds(j * v_block, v_block), :],
                         v_scr.at[pl.ds(j * v_block, v_block), :],
-                        v_sem.at[j])
+                        v_sem.at[s])
 
-                for do_wait in (False, True):
-                    for j in range(num_vblk):
-                        if fetch_f is not None:
-                            cond = fetch_f[j] > 0.0
-                        else:
-                            cond = (j * v_block) < length
-
-                        @pl.when(cond)
-                        def _(j=j):
-                            if do_wait:
-                                vdma(j).wait()
-                            else:
-                                vdma(j).start()
+                if fetch_f is not None:
+                    # UNCONDITIONAL indexed fetch of the kept blocks: a
+                    # per-block `@pl.when(flag[j])` costs a vector->scalar
+                    # sync per block (measured ~3.7 ms/step at bench
+                    # shapes — slower than just fetching everything).
+                    # Instead extract only the keep_ub ranked block ids;
+                    # unkept ranks resolve to block 0, whose re-fetch is
+                    # an idempotent no-op.
+                    rvec = jax.lax.broadcasted_iota(
+                        jnp.int32, (keep_ub, num_vblk), 0)
+                    cvec = jax.lax.broadcasted_iota(
+                        jnp.int32, (keep_ub, num_vblk), 1)
+                    hit = ((rank[None, :] == rvec)
+                           & (fetch_f[None, :] > 0.0))
+                    ids = jnp.sum(jnp.where(hit, cvec, 0),
+                                  axis=1)          # [keep_ub]
+                    for s in range(keep_ub):
+                        vdma(ids[s], s).start()
+                    for s in range(keep_ub):
+                        vdma(ids[s], s).wait()
+                else:
+                    # dense mode: scalar-only length gate (cheap conds)
+                    for do_wait in (False, True):
+                        for j in range(num_vblk):
+                            @pl.when((j * v_block) < length)
+                            def _(j=j):
+                                if do_wait:
+                                    vdma(j, j % num_vblk).wait()
+                                else:
+                                    vdma(j, j % num_vblk).start()
 
                 # --- P·V: fold the V scale into the probabilities ----
                 vscale_row = vscale_out[0, h, 0]          # [C]
@@ -512,6 +542,8 @@ def fused_decode_attention(
     quantize_queries: bool = False,
     importance_in: Optional[jax.Array] = None,   # [B, Hkv, C]
     track_importance: bool = True,
+    importance_ema: float = 1.0,    # imp <- ema * imp + delta (CSV col 15
+                                    #   `if_rescale_previous_importance`)
     interpret: bool = False,
 ) -> Tuple[jax.Array, AttentionStats, qz.QuantizedKV, qz.QuantizedKV]:
     """One fused decode step.  Returns (out [B,Hq,1,D], stats,
@@ -538,7 +570,8 @@ def fused_decode_attention(
         importance_kind=importance_kind, use_rope=use_rope,
         accumulate_importance=accumulate,
         quantize_queries=quantize_queries,
-        track_importance=track_importance)
+        track_importance=track_importance,
+        importance_ema=importance_ema)
 
     qg = q.astype(jnp.float32).reshape(b, hkv, group, d)
     if head_mask is None:

@@ -65,6 +65,7 @@ def pipeline_state_pspecs(state: DecodeState) -> DecodeState:
         cache=jax.tree.map(layer_leaf, state.cache),
         importance=P("pipe", None, None, None),
         lengths=P(),
+        layer_lengths=P("pipe", None),
         head_mask=P("pipe", None),
         requant_events=P(),
     )
@@ -124,17 +125,17 @@ class PipelineEngine:
                                                 tokens)
 
         def my_turn(carry):
-            x, _cache, _imp, _req, _maxp = carry
-            out, cache, imp, req, maxp = transformer.run_layers(
+            x, _cache, _imp, _ll, _req, _maxp = carry
+            out, cache, imp, ll, req, maxp = transformer.run_layers(
                 params["layers"], lcfg, state, x, positions,
                 layer_offset=stage * layers_local)
-            return out, cache, imp, req, maxp
+            return out, cache, imp, ll, req, maxp
 
         def skip(carry):
             return carry
 
         carry = (
-            x, state.cache, state.importance,
+            x, state.cache, state.importance, state.layer_lengths,
             jnp.zeros((layers_local,), jnp.int32),
             jnp.zeros((layers_local, x.shape[0],
                        lcfg.model.num_kv_heads), jnp.float32),
@@ -148,7 +149,7 @@ class PipelineEngine:
                     [(i, (i + 1) % stages) for i in range(stages)])
                 carry = (x_c, *rest)
 
-        x, cache, imp, requants, max_probs = carry
+        x, cache, imp, layer_lengths, requants, max_probs = carry
         logits = transformer.lm_head(params, lcfg, x[:, -1:])[:, 0]
         # only the final stage holds real logits; broadcast via masked psum
         logits = jax.lax.psum(
@@ -159,6 +160,7 @@ class PipelineEngine:
         new_state = DecodeState(
             cache=cache, importance=imp,
             lengths=state.lengths + s,
+            layer_lengths=layer_lengths,
             head_mask=state.head_mask,
             requant_events=state.requant_events + global_req,
         )

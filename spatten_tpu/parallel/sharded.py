@@ -93,6 +93,7 @@ def state_pspecs(state: DecodeState) -> DecodeState:
         cache=jax.tree.map(cache_spec, state.cache),
         importance=P(None, "data", "model", None),
         lengths=P("data"),
+        layer_lengths=P(None, "data"),
         head_mask=P(None, "model"),
         requant_events=P(),
     )

@@ -91,6 +91,91 @@ def select_keep_indices(
     )
 
 
+def layer_budgets(cfg: PruningConfig, num_layers: int) -> jnp.ndarray:
+    """Per-layer important-region budgets (the cascade schedule).
+
+    budget[l] = round(important_size * cascade_layer_decay**l), floored at
+    one v-block.  With decay < 1 the emitted `key_fetch_num` decays across
+    layers within one iteration — the defining signature of the reference
+    traces (workloads/summary-gpt2-small-wikitext2-per8.csv: 993->921->716).
+    """
+    floor = max(cfg.v_block_size, 1)
+    ratios = getattr(cfg, "cascade_layer_ratios", None)
+    if ratios:
+        r = list(ratios) + [ratios[-1]] * max(0, num_layers - len(ratios))
+        vals = [max(floor, int(round(cfg.important_size * r[l])))
+                for l in range(num_layers)]
+    else:
+        decay = getattr(cfg, "cascade_layer_decay", 1.0)
+        vals = [max(floor, int(round(cfg.important_size * decay ** l)))
+                for l in range(num_layers)]
+    return jnp.asarray(vals, jnp.int32)
+
+
+def select_keep_indices_budgeted(
+    importance: jax.Array,     # [L, B, Hkv, C]
+    lengths: jax.Array,        # [L, B] or broadcastable to [L, B, Hkv]
+    start_size: int,
+    important_budget: jax.Array,   # int32 [L], each <= important_size_max
+    important_size_max: int,
+    recent_size: int,
+    num_coming: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-layer budgeted keep selection (cascade schedule as data).
+
+    Like `select_keep_indices` but the important-region count varies per
+    layer at runtime: static shapes carry `important_size_max` slots, and
+    layers with a smaller budget mark the excess invalid; a final sort
+    compacts [start || kept-important || recent] contiguously and
+    chronologically, with invalid slots pushed past the kept region.
+
+    Returns (keep_idx [L, B, Hkv, keep_max], keep_count [L, B]) where
+    keep_max = start + important_size_max + (recent - num_coming) and only
+    the first keep_count[l, b] indices of each row are live.
+    """
+    L, Bb, hkv, capacity = importance.shape
+    recent_keep = recent_size - num_coming
+    if recent_keep < 0:
+        raise ValueError(
+            f"num_coming={num_coming} exceeds recent_size={recent_size}")
+    keep_max = start_size + important_size_max + recent_keep
+    assert keep_max <= capacity
+
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(L, Bb, 1), (L, Bb, hkv))
+    recent_begin = lengths - recent_keep                  # [L, B, Hkv]
+    budget = jnp.asarray(important_budget, jnp.int32
+                         ).reshape(L, 1, 1, 1)
+
+    in_middle = (pos >= start_size) & (pos < recent_begin[..., None])
+    masked = jnp.where(in_middle, importance.astype(jnp.float32), _NEG_INF)
+    val, idx = jax.lax.top_k(masked, important_size_max)
+    rank = jnp.arange(important_size_max, dtype=jnp.int32)
+    valid_imp = (rank < budget) & (val > _NEG_INF)        # [L,B,Hkv,M]
+
+    big = capacity + rank                                 # distinct tails
+    imp_key = jnp.where(valid_imp, idx, big)
+
+    start_idx = jnp.broadcast_to(
+        jnp.arange(start_size, dtype=jnp.int32),
+        (L, Bb, hkv, start_size))
+    recent_idx = recent_begin[..., None] + jnp.arange(recent_keep,
+                                                      dtype=jnp.int32)
+    keys = jnp.concatenate(
+        [start_idx, imp_key, recent_idx], axis=-1)        # [L,B,Hkv,keep_max]
+    # invalid important keys are >= capacity > any recent index, so one
+    # ascending sort yields [start || kept-important || recent || invalid]
+    keys = jnp.sort(keys, axis=-1)
+    keep_idx = jnp.where(keys < capacity, keys, 0).astype(jnp.int32)
+
+    n_imp = jnp.minimum(
+        budget[..., 0],
+        jnp.maximum(recent_begin[:, :, :1] - start_size, 0))  # [L, B, 1]
+    keep_count = (start_size + n_imp[..., 0] + recent_keep)   # [L, B]
+    return keep_idx, keep_count
+
+
 def prune_arrays(
     keep_indices: jax.Array, *arrays: jax.Array
 ) -> Tuple[jax.Array, ...]:

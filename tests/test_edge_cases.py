@@ -37,7 +37,8 @@ def test_partial_batch_prune_trigger():
     _, state, _ = transformer.forward(params, cfg, state, toks[:, :8])
     # advance sequences 0 and 1 further via masked... simplest: set
     # lengths directly after a real forward (caches are warm to length 8)
-    state = state._replace(lengths=jnp.array([31, 20, 8], jnp.int32))
+    from spatten_tpu.engine.state import with_lengths
+    state = with_lengths(state, jnp.array([31, 20, 8], jnp.int32))
 
     new_state, pruned = gen.maybe_prune(cfg, state, num_coming=2)
     pr = np.asarray(pruned)

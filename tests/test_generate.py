@@ -10,7 +10,7 @@ from spatten_tpu.config import (
     EngineConfig, ModelConfig, PruningConfig, QuantConfig, SpAttenConfig,
 )
 import spatten_tpu.engine.generate as gen
-from spatten_tpu.engine.state import init_state
+from spatten_tpu.engine.state import init_state, with_lengths
 from spatten_tpu.models import transformer
 
 
@@ -85,8 +85,9 @@ def test_prune_preserves_start_and_recent_tokens():
         lambda a: jnp.broadcast_to(a[None], (L,) + a.shape), layer)
     importance = jax.random.uniform(
         jax.random.PRNGKey(3), (L, b, hkv, cap)) + 1.0
-    state = state._replace(cache=cache, importance=importance,
-                           lengths=jnp.full((b,), length, jnp.int32))
+    state = with_lengths(
+        state._replace(cache=cache, importance=importance),
+        jnp.full((b,), length, jnp.int32))
 
     new_state, pruned = gen.maybe_prune(cfg, state, num_coming=1)
     assert bool(pruned[0])
@@ -127,8 +128,9 @@ def test_importance_drives_selection():
     layer = kvc.LayerKVCache(k=qz.quantize(k), v=qz.quantize(k))
     cache = jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (L,) + a.shape), layer)
-    state = state._replace(cache=cache, importance=importance,
-                           lengths=jnp.full((b,), cap, jnp.int32))
+    state = with_lengths(
+        state._replace(cache=cache, importance=importance),
+        jnp.full((b,), cap, jnp.int32))
 
     new_state, _ = gen.maybe_prune(cfg, state, num_coming=1)
     kept_k = np.asarray(qz.dequantize_full(new_state.cache.k))[0, 0, 0]

@@ -88,9 +88,11 @@ def test_prune_rerotation_is_exact():
         lambda a: jnp.broadcast_to(a[None], (L,) + a.shape), layer)
     importance = jax.random.uniform(jax.random.PRNGKey(4),
                                     (L, b, hkv, cap)) + 1.0
-    state = init_state(cached, batch=b)._replace(
-        cache=cache, importance=importance,
-        lengths=jnp.full((b,), cap, jnp.int32))
+    from spatten_tpu.engine.state import with_lengths
+    state = with_lengths(
+        init_state(cached, batch=b)._replace(
+            cache=cache, importance=importance),
+        jnp.full((b,), cap, jnp.int32))
 
     new_state, pruned = gen.maybe_prune(cached, state, num_coming=1)
     assert bool(pruned[0])

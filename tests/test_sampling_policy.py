@@ -63,8 +63,9 @@ def test_update_head_mask_keeps_topk_groups():
     imp = jnp.zeros((2, 1, 2, 32))
     imp = imp.at[0, :, 1, :10].set(5.0)
     imp = imp.at[1, :, 0, :10].set(5.0)
-    state = state._replace(importance=imp,
-                           lengths=jnp.array([20], jnp.int32))
+    from spatten_tpu.engine.state import with_lengths
+    state = with_lengths(state._replace(importance=imp),
+                         jnp.array([20], jnp.int32))
     hi = head_importance_from_state(state)
     assert hi.shape == (2, 2)
     new_state = update_head_mask(cfg, state)

@@ -105,7 +105,8 @@ def main():
     def mk_state(cfg, lengths):
         st = init_state(cfg, batch=b)
         # own copy: the state is donated, must not share the ablation arrays
-        return st._replace(lengths=lengths + 0)
+        from spatten_tpu.engine.state import with_lengths
+        return with_lengths(st, lengths + 0)
 
     def step(cfg):
         def f(params, state, token):
