@@ -64,8 +64,14 @@ def build_cfg(spatten: bool, cache: int, batch: int):
     if spatten:
         pruning = PruningConfig(
             start_size=4,
-            important_size=int(cache * 0.40),
-            recent_size=int(cache * 0.35),
+            important_size=int(cache * 0.55),
+            recent_size=int(cache * 0.10),
+            # per-layer cascade schedule shaped like the reference
+            # GPT-2-small trace's stepped key_fetch_num decay
+            # (1.0, 0.78, 0.25 x4, 0.14 x6 normalized), stretched to the
+            # bench depth; deeper layers keep far fewer tokens
+            cascade_layer_ratios=(1.0, 0.78, 0.25, 0.25, 0.25,
+                                  0.14, 0.14, 0.14),
             enable_v_pruning=True, v_keep_ratio=0.25, v_block_size=64,
         )
         quant = QuantConfig(enabled=True, enable_requant=True,

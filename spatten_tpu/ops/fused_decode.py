@@ -9,22 +9,32 @@ scatter alone cost more than all attention compute, and the probs
 round-trip paid HBM for a tensor that never needed to leave the core.
 
 This kernel is the whole reference pipeline in one pallas_call, mirroring
-SpAttenController.scala's single 15-stage dataflow (:79-785):
+SpAttenController.scala's single 15-stage dataflow (:79-785), organized
+for DMA-latency hiding (length sweeps showed the first fusion was
+latency-bound at ~70us/program, byte-insensitive):
 
-  * append: quantizes the incoming K/V row in-kernel and DMAs it into the
-    int8 plane + nibble-RMWs the packed 4-bit plane (the masked LSB/bit-
-    plane write of Buffer.scala:78-83 / SpAttenController.scala:230-232);
-    the caller aliases the cache planes so the write is truly in place.
-  * phase A: length-gated MSB fetch, blocked QK^T on MXU, masked f32
-    softmax, requant decision + @pl.when full-plane recompute
-    (RequantDecision.scala:69-76 + stageRequantizeOrRelease loop),
-    importance epilogue, per-head early-exit for pruned heads.
-  * local V pruning + P·V: per-(query-head, block) exact top-k keep at
-    block granularity (k-th order statistic by all-pairs counting replaces
-    the QuickSelect FSM); only surviving blocks are DMA'd (the score_buf-
-    indexed fetch of stageFetchValMat, :668-736) and the P·V matmul runs
-    with probabilities that are *exactly* zero for dropped blocks — an
-    unfetched block's stale scratch rows always multiply zero.
+  * program start: every DMA that can be issued immediately is — the
+    append's RMW block reads, every alive head's MSB (or full-plane) K
+    fetch, and (dense mode) every head's V fetch — all reading the OLD
+    planes.  Nothing orders behind the append.
+  * patch, don't order: the appended token's K/V row is quantized in
+    registers; its score column and P·V contribution are patched from
+    those registers, so fetched stale data for slot `length-1` never
+    matters.  (The fetch may race the append write; either value is
+    overwritten by the patch.)
+  * append: aligned 8-row RMW blocks splice the new row into the int8
+    plane and its nibble into the packed 4-bit plane (the masked
+    bit-plane write of Buffer.scala:78-83 / SpAttenController.scala:
+    230-232); reads land during phase A, writes drain at program end.
+  * phase A per head: blocked QK^T on MXU, masked f32 softmax, requant
+    decision + @pl.when full-plane recompute (RequantDecision.scala:
+    69-76), importance epilogue, exact per-(query-head, block) V top-k
+    (k-th order statistic replaces the QuickSelect FSM), and the V fetch
+    *starts* (indexed, unconditional — block ids extracted after a
+    vector-side ranking; ids park in SMEM for the P·V pass).
+  * P·V pass per head: waits the V DMAs (latency hidden behind the other
+    heads' phase A), folds the V scale into the probabilities, runs one
+    [G,C]x[C,D] MXU matmul, and adds the patched new-token contribution.
   * dense mode (quant_enabled=False, v_keep=0) length-gates both fetches
     and skips every pruning stage — the honest dense-int8 baseline runs
     the same kernel with the SpAtten machinery off.
@@ -63,6 +73,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     do_vprune = 0 < v_keep and keep_blocks < num_vblk
     if do_vprune:
         assert pblk % v_block == 0
+    keep_ub = min(num_vblk, group * keep_blocks) if do_vprune else 0
     do_requant = quant_enabled and requant_threshold > 0.0
     int_dots = quantize_queries and not use_rope
     d = head_dim
@@ -78,6 +89,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if use_rope:
             cos_ref = next(it)             # [C, D//2] f32
             sin_ref = next(it)
+            cosidx_ref = next(it)          # [1, 1, 1, D] rope row at idx
+            sinidx_ref = next(it)
         hmask_ref = next(it)               # [1, HPP, 1, G] f32
         imp_in_ref = next(it)              # [1, HPP, 1, C or 128] f32
         kmsb_hbm = next(it)                # [B, Hkv, C//2, D] uint8 (ANY)
@@ -94,21 +107,21 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         kfull_out = next(it)
         vmsb_out = next(it)
         vfull_out = next(it)
-        # one whole (8, D) scratch per staged plane-row: HBM memrefs tile 8
-        # sublanes, so a single-row DMA slice is unlowerable — instead we
-        # read-modify-write the aligned 8-row block containing the target
-        # row (each scratch is whole-ref DMA'd, no VMEM slicing either)
+        # one whole (8, D) scratch per staged plane-row: HBM memrefs tile
+        # 8 sublanes, so a single-row DMA slice is unlowerable — we RMW
+        # the aligned 8-row block containing the target row instead
         row_scr = [next(it) for _ in range(2 * hpp)]   # (8, D) int8 each
         rmw_scr = [next(it) for _ in range(2 * hpp)]   # (8, D) uint8 each
         kmsb_scr = next(it)                # [HPP, C//2, D] uint8
-        kfull_scr = next(it)               # [C, D] int8
-        scores_scr = next(it)              # [G, C] f32
-        probs_scr = next(it)               # [G, C] f32 (final probs)
-        v_scr = next(it)                   # [C, D] int8
+        kfull_scr = next(it)               # [HPP, C, D] int8 (per head)
+        scores_scr = next(it)              # [HPP*G, C] f32 (all heads)
+        probs_scr = next(it)               # [HPP*G, C] f32 (post-select)
+        v_scr = next(it)                   # [HPP, C, D] int8
+        ids_smem = next(it)                # SMEM (HPP, max(keep_ub,1)) i32
         app_sem = next(it)                 # DMA (4, HPP)
         kmsb_sem = next(it)                # DMA (HPP, num_pblk)
-        kfull_sem = next(it)               # DMA (num_tblk,)
-        v_sem = next(it)                   # DMA (num_vblk,)
+        kfull_sem = next(it)               # DMA (HPP, num_tblk)
+        v_sem = next(it)                   # DMA (HPP, keep_ub | num_tblk)
 
         b = pl.program_id(0)
         jpack = pl.program_id(1)
@@ -119,19 +132,17 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         is_hi = idx < half
         prow = jnp.where(is_hi, idx, idx - half)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (group, cap), 1)
-        valid = col < length               # [G, C]
+        rows = hpp * group                 # combined score-plane rows
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 1)
+        valid = col < length               # [rows, C]
         col1 = col[0]                      # [C]
+        alive = [jnp.max(hmask_ref[0, h, 0, :]) > 0.0 for h in range(hpp)]
 
         # ------------------------------------------------------------------
-        # APPEND: quantize the new rows in-kernel, RMW both planes.
-        # Semantics bit-match qz.update_token (same round/clip/scale).
-        # Every plane write is an aligned 8-row block read-modify-write:
-        # read the block holding the target row, splice the new row in
-        # with a sublane mask, write the block back.
+        # LAUNCH: every DMA that reads the old planes starts now.
         # ------------------------------------------------------------------
-        fstart = (idx // 8) * 8            # full-plane block start
-        pstart = (prow // 8) * 8           # packed-plane block start
+        fstart = (idx // 8) * 8            # full-plane RMW block start
+        pstart = (prow // 8) * 8           # packed-plane RMW block start
 
         def full_slice(ref, h):
             return ref.at[b, h0 + h, pl.ds(fstart, 8), :]
@@ -139,7 +150,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         def packed_slice(ref, h):
             return ref.at[b, h0 + h, pl.ds(pstart, 8), :]
 
-        # start all block reads up front
         for h in range(hpp):
             pltpu.make_async_copy(full_slice(kfull_out, h),
                                   row_scr[2 * h], app_sem.at[0, h]).start()
@@ -152,85 +162,48 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                   rmw_scr[2 * h + 1],
                                   app_sem.at[3, h]).start()
 
-        def quant_row(row):                # [1, D] f32 -> (int8 row, scale)
-            amax = jnp.max(jnp.abs(row))
-            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-            q8 = jnp.clip(jnp.round(row / scale), -127, 127
-                          ).astype(jnp.int8)
-            return q8, scale
-
-        new_rows = []                      # (kq8, vq8) per head
-        new_scales = []                    # (kscale, vscale) per head
-        for h in range(hpp):
-            kq8, ks = quant_row(knew_ref[0, h].astype(jnp.float32))
-            vq8, vs = quant_row(vnew_ref[0, h].astype(jnp.float32))
-            new_rows.append((kq8, vq8))
-            new_scales.append((ks, vs))
-            # scale-row updates (VMEM blocks, aliased): the epilogue below
-            # must see the new token's scale
-            is_new = col1 == idx
-            kscale_out[0, h, 0, :] = jnp.where(
-                is_new, ks, kscale_ref[0, h, 0, :])
-            vscale_out[0, h, 0, :] = jnp.where(
-                is_new, vs, vscale_ref[0, h, 0, :])
-
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
-        fmask = sub8 == (idx - fstart)     # [8, D] row selector
-        pmask = sub8 == (prow - pstart)
-
-        def nib_of(q8row):                 # int8 [1, D] -> int32 nibble
-            return ((q8row.astype(jnp.int32) >> 4) & 0xF)
-
-        for h in range(hpp):
-            kq8, vq8 = new_rows[h]
-            # full planes: splice the int8 row into its block
-            for scr_i, q8 in ((2 * h, kq8), (2 * h + 1, vq8)):
-                sem = app_sem.at[scr_i % 2, h]
-                ref = full_slice(kfull_out if scr_i % 2 == 0 else vfull_out,
-                                 h)
-                pltpu.make_async_copy(ref, row_scr[scr_i], sem).wait()
-                blk = row_scr[scr_i][...]
-                row_scr[scr_i][...] = jnp.where(
-                    fmask, jnp.broadcast_to(q8, (8, d)), blk)
-                pltpu.make_async_copy(row_scr[scr_i], ref, sem).start()
-            # packed planes: splice only the owned nibble of the byte row
-            for scr_i, q8 in ((2 * h, kq8), (2 * h + 1, vq8)):
-                sem = app_sem.at[2 + scr_i % 2, h]
-                ref = packed_slice(kmsb_out if scr_i % 2 == 0 else vmsb_out,
-                                   h)
-                pltpu.make_async_copy(ref, rmw_scr[scr_i], sem).wait()
-                old = rmw_scr[scr_i][...].astype(jnp.int32)
-                nib = jnp.broadcast_to(nib_of(q8), (8, d))
-                newb = jnp.where(is_hi,
-                                 (nib << 4) | (old & 0x0F),
-                                 (old & jnp.int32(0xF0)) | nib)
-                rmw_scr[scr_i][...] = jnp.where(pmask, newb, old
-                                                ).astype(jnp.uint8)
-                pltpu.make_async_copy(rmw_scr[scr_i], ref, sem).start()
-
-        # all four planes' writes must land before any fetch may read them
-        for h in range(hpp):
-            pltpu.make_async_copy(full_slice(kfull_out, h),
-                                  row_scr[2 * h], app_sem.at[0, h]).wait()
-            pltpu.make_async_copy(full_slice(vfull_out, h),
-                                  row_scr[2 * h + 1],
-                                  app_sem.at[1, h]).wait()
-            pltpu.make_async_copy(packed_slice(kmsb_out, h),
-                                  rmw_scr[2 * h], app_sem.at[2, h]).wait()
-            pltpu.make_async_copy(packed_slice(vmsb_out, h),
-                                  rmw_scr[2 * h + 1],
-                                  app_sem.at[3, h]).wait()
-
-        # ------------------------------------------------------------------
-        # Phase A machinery (per-head, as in the split kernel)
-        # ------------------------------------------------------------------
-        alive = [jnp.max(hmask_ref[0, h, 0, :]) > 0.0 for h in range(hpp)]
-
         def msb_dma(h, i):
             return pltpu.make_async_copy(
                 kmsb_out.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
                 kmsb_scr.at[h, pl.ds(i * pblk, pblk), :],
                 kmsb_sem.at[h, i])
+
+        def kfull_dma(h, i):
+            return pltpu.make_async_copy(
+                kfull_out.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
+                kfull_scr.at[h, pl.ds(i * pblk, pblk), :],
+                kfull_sem.at[h, i])
+
+        def kfull_phase(h, do_wait):
+            def body(i, _):
+                @pl.when(i * pblk < length)
+                def _():
+                    cp = kfull_dma(h, i)
+                    if do_wait:
+                        cp.wait()
+                    else:
+                        cp.start()
+                return 0
+            jax.lax.fori_loop(0, num_tblk, body, 0)
+
+        # dense V fetch at pblk granularity (no selection -> coarse DMAs)
+        def vdense_dma(h, i):
+            return pltpu.make_async_copy(
+                vfull_out.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
+                v_scr.at[h, pl.ds(i * pblk, pblk), :],
+                v_sem.at[h, i])
+
+        def vdense_phase(h, do_wait):
+            def body(i, _):
+                @pl.when(i * pblk < length)
+                def _():
+                    cp = vdense_dma(h, i)
+                    if do_wait:
+                        cp.wait()
+                    else:
+                        cp.start()
+                return 0
+            jax.lax.fori_loop(0, num_tblk, body, 0)
 
         if quant_enabled:
             for h in range(hpp):
@@ -242,26 +215,50 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             msb_dma(h, i).start()
                         return 0
                     jax.lax.fori_loop(0, num_pblk, start, 0)
+        else:
+            for h in range(hpp):
+                @pl.when(alive[h])
+                def _(h=h):
+                    kfull_phase(h, do_wait=False)
+        if not do_vprune:
+            for h in range(hpp):
+                @pl.when(alive[h])
+                def _(h=h):
+                    vdense_phase(h, do_wait=False)
 
-        def fetch_kfull(h):
-            def phase(do_wait):
-                def body(i, _):
-                    @pl.when(i * pblk < length)
-                    def _():
-                        cp = pltpu.make_async_copy(
-                            kfull_out.at[b, h0 + h,
-                                         pl.ds(i * pblk, pblk), :],
-                            kfull_scr.at[pl.ds(i * pblk, pblk), :],
-                            kfull_sem.at[i])
-                        if do_wait:
-                            cp.wait()
-                        else:
-                            cp.start()
-                    return 0
-                jax.lax.fori_loop(0, num_tblk, body, 0)
-            phase(False)
-            phase(True)
+        # ------------------------------------------------------------------
+        # Quantize the new rows in registers; update the scale rows.
+        # Semantics bit-match qz.update_token (same round/clip/scale).
+        # ------------------------------------------------------------------
+        def quant_row(row):                # [1, D] f32 -> (int8 row, scale)
+            amax = jnp.max(jnp.abs(row))
+            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q8 = jnp.clip(jnp.round(row / scale), -127, 127
+                          ).astype(jnp.int8)
+            return q8, scale
 
+        new_k, new_v = [], []              # (q8 row [1, D], scale) per head
+        is_new_col = col1 == idx
+        for h in range(hpp):
+            kq8, ks = quant_row(knew_ref[0, h].astype(jnp.float32))
+            vq8, vs = quant_row(vnew_ref[0, h].astype(jnp.float32))
+            new_k.append((kq8, ks))
+            new_v.append((vq8, vs))
+            kscale_out[0, h, 0, :] = jnp.where(
+                is_new_col, ks, kscale_ref[0, h, 0, :])
+            vscale_out[0, h, 0, :] = jnp.where(
+                is_new_col, vs, vscale_ref[0, h, 0, :])
+
+        def rope_row(vec):
+            """Rotate a [1, D] row to cache position idx."""
+            c = cosidx_ref[0, 0]           # [1, D]
+            s = sinidx_ref[0, 0]
+            return vec * c + _rotate_half(vec) * s
+
+        # ------------------------------------------------------------------
+        # Phase A per head: scores (patched at the new column) -> softmax
+        # -> requant -> importance -> V select -> V DMA start.
+        # ------------------------------------------------------------------
         def rope_block(kb, t):
             if not use_rope:
                 return kb
@@ -271,7 +268,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             sf = jnp.concatenate([s, s], axis=-1)
             return kb * cf + _rotate_half(kb) * sf
 
-        def blocked_scores(get_kblk, q, acc_dtype=jnp.float32):
+        def blocked_scores(h, get_kblk, q, acc_dtype=jnp.float32):
+            """QK^T for head h's G rows of the combined scores plane."""
             for t in range(num_tblk):
                 @pl.when(t * pblk < length)
                 def _(t=t):
@@ -279,24 +277,24 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     s_blk = jax.lax.dot_general(
                         q, kb, (((1,), (1,)), ((), ())),
                         preferred_element_type=acc_dtype)
-                    scores_scr[:, pl.ds(t * pblk, pblk)] = \
+                    scores_scr[pl.ds(h * group, group),
+                               pl.ds(t * pblk, pblk)] = \
                         s_blk.astype(jnp.float32)
 
-        def softmax_from_scores(colscale, coloffset, rowscale=1.0):
-            s = (scores_scr[:] * rowscale) * colscale + coloffset
-            scores_scr[:] = s
-            s_masked = jnp.where(valid, s, MASK_VALUE)
+        def softmax_rows(s, vmask, colscale, coloffset, rowscale):
+            """Masked softmax of score rows (any leading row count)."""
+            s = (s * rowscale) * colscale + coloffset
+            s_masked = jnp.where(vmask, s, MASK_VALUE)
             m = jnp.max(s_masked, axis=-1, keepdims=True)
             e = jnp.exp(s_masked - m)
-            e = jnp.where(valid, e, 0.0)
+            e = jnp.where(vmask, e, 0.0)
             denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            return e / denom
+            return s, e / denom
 
         if do_vprune:
             # full-width block-aggregation 0/1 matrix [C, nvb]: one MXU
-            # pass computes all block masses (and one more expands the
-            # keep mask back to columns) — probs live whole in VMEM here,
-            # so there is no reason to matmul per token block
+            # pass computes all block masses, one more expands the keep
+            # mask back to columns
             row_blk = jax.lax.broadcasted_iota(
                 jnp.int32, (cap, num_vblk), 0) // v_block
             col_ids = jax.lax.broadcasted_iota(
@@ -304,59 +302,94 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             agg_full = (row_blk == col_ids).astype(jnp.float32)
 
         # ------------------------------------------------------------------
-        # per-head pipeline: scores -> softmax -> requant -> importance ->
-        # V-select -> indexed V fetch -> P·V (probs never leave VMEM)
+        # Head-batched phase A: per-head QK writes into one [rows, C]
+        # scores plane; softmax / epilogue / importance / V selection then
+        # vectorize across all heads' rows at once (a [1, C]-shaped plane
+        # uses 1 of 8 sublanes — batching heads recovers the other 7).
         # ------------------------------------------------------------------
+        fold = not use_rope
+        q_all = q_ref[0].reshape(rows, d).astype(jnp.float32)
+        if int_dots:
+            qamax = jnp.max(jnp.abs(q_all), axis=-1, keepdims=True)
+            qscale = jnp.maximum(qamax, 1e-20) / 127.0
+            q_mat_all = jnp.clip(jnp.round(q_all / qscale),
+                                 -127, 127).astype(jnp.int8)
+            qf_all = q_mat_all.astype(jnp.float32)
+            qsum = jnp.sum(q_mat_all.astype(jnp.int32), axis=-1,
+                           keepdims=True).astype(jnp.float32)
+            rowscale = qscale              # [rows, 1]
+            acc = jnp.int32
+        else:
+            q_mat_all = q_all
+            qf_all = q_all
+            qsum = jnp.sum(q_all, axis=-1, keepdims=True)
+            rowscale = 1.0
+            acc = jnp.float32
+
+        kscale_hpp = kscale_out[0, :, 0, :]            # [hpp, C] updated
+        kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
+                       if group > 1 else kscale_hpp)   # [rows, C]
+
+        # head/group liveness as [rows, 1] / [hpp, 1] planes (built from
+        # scalar extracts: the [.., G]-lane mask can't reshape into rows)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        hpp_iota = jax.lax.broadcasted_iota(jnp.int32, (hpp, 1), 0)
+        hmask_rows = jnp.zeros((rows, 1), jnp.float32)
         for h in range(hpp):
-            hmask_h = hmask_ref[0, h, 0, :]
+            for g in range(group):
+                hmask_rows = hmask_rows + jnp.where(
+                    rows_iota == h * group + g,
+                    hmask_ref[0, h, 0, g], 0.0)
+        alive_hpp = jnp.zeros((hpp, 1), jnp.float32)
+        for h in range(hpp):
+            alive_hpp = alive_hpp + jnp.where(
+                hpp_iota == h, alive[h].astype(jnp.float32), 0.0)
+        alive_rows = (jnp.repeat(alive_hpp, group, axis=0)
+                      if group > 1 else alive_hpp)     # [rows, 1]
 
-            @pl.when(jnp.logical_not(alive[h]))
-            def _dead(h=h):
-                out_ref[0, h] = jnp.zeros((group, d), out_ref.dtype)
-                maxp_ref[0, h, 0, :] = jnp.zeros((128,), jnp.float32)
-                need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
-                if track_importance:
-                    if accumulate_importance:
-                        imp_ref[0, h, 0] = imp_in_ref[0, h, 0]
-                    else:
-                        imp_ref[0, h, 0] = jnp.zeros((cap,), jnp.float32)
-                else:
-                    imp_ref[0, h, 0] = jnp.zeros((128,), jnp.float32)
+        # new-row register planes for the score patches
+        kq8_all = jnp.concatenate(
+            [jnp.broadcast_to(new_k[h][0], (group, d)) for h in range(hpp)],
+            axis=0)                                    # [rows, D] int8
+        k4new_all = (kq8_all.astype(jnp.int32) >> 4).astype(jnp.float32)
+        ks_all = jnp.concatenate(
+            [jnp.full((group, 1), 1.0, jnp.float32) * new_k[h][1]
+             for h in range(hpp)], axis=0)             # [rows, 1]
 
+        def patch_col_p1():
+            """[rows, 1] raw pass-1 score of the appended token."""
+            if fold:
+                return jnp.sum(qf_all * k4new_all, axis=-1, keepdims=True)
+            vec = (k4new_all * 16.0 + qz.MSB_MIDPOINT) * ks_all
+            vec = rope_row(vec)
+            return jnp.sum(q_all * vec, axis=-1, keepdims=True)
+
+        def patch_col_full():
+            """[rows, 1] raw full-plane score of the appended token."""
+            kd = kq8_all.astype(jnp.float32)
+            if fold:
+                return jnp.sum(qf_all * kd, axis=-1, keepdims=True)
+            vec = kd * ks_all
+            vec = rope_row(vec)
+            return jnp.sum(q_all * vec, axis=-1, keepdims=True)
+
+        def kblk_full(h, t):
+            rows_k = kfull_scr[h, pl.ds(t * pblk, pblk), :]
+            if int_dots:
+                return rows_k
+            raw = rows_k.astype(jnp.float32)
+            if fold:
+                return raw
+            sc = kscale_out[0, h, 0][t * pblk:(t + 1) * pblk]
+            return raw * sc[:, None]
+
+        full_scale = (kscale_rows * sm_scale) if fold else sm_scale
+
+        # --- per-head QK (the only per-head phase-A work) ----------------
+        for h in range(hpp):
             @pl.when(alive[h])
-            def _live(h=h, hmask_h=hmask_h):
-                q = q_ref[0, h]                       # [G, D] f32
-                kscale = kscale_out[0, h, 0]          # [C] (updated row)
-
-                fold = not use_rope
-                if int_dots:
-                    qamax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-                    qscale = jnp.maximum(qamax, 1e-20) / 127.0
-                    q_mat = jnp.clip(jnp.round(q / qscale),
-                                     -127, 127).astype(jnp.int8)
-                    qsum = jnp.sum(q_mat.astype(jnp.int32), axis=-1,
-                                   keepdims=True).astype(jnp.float32)
-                    rowscale = qscale
-                    acc = jnp.int32
-                else:
-                    q_mat = q
-                    qsum = jnp.sum(q, axis=-1, keepdims=True)
-                    rowscale = 1.0
-                    acc = jnp.float32
-
-                def kblk_full(t):
-                    rows = kfull_scr[pl.ds(t * pblk, pblk), :]
-                    if int_dots:
-                        return rows
-                    raw = rows.astype(jnp.float32)
-                    if fold:
-                        return raw
-                    sc = kscale[t * pblk:(t + 1) * pblk]
-                    return raw * sc[:, None]
-
-                full_scale = (kscale * sm_scale) if fold else sm_scale
-                full_offset = 0.0
-
+            def _qk(h=h):
+                q_mat = q_mat_all[h * group:(h + 1) * group]
                 if quant_enabled:
                     def wait(i, _):
                         @pl.when(i * pblk < packed_limit)
@@ -366,9 +399,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     jax.lax.fori_loop(0, num_pblk, wait, 0)
 
                     def kblk_msb(t):
-                        p = t if t < num_pblk else t - num_pblk
-                        rows = kmsb_scr[h, pl.ds(p * pblk, pblk), :]
-                        nib = rows.astype(jnp.int32)
+                        pkt = t if t < num_pblk else t - num_pblk
+                        rows_k = kmsb_scr[h, pl.ds(pkt * pblk, pblk), :]
+                        nib = rows_k.astype(jnp.int32)
                         nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
                         k4i = (nib ^ 8) - 8
                         if int_dots:
@@ -376,148 +409,242 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         k4 = k4i.astype(jnp.float32)
                         if fold:
                             return k4
-                        sc = kscale[t * pblk:(t + 1) * pblk]
+                        sc = kscale_out[0, h, 0][t * pblk:(t + 1) * pblk]
                         return (k4 * 16.0 + qz.MSB_MIDPOINT) * sc[:, None]
 
-                    blocked_scores(kblk_msb, q_mat, acc)
-                    if fold:
-                        p1_scale = kscale * (16.0 * sm_scale)
-                        p1_offset = (rowscale * qsum) * (
-                            kscale * (qz.MSB_MIDPOINT * sm_scale))[None, :]
-                    else:
-                        p1_scale, p1_offset = sm_scale, 0.0
+                    blocked_scores(h, kblk_msb, q_mat, acc)
                 else:
-                    fetch_kfull(h)
-                    blocked_scores(kblk_full, q_mat, acc)
-                    p1_scale, p1_offset = full_scale, full_offset
+                    kfull_phase(h, do_wait=True)
+                    blocked_scores(h, lambda t: kblk_full(h, t), q_mat, acc)
 
-                probs_scr[:] = softmax_from_scores(p1_scale, p1_offset,
-                                                   rowscale)
+        # --- combined epilogue + softmax ---------------------------------
+        if quant_enabled:
+            if fold:
+                p1_scale = kscale_rows * (16.0 * sm_scale)
+                p1_offset = (rowscale * qsum) * (
+                    kscale_rows * (qz.MSB_MIDPOINT * sm_scale))
+                patch1 = patch_col_p1()
+            else:
+                p1_scale, p1_offset = sm_scale, 0.0
+                patch1 = patch_col_p1()
+        else:
+            p1_scale = full_scale
+            p1_offset = 0.0
+            patch1 = patch_col_full()
 
-                max_prob = jnp.max(probs_scr[:])
-                maxp_ref[0, h, 0, :] = jnp.full((128,), max_prob,
-                                                jnp.float32)
-                if do_requant:
-                    need = max_prob < requant_threshold
-                    need_ref[0, h, 0, :] = jnp.full(
-                        (128,), need.astype(jnp.int32))
+        # patch the appended token's column (the plane row may be stale —
+        # the fetch did not order behind the append)
+        s_all = jnp.where(col == idx, patch1, scores_scr[:])
+        s_all, probs_all = softmax_rows(s_all, valid, p1_scale, p1_offset,
+                                        rowscale)
+        scores_scr[:] = s_all
 
-                    @pl.when(need)
-                    def _requant():
-                        fetch_kfull(h)
-                        blocked_scores(kblk_full, q_mat, acc)
-                        probs_scr[:] = softmax_from_scores(
-                            full_scale, full_offset, rowscale)
-                else:
-                    need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
+        # --- requant decision + per-head recompute -----------------------
+        maxp_rows = jnp.max(probs_all, axis=-1, keepdims=True) * alive_rows
+        probs_scr[:] = probs_all
+        for h in range(hpp):
+            r0 = h * group
+            mp_h = jnp.max(
+                jnp.where((rows_iota >= r0) & (rows_iota < r0 + group),
+                          maxp_rows, 0.0))
+            maxp_ref[0, h, 0, :] = jnp.full((128,), mp_h, jnp.float32)
+            if do_requant:
+                need_h = alive[h] & (mp_h < requant_threshold)
+                need_ref[0, h, 0, :] = jnp.full(
+                    (128,), need_h.astype(jnp.int32))
 
-                # ---- tail: head mask, importance, V-select, P·V --------
-                probs = probs_scr[:] * hmask_h[:, None]
+                @pl.when(need_h)
+                def _requant(h=h):
+                    kfull_phase(h, do_wait=False)
+                    kfull_phase(h, do_wait=True)
+                    q_mat = q_mat_all[h * group:(h + 1) * group]
+                    blocked_scores(h, lambda t: kblk_full(h, t), q_mat,
+                                   acc)
+                    sl = pl.ds(h * group, group)
+                    s_h = jnp.where(col[:group] == idx,
+                                    patch_col_full()[r0:r0 + group],
+                                    scores_scr[sl, :])
+                    fs = (full_scale[r0:r0 + group]
+                          if fold else full_scale)
+                    rs = (rowscale[r0:r0 + group]
+                          if int_dots else rowscale)
+                    s_h, p_h = softmax_rows(s_h, valid[:group], fs, 0.0,
+                                            rs)
+                    scores_scr[sl, :] = s_h
+                    probs_scr[sl, :] = p_h
+            else:
+                need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
 
-                if track_importance:
-                    if importance_kind == "prob":
-                        delta = jnp.sum(probs, axis=0)
-                    else:
-                        delta = jnp.sum(
-                            jnp.where(valid, scores_scr[:], 0.0) *
-                            hmask_h[:, None], axis=0)
-                    if accumulate_importance:
-                        prev = jnp.where(col1 == idx, 0.0,
-                                         imp_in_ref[0, h, 0])
-                        if importance_ema != 1.0:
-                            prev = prev * importance_ema
-                        imp_ref[0, h, 0] = prev + delta
-                    else:
-                        imp_ref[0, h, 0] = delta
-                else:
-                    imp_ref[0, h, 0] = jnp.zeros((128,), jnp.float32)
+        probs_all = probs_scr[:] * hmask_rows          # [rows, C]
 
-                # --- V selection + fetch flags -----------------------
+        # --- importance (all heads at once) ------------------------------
+        if track_importance:
+            if importance_kind == "prob":
+                delta_rows = probs_all
+            else:
+                delta_rows = jnp.where(valid, scores_scr[:], 0.0) * \
+                    hmask_rows
+            if group > 1:
+                delta = jnp.sum(delta_rows.reshape(hpp, group, cap),
+                                axis=1)                # [hpp, C]
+            else:
+                delta = delta_rows
+            if accumulate_importance:
+                prev = jnp.where(col1[None, :] == idx, 0.0,
+                                 imp_in_ref[0, :, 0, :])
+                if importance_ema != 1.0:
+                    prev = prev * importance_ema
+                imp_ref[0, :, 0, :] = jnp.where(
+                    alive_hpp > 0.0, prev + delta, imp_in_ref[0, :, 0, :])
+            else:
+                imp_ref[0, :, 0, :] = delta
+        else:
+            imp_ref[0, :, 0, :] = jnp.zeros((hpp, 128), jnp.float32)
+
+        # --- V selection (all heads at once) + indexed fetch start -------
+        head_ids = []
+        if do_vprune:
+            mass = jax.lax.dot_general(
+                probs_all, agg_full, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [rows, nvb]
+            kth = _kth_largest(mass, keep_blocks)      # [rows]
+            keep_gb = (mass >= kth[..., None]).astype(jnp.float32)
+            fm = keep_gb * mass
+            fetch_f = (jnp.max(fm.reshape(hpp, group, num_vblk), axis=1)
+                       if group > 1 else fm)           # [hpp, nvb]
+            # rank blocks per head by fetch score (descending, index tie-
+            # break); only the top keep_ub fetch, and only those stay
+            # kept — ties past the budget drop exactly like the reference
+            # TopK's keep_equal_num rule (TopK.scala:148-224)
+            jvec = jax.lax.broadcasted_iota(
+                jnp.int32, (num_vblk, num_vblk), 1)
+            gt = (fetch_f[:, None, :] > fetch_f[:, :, None]) | (
+                (fetch_f[:, None, :] == fetch_f[:, :, None])
+                & (jvec < jvec.T)[None])
+            rank = jnp.sum(gt.astype(jnp.int32), axis=2)   # [hpp, nvb]
+            fetched = ((rank < keep_ub) & (fetch_f > 0.0)
+                       ).astype(jnp.float32)               # [hpp, nvb]
+            fetched_rows = (jnp.repeat(fetched, group, axis=0)
+                            if group > 1 else fetched)
+            keep_gb = keep_gb * fetched_rows
+            keep_cols = jax.lax.dot_general(
+                keep_gb, agg_full, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [rows, C]
+            probs_scr[:] = probs_all * keep_cols
+            # extract the kept block ids; unkept ranks resolve to block 0
+            # (re-fetch of block 0 is an idempotent no-op)
+            rvec = jax.lax.broadcasted_iota(
+                jnp.int32, (hpp, keep_ub, num_vblk), 1)
+            cvec = jax.lax.broadcasted_iota(
+                jnp.int32, (hpp, keep_ub, num_vblk), 2)
+            hit = ((rank[:, None, :] == rvec)
+                   & (fetch_f[:, None, :] > 0.0))
+            ids = jnp.sum(jnp.where(hit, cvec, 0), axis=2)  # [hpp, keep_ub]
+            for h in range(hpp):
+                @pl.when(alive[h])
+                def _vfetch(h=h):
+                    for s in range(keep_ub):
+                        blk = ids[h, s]
+                        ids_smem[h, s] = blk
+                        pltpu.make_async_copy(
+                            vfull_out.at[b, h0 + h,
+                                         pl.ds(blk * v_block, v_block), :],
+                            v_scr.at[h, pl.ds(blk * v_block, v_block), :],
+                            v_sem.at[h, s]).start()
+        else:
+            probs_scr[:] = probs_all
+
+        # ------------------------------------------------------------------
+        # Append modify + write start (RMW reads landed during phase A).
+        # ------------------------------------------------------------------
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+        fmask = sub8 == (idx - fstart)
+        pmask = sub8 == (prow - pstart)
+
+        for h in range(hpp):
+            pltpu.make_async_copy(full_slice(kfull_out, h),
+                                  row_scr[2 * h], app_sem.at[0, h]).wait()
+            pltpu.make_async_copy(full_slice(vfull_out, h),
+                                  row_scr[2 * h + 1],
+                                  app_sem.at[1, h]).wait()
+            pltpu.make_async_copy(packed_slice(kmsb_out, h),
+                                  rmw_scr[2 * h], app_sem.at[2, h]).wait()
+            pltpu.make_async_copy(packed_slice(vmsb_out, h),
+                                  rmw_scr[2 * h + 1],
+                                  app_sem.at[3, h]).wait()
+            for scr_i, (q8, _) in ((2 * h, new_k[h]), (2 * h + 1, new_v[h])):
+                blk = row_scr[scr_i][...]
+                row_scr[scr_i][...] = jnp.where(
+                    fmask, jnp.broadcast_to(q8, (8, d)), blk)
+                old = rmw_scr[scr_i][...].astype(jnp.int32)
+                nib = jnp.broadcast_to(
+                    (q8.astype(jnp.int32) >> 4) & 0xF, (8, d))
+                newb = jnp.where(is_hi,
+                                 (nib << 4) | (old & 0x0F),
+                                 (old & jnp.int32(0xF0)) | nib)
+                rmw_scr[scr_i][...] = jnp.where(pmask, newb, old
+                                                ).astype(jnp.uint8)
+            pltpu.make_async_copy(row_scr[2 * h], full_slice(kfull_out, h),
+                                  app_sem.at[0, h]).start()
+            pltpu.make_async_copy(row_scr[2 * h + 1],
+                                  full_slice(vfull_out, h),
+                                  app_sem.at[1, h]).start()
+            pltpu.make_async_copy(rmw_scr[2 * h], packed_slice(kmsb_out, h),
+                                  app_sem.at[2, h]).start()
+            pltpu.make_async_copy(rmw_scr[2 * h + 1],
+                                  packed_slice(vmsb_out, h),
+                                  app_sem.at[3, h]).start()
+
+        # ------------------------------------------------------------------
+        # P·V pass per head (V DMA latency hidden behind phase A).
+        # ------------------------------------------------------------------
+        for h in range(hpp):
+            @pl.when(alive[h])
+            def _pv(h=h):
                 if do_vprune:
-                    mass = jax.lax.dot_general(
-                        probs, agg_full, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32
-                    )                             # [G, num_vblk]
-                    kth = _kth_largest(mass, keep_blocks)
-                    keep_gb = (mass >= kth[:, None]
-                               ).astype(jnp.float32)
-                    # fetch score per block: kept by any group member AND
-                    # nonzero mass (mass==0 blocks are masked/out-of-length)
-                    fetch_f = jnp.max(keep_gb * mass, axis=0)  # [nvb]
-                    # rank blocks by fetch score (descending, index ties):
-                    # only the top keep_ub are fetched, and — so unfetched
-                    # always means zero probability — only those stay kept
-                    # (ties past the budget drop deterministically, like
-                    # the reference TopK's keep_equal_num rule,
-                    # TopK.scala:148-224)
-                    keep_ub = min(num_vblk, group * keep_blocks)
-                    jvec = jax.lax.broadcasted_iota(
-                        jnp.int32, (num_vblk, num_vblk), 1)
-                    si = fetch_f[None, :]          # scores as columns
-                    sj = fetch_f[:, None]          # scores as rows
-                    gt = (si > sj) | ((si == sj) & (jvec < jvec.T))
-                    rank = jnp.sum(gt.astype(jnp.int32), axis=1)  # [nvb]
-                    fetched = ((rank < keep_ub) & (fetch_f > 0.0)
-                               ).astype(jnp.float32)              # [nvb]
-                    keep_gb = keep_gb * fetched[None, :]
-                    # zero dropped (g, block) probabilities exactly
-                    keep_cols = jax.lax.dot_general(
-                        keep_gb, agg_full, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # [G, C]
-                    probs_pv = probs * keep_cols
-                else:
-                    fetch_f = None
-                    probs_pv = probs
-
-                # --- V fetch --------------------------------------------
-                def vdma(j, s):
-                    return pltpu.make_async_copy(
-                        vfull_out.at[b, h0 + h,
-                                     pl.ds(j * v_block, v_block), :],
-                        v_scr.at[pl.ds(j * v_block, v_block), :],
-                        v_sem.at[s])
-
-                if fetch_f is not None:
-                    # UNCONDITIONAL indexed fetch of the kept blocks: a
-                    # per-block `@pl.when(flag[j])` costs a vector->scalar
-                    # sync per block (measured ~3.7 ms/step at bench
-                    # shapes — slower than just fetching everything).
-                    # Instead extract only the keep_ub ranked block ids;
-                    # unkept ranks resolve to block 0, whose re-fetch is
-                    # an idempotent no-op.
-                    rvec = jax.lax.broadcasted_iota(
-                        jnp.int32, (keep_ub, num_vblk), 0)
-                    cvec = jax.lax.broadcasted_iota(
-                        jnp.int32, (keep_ub, num_vblk), 1)
-                    hit = ((rank[None, :] == rvec)
-                           & (fetch_f[None, :] > 0.0))
-                    ids = jnp.sum(jnp.where(hit, cvec, 0),
-                                  axis=1)          # [keep_ub]
                     for s in range(keep_ub):
-                        vdma(ids[s], s).start()
-                    for s in range(keep_ub):
-                        vdma(ids[s], s).wait()
+                        blk = ids_smem[h, s]
+                        pltpu.make_async_copy(
+                            vfull_out.at[b, h0 + h,
+                                         pl.ds(blk * v_block, v_block), :],
+                            v_scr.at[h, pl.ds(blk * v_block, v_block), :],
+                            v_sem.at[h, s]).wait()
                 else:
-                    # dense mode: scalar-only length gate (cheap conds)
-                    for do_wait in (False, True):
-                        for j in range(num_vblk):
-                            @pl.when((j * v_block) < length)
-                            def _(j=j):
-                                if do_wait:
-                                    vdma(j, j % num_vblk).wait()
-                                else:
-                                    vdma(j, j % num_vblk).start()
+                    vdense_phase(h, do_wait=True)
 
-                # --- P·V: fold the V scale into the probabilities ----
-                vscale_row = vscale_out[0, h, 0]          # [C]
+                probs_pv = probs_scr[pl.ds(h * group, group), :]
+                vq8, vs = new_v[h]
+                # patch the appended token's contribution: its plane row
+                # may be stale, so zero its column and add the true row
+                p_idx = jnp.sum(probs_pv * is_new_col[None, :].astype(
+                    jnp.float32), axis=-1)                    # [G]
+                probs_pv = probs_pv * (1.0 - is_new_col[None, :].astype(
+                    jnp.float32))
+                vscale_row = vscale_out[0, h, 0]
                 pv = probs_pv * vscale_row[None, :]
                 out = jax.lax.dot_general(
-                    pv, v_scr[:].astype(jnp.float32),
+                    pv, v_scr[h].astype(jnp.float32),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                out = out + p_idx[:, None] * (
+                    vq8.astype(jnp.float32) * vs)
                 out_ref[0, h] = out.astype(out_ref.dtype)
 
-    return kernel, (num_pblk, num_tblk, num_vblk)
+        # append writes drain last (they were issued above; by now their
+        # latency is hidden behind the P·V pass)
+        for h in range(hpp):
+            pltpu.make_async_copy(row_scr[2 * h], full_slice(kfull_out, h),
+                                  app_sem.at[0, h]).wait()
+            pltpu.make_async_copy(row_scr[2 * h + 1],
+                                  full_slice(vfull_out, h),
+                                  app_sem.at[1, h]).wait()
+            pltpu.make_async_copy(rmw_scr[2 * h], packed_slice(kmsb_out, h),
+                                  app_sem.at[2, h]).wait()
+            pltpu.make_async_copy(rmw_scr[2 * h + 1],
+                                  packed_slice(vmsb_out, h),
+                                  app_sem.at[3, h]).wait()
+
+    return kernel, (num_pblk, num_tblk, num_vblk, keep_ub)
 
 
 def fused_decode_attention(
@@ -563,7 +690,7 @@ def fused_decode_attention(
     hpp = _heads_per_program(hkv, cap, d)
 
     accumulate = importance_in is not None
-    kernel, (num_pblk, num_tblk, num_vblk) = _make_kernel(
+    kernel, (num_pblk, num_tblk, num_vblk, keep_ub) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
@@ -601,21 +728,31 @@ def fused_decode_attention(
     ]
     rope_args = []
     if use_rope:
+        # per-sequence rope row at the append position (idx = length - 1)
+        pos_idx = jnp.maximum(lengths - 1, 0)
+        cos_idx = jnp.take(cos, jnp.minimum(pos_idx, cos.shape[0] - 1),
+                           axis=0).reshape(b, 1, 1, d)
+        sin_idx = jnp.take(sin, jnp.minimum(pos_idx, sin.shape[0] - 1),
+                           axis=0).reshape(b, 1, 1, d)
         in_specs += [
             pl.BlockSpec((cap, d // 2), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cap, d // 2), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
+            blk((1, 1, 1, d), lambda i, j, *_: (i, 0, 0, 0)),
+            blk((1, 1, 1, d), lambda i, j, *_: (i, 0, 0, 0)),
         ]
         rope_args = [cos[:, : d // 2].astype(jnp.float32),
-                     sin[:, : d // 2].astype(jnp.float32)]
+                     sin[:, : d // 2].astype(jnp.float32),
+                     cos_idx.astype(jnp.float32),
+                     sin_idx.astype(jnp.float32)]
     in_specs += [
         blk((1, hpp, 1, group)),                     # hmask
         blk((1, hpp, 1, imp_cols)),                  # imp_in
-        pl.BlockSpec(memory_space=pl.ANY),        # kmsb
-        pl.BlockSpec(memory_space=pl.ANY),        # kfull
-        pl.BlockSpec(memory_space=pl.ANY),        # vmsb
-        pl.BlockSpec(memory_space=pl.ANY),        # vfull
+        pl.BlockSpec(memory_space=pl.ANY),           # kmsb
+        pl.BlockSpec(memory_space=pl.ANY),           # kfull
+        pl.BlockSpec(memory_space=pl.ANY),           # vmsb
+        pl.BlockSpec(memory_space=pl.ANY),           # vfull
     ]
     out_specs = [
         blk((1, hpp, group, d)),                     # out
@@ -624,10 +761,10 @@ def fused_decode_attention(
         blk((1, hpp, 1, imp_cols)),                  # imp
         blk((1, hpp, 1, cap)),                       # kscale'
         blk((1, hpp, 1, cap)),                       # vscale'
-        pl.BlockSpec(memory_space=pl.ANY),        # kmsb'
-        pl.BlockSpec(memory_space=pl.ANY),        # kfull'
-        pl.BlockSpec(memory_space=pl.ANY),        # vmsb'
-        pl.BlockSpec(memory_space=pl.ANY),        # vfull'
+        pl.BlockSpec(memory_space=pl.ANY),           # kmsb'
+        pl.BlockSpec(memory_space=pl.ANY),           # kfull'
+        pl.BlockSpec(memory_space=pl.ANY),           # vmsb'
+        pl.BlockSpec(memory_space=pl.ANY),           # vfull'
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, hkv, group, d), jnp.float32),
@@ -642,7 +779,7 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
     ]
     # operand index -> output index (operand 0 is the scalar prefetch)
-    nrope = 2 if use_rope else 0
+    nrope = 4 if use_rope else 0
     kscale_op = 4                      # lengths=0 q=1 knew=2 vnew=3
     imp_op = 6 + nrope + 1             # hmask at 6+nrope, imp after
     plane0_op = imp_op + 1
@@ -662,16 +799,20 @@ def fused_decode_attention(
         scratch_shapes=(
             [pltpu.VMEM((8, d), jnp.int8) for _ in range(2 * hpp)] +
             [pltpu.VMEM((8, d), jnp.uint8) for _ in range(2 * hpp)] + [
-            pltpu.VMEM((hpp, cap // 2, d), jnp.uint8),    # kmsb scratch
-            pltpu.VMEM((cap, d), jnp.int8),               # kfull scratch
-            pltpu.VMEM((group, cap), jnp.float32),        # scores
-            pltpu.VMEM((group, cap), jnp.float32),        # final probs
-            pltpu.VMEM((cap, d), jnp.int8),               # v scratch
-            pltpu.SemaphoreType.DMA((4, hpp)),
-            pltpu.SemaphoreType.DMA((hpp, num_pblk)),
-            pltpu.SemaphoreType.DMA((num_tblk,)),
-            pltpu.SemaphoreType.DMA((num_vblk,)),
-        ]),
+                pltpu.VMEM((hpp, cap // 2, d), jnp.uint8),    # kmsb
+                pltpu.VMEM((hpp, cap, d), jnp.int8),          # kfull
+                pltpu.VMEM((hpp * group, cap), jnp.float32),  # scores
+                pltpu.VMEM((hpp * group, cap), jnp.float32),  # probs
+                pltpu.VMEM((hpp, cap, d), jnp.int8),          # v
+                pltpu.SMEM((hpp, max(keep_ub, 1)), jnp.int32),
+                pltpu.SemaphoreType.DMA((4, hpp)),
+                pltpu.SemaphoreType.DMA((hpp, num_pblk)),
+                pltpu.SemaphoreType.DMA((hpp, num_tblk)),
+                # sized to live DMAs only: the semaphore-flag space is
+                # tiny (~512 slots)
+                pltpu.SemaphoreType.DMA(
+                    (hpp, keep_ub if keep_ub else num_tblk)),
+            ]),
     )
 
     outs = pl.pallas_call(
