@@ -46,7 +46,8 @@ FULL_LAYERS = 32     # reported scaled to the full 32-layer model
 def shard_model_cfg():
     from spatten_tpu.config import ModelConfig
     return ModelConfig(
-        vocab_size=32000,
+        vocab_size=4000,         # 32000 / TP8: lm_head+embedding are
+                                 # column/row-sharded in TP serving too
         hidden_size=4096,
         num_layers=BENCH_LAYERS,
         num_heads=4,            # 32 / TP8
@@ -120,11 +121,13 @@ def warm_state(cfg, state):
 def time_decode(cfg, params, steps: int) -> float:
     """Returns decode tokens/sec (batch * steps / wall).
 
-    One jitted, state-donating decode step dispatched per token — exactly
-    how the serving engine dispatches.  The cache prune never fires within
-    the measured window (its gather amortizes over the capacity−cache_size
-    headroom, ~0.2%/step at these shapes), so the step omits the prune
-    branch to keep the remotely-compiled module small."""
+    A scanned window of decode steps per dispatch — exactly how the
+    serving engine's generate() dispatches (lax.scan over tokens), so the
+    per-dispatch host/tunnel roundtrip amortizes across the window.  The
+    cache prune never fires within the measured window (its gather
+    amortizes over the capacity−cache_size headroom, ~0.2%/step at these
+    shapes), so the step omits the prune branch to keep the
+    remotely-compiled module small."""
     from spatten_tpu.engine.state import init_state
     from spatten_tpu.models import transformer
 
@@ -136,22 +139,27 @@ def time_decode(cfg, params, steps: int) -> float:
     # params MUST be an argument (not a closure capture): captured arrays
     # lower as HLO constants, which the remote-compile path ships with the
     # module
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def step(params, state, token):
-        logits, state, _ = transformer.forward(
-            params, cfg, state, token[:, None])
-        return state, jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+    def window(params, state, token, n):
+        def body(carry, _):
+            state, token = carry
+            logits, state, _ = transformer.forward(
+                params, cfg, state, token[:, None])
+            token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (state, token), ()
+        (state, token), _ = jax.lax.scan(body, (state, token), None,
+                                         length=n)
+        return state, token
 
     t0 = time.perf_counter()
-    state, token = step(params, state, token)
+    state, token = window(params, state, token, steps)
     # force completion with a host transfer: on the remote-TPU (axon)
     # platform block_until_ready returns before execution finishes
     jax.device_get(token)
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    log(f"compile+first window: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, token = step(params, state, token)
+    state, token = window(params, state, token, steps)
     jax.device_get(token)
     dt = time.perf_counter() - t0
     log(f"timed: {dt:.3f}s ({dt / steps * 1e3:.2f} ms/step)")
@@ -197,7 +205,12 @@ def main():
     cfg_sp = build_cfg(True, cache, batch)
     cfg_dn = build_cfg(False, cache, batch)
 
+    from spatten_tpu.models.weight_quant import quantize_params
     params = transformer.init_params(cfg_sp.model, jax.random.PRNGKey(0))
+    # weight-only int8 for BOTH engines: the north star is framed against
+    # a dense-INT8 baseline (BASELINE.md), and decode streams every weight
+    # byte per step
+    params = quantize_params(params)
     params = jax.device_get(params)          # keep host copy cheap
     params = jax.device_put(params)
 

@@ -213,11 +213,9 @@ class EngineConfig:
     #              Removes all rope work + tables from the decode kernel at
     #              the cost of one extra int8 requantization per prune
     #              event (rare; amortized over the capacity headroom).
-    rope_mode: str = "read"
-    # dtype of the phase-A->phase-B attention-probability transport in the
-    # decode kernel ("float32" exact; "bfloat16" halves that HBM round
-    # trip at ~1e-3 relative output error)
-    probs_transport: str = "float32"
+    #              Default: the fused decode kernel runs only in this mode
+    #              (or for abs-pos models); "read" keeps the jnp path.
+    rope_mode: str = "cached"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

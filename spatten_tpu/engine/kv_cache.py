@@ -1,17 +1,19 @@
-"""Quantized, compacted KV cache.
+"""Quantized, compacted KV cache (token-major layout).
 
 TPU analog of the reference's on-chip Buffer/BufferManager + score_buf index
 list (Buffer.scala, BufferManager.scala, SpAttenController.scala:20-33):
 instead of an allocator over SRAM lines holding a pruned-index list, the
-cache IS the compacted layout — dense `[batch, kv_heads, capacity, head_dim]`
+cache IS the compacted layout — dense token-major ``[B, capacity, Hkv*D]``
 planes where pruning physically gathers survivors to the front.  Gathers,
 appends, and reads are all static-shape ops XLA can schedule; there are no
 scatter holes, so every attention pass streams a contiguous prefix
-`[0, length)` of HBM.
+``[0, length)`` of HBM, and the decode kernel's per-block fetches are single
+contiguous DMAs covering all heads (see ops/fused_decode.py).
 
 Two quantization planes per tensor (see ops/quantize.py): int8 full + packed
-4-bit MSB.  Values and keys are cached *unrotated* (pos-shift RoPE is applied
-at read time, see ops/rope.py).
+4-bit MSB.  In the default "cached" rope mode keys are stored rotated at
+their slot position (the prune path re-rotates survivors by their slot
+delta); in "read" mode they are cached unrotated and rotated at read time.
 """
 
 from __future__ import annotations
@@ -25,22 +27,23 @@ from spatten_tpu.ops import quantize as qz
 
 
 class LayerKVCache(NamedTuple):
-    """One layer's cache; leading dims of each plane are [B, Hkv]."""
+    """One layer's cache; planes are token-major [B, C(/2), Hkv*D]."""
 
     k: qz.QuantizedKV
     v: qz.QuantizedKV
 
     @property
     def capacity(self) -> int:
-        return self.k.full.shape[-2]
+        return self.k.tokens
 
 
 def init_layer_cache(batch: int, kv_heads: int, capacity: int,
                      head_dim: int) -> LayerKVCache:
     def zeros() -> qz.QuantizedKV:
         return qz.QuantizedKV(
-            full=jnp.zeros((batch, kv_heads, capacity, head_dim), jnp.int8),
-            msb=jnp.zeros((batch, kv_heads, capacity // 2, head_dim),
+            full=jnp.zeros((batch, capacity, kv_heads * head_dim),
+                           jnp.int8),
+            msb=jnp.zeros((batch, capacity // 2, kv_heads * head_dim),
                           jnp.uint8),
             scale=jnp.ones((batch, kv_heads, capacity), jnp.float32),
         )
@@ -50,7 +53,7 @@ def init_layer_cache(batch: int, kv_heads: int, capacity: int,
 
 def init_stacked_cache(num_layers: int, batch: int, kv_heads: int,
                        capacity: int, head_dim: int) -> LayerKVCache:
-    """Layer-stacked cache (leading [L, B, Hkv]) for lax.scan over layers."""
+    """Layer-stacked cache (leading [L, B]) for lax.scan over layers."""
     one = init_layer_cache(batch, kv_heads, capacity, head_dim)
     return jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (num_layers,) + a.shape), one
@@ -61,19 +64,21 @@ def _append_rows(q: qz.QuantizedKV, x_new: jax.Array, start: jax.Array
                  ) -> qz.QuantizedKV:
     """Write S unquantized rows at slots [start, start+S).
 
-    q planes: [Hkv, C(/2), D]; x_new: [Hkv, S, D]; start: scalar int32.
+    q planes: [C(/2), H*D], scale [H, C]; x_new: [H, S, D]; start: scalar.
     Chunk appends re-pack the nibble plane wholesale (prefill-rate event);
     single-token decode appends use the nibble read-modify-write instead
     (qz.update_token via append_tokens).
     """
+    h, s, d = x_new.shape
     x32 = x_new.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1)
+    amax = jnp.max(jnp.abs(x32), axis=-1)                       # [H, S]
     scale_new = jnp.where(amax > 0, amax / 127.0, 1.0)
     q8_new = jnp.clip(jnp.round(x32 / scale_new[..., None]), -127, 127
-                      ).astype(jnp.int8)
+                      ).astype(jnp.int8)                        # [H, S, D]
+    fused = q8_new.transpose(1, 0, 2).reshape(s, h * d)         # [S, H*D]
     start = start.astype(jnp.int32)
-    full = jax.lax.dynamic_update_slice(q.full, q8_new,
-                                        (jnp.int32(0), start, jnp.int32(0)))
+    full = jax.lax.dynamic_update_slice(q.full, fused,
+                                        (start, jnp.int32(0)))
     scale = jax.lax.dynamic_update_slice(q.scale, scale_new,
                                          (jnp.int32(0), start))
     return qz.QuantizedKV(full=full, msb=qz.pack_msb(full), scale=scale)

@@ -32,6 +32,9 @@ from spatten_tpu.engine.kv_cache import LayerKVCache, append_tokens
 from spatten_tpu.engine.state import DecodeState
 from spatten_tpu.ops import rope as rope_ops
 from spatten_tpu.ops.attention_ref import spatten_attention_reference
+from spatten_tpu.models.weight_quant import (
+    matmul as _mm, matmul_t as _mm_t, take_rows as _take_rows,
+)
 from spatten_tpu.ops.fused_decode import fused_decode_attention
 from spatten_tpu.ops.prefill_attention import prefill_attention
 
@@ -121,17 +124,17 @@ def _mlp(x: jax.Array, lp: Params, activation: str) -> jax.Array:
     """Up/gate/down MLP *without* the down bias (added by the caller after
     any tensor-parallel psum, so it isn't summed once per shard)."""
     if activation == "silu":
-        gate = jax.nn.silu(x @ lp["w_gate"])
-        up = x @ lp["w_up"]
+        gate = jax.nn.silu(_mm(x, lp["w_gate"]))
+        up = _mm(x, lp["w_up"])
         if "b_up" in lp:
             up = up + lp["b_up"]
-        return (gate * up) @ lp["w_down"]
+        return _mm(gate * up, lp["w_down"])
     elif activation == "gelu":
-        h = x @ lp["w_up"]
+        h = _mm(x, lp["w_up"])
         if "b_up" in lp:
             h = h + lp["b_up"]
         h = jax.nn.gelu(h, approximate=True)
-        return h @ lp["w_down"]
+        return _mm(h, lp["w_down"])
     raise ValueError(activation)
 
 
@@ -151,10 +154,10 @@ def embed_tokens(params: Params, cfg: SpAttenConfig, state: DecodeState,
     """Token (+ absolute position) embedding.  Returns (x, positions)."""
     m = cfg.model
     s = tokens.shape[1]
-    x = jnp.take(params["embed"], tokens, axis=0)          # [B, S, D]
+    x = _take_rows(params["embed"], tokens)                # [B, S, D]
     positions = state.lengths[:, None] + jnp.arange(s)[None, :]   # [B, S]
     if m.use_abs_pos_emb:
-        x = x + jnp.take(params["wpe"], positions, axis=0)
+        x = x + _take_rows(params["wpe"], positions)
     return x, positions
 
 
@@ -163,9 +166,9 @@ def lm_head(params: Params, cfg: SpAttenConfig, x: jax.Array) -> jax.Array:
     x = _norm(x, params["final_norm_w"], params.get("final_norm_b"),
               m.layernorm_kind, m.norm_eps)
     if m.tie_word_embeddings:
-        logits = x @ params["embed"].T
+        logits = _mm_t(x, params["embed"])
     else:
-        logits = x @ params["lm_head"]
+        logits = _mm(x, params["lm_head"])
     return logits.astype(jnp.float32)
 
 
@@ -203,9 +206,9 @@ def run_layers(
 
         h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"),
                   m.layernorm_kind, m.norm_eps)
-        qh = h @ lp["wq"] + lp.get("bq", 0)
-        kh = h @ lp["wk"] + lp.get("bk", 0)
-        vh = h @ lp["wv"] + lp.get("bv", 0)
+        qh = _mm(h, lp["wq"]) + lp.get("bq", 0)
+        kh = _mm(h, lp["wk"]) + lp.get("bk", 0)
+        vh = _mm(h, lp["wv"]) + lp.get("bv", 0)
         qh = qh.reshape(b, s, hq, dh).transpose(0, 2, 1, 3)
         kh = kh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
         vh = vh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
@@ -252,21 +255,27 @@ def run_layers(
         # place).  Per-layer attention scale (GPT-2) folds into the
         # queries since the kernel's sm_scale must be static.  Prefill
         # chunks use the streaming jnp path (XLA fuses those fine).
-        # On real hardware Mosaic requires lane-aligned head dims for the
-        # per-head HBM DMA slices; smaller heads (GPT-2's 64) fall back to
-        # the jnp path there (interpret mode covers every shape in tests).
+        # The kernel computes no RoPE (queries arrive rotated; keys are
+        # cached-rotated or abs-pos), so "read" rope mode keeps the jnp
+        # path.  The token-major cache layout needs the fused lane width
+        # Hkv*D to be 128-aligned on hardware — GPT-2's 12x64 = 768
+        # qualifies (interpret mode covers every shape in tests).
         on_cpu = jax.default_backend() == "cpu"
+        rope_in_kernel_ok = m.use_abs_pos_emb or e.rope_mode == "cached"
         use_kernel = (
-            e.use_pallas and s == 1 and (m.head_dim % 128 == 0 or on_cpu)
+            e.use_pallas and s == 1 and rope_in_kernel_ok
+            and ((hkv * dh) % 128 == 0 or on_cpu)
         )
         if use_kernel:
             if m.use_attn_scale_by_layer:
                 q_kernel = qh * (sm_scale / base_scale)
             else:
                 q_kernel = qh
+            kernel_kwargs = dict(attn_kwargs)
+            kernel_kwargs.pop("use_rope")
             attn_out, stats, new_k, new_v = fused_decode_attention(
                 q_kernel, layer_cache.k, layer_cache.v,
-                kh, vh, cos, sin, lengths_l + s,
+                kh, vh, lengths_l + s,
                 sm_scale=base_scale,
                 interpret=on_cpu,
                 importance_in=(imp if (track_importance
@@ -274,7 +283,7 @@ def run_layers(
                 quantize_queries=q.quantize_queries,
                 track_importance=track_importance,
                 importance_ema=p.importance_ema,
-                **attn_kwargs,
+                **kernel_kwargs,
             )
             layer_cache = LayerKVCache(k=new_k, v=new_v)
             if track_importance:
@@ -312,7 +321,7 @@ def run_layers(
 
         o = attn_out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
             b, s, hq * dh)
-        o_proj = o @ lp["wo"]
+        o_proj = _mm(o, lp["wo"])
         if tp_axis is not None:
             o_proj = jax.lax.psum(o_proj, tp_axis)
         x = x + (o_proj + lp.get("bo", 0))

@@ -77,7 +77,7 @@ def v_block_keep_mask(probs: jax.Array, v_keep: int, block_size: int
 
 def spatten_attention_reference(
     q: jax.Array,                  # [B, Hq, q_len, D] (already rotated)
-    k_quant: qz.QuantizedKV,       # planes [B, Hkv, C(/2), D], scale [B,Hkv,C]
+    k_quant: qz.QuantizedKV,       # planes [B, C(/2), Hkv*D], scale [B,Hkv,C]
     v_quant: qz.QuantizedKV,
     cos: jax.Array,                # rope tables [P, D]
     sin: jax.Array,
@@ -95,8 +95,8 @@ def spatten_attention_reference(
 ) -> tuple[jax.Array, AttentionStats]:
     """Returns (output [B, Hq, q_len, D], stats)."""
     b, hq, q_len, d = q.shape
-    hkv = k_quant.full.shape[1]
-    cap = k_quant.full.shape[2]
+    hkv = k_quant.heads
+    cap = k_quant.tokens
     group = hq // hkv
 
     if length.ndim == 0:

@@ -1,45 +1,44 @@
-"""Single-kernel SpAtten decode step: append + QK + softmax + requant +
-importance + V-prune + P·V, all in VMEM.
+"""Single-kernel SpAtten decode step over the token-major KV layout.
 
-Round-1 split the pipeline at the TopK stage (phase A kernel -> HBM probs
-round-trip -> phase B kernel) and appended the new token's KV row in XLA
-(a vmapped dynamic_update_slice = batched scatter over the [L,B,Hkv,C,D]
-planes).  Profiling on the real chip (tools/profile_decode.py) showed the
-scatter alone cost more than all attention compute, and the probs
-round-trip paid HBM for a tensor that never needed to leave the core.
+The cache planes are stored **token-major**: ``[B, C, Hkv*D]`` — one
+contiguous row per token slot holding every head's vector.  This is the
+layout the decode step wants on TPU:
 
-This kernel is the whole reference pipeline in one pallas_call, mirroring
-SpAttenController.scala's single 15-stage dataflow (:79-785), organized
-for DMA-latency hiding (length sweeps showed the first fusion was
-latency-bound at ~70us/program, byte-insensitive):
+* **one DMA per K block for all heads** (a contiguous ``[blk, Hkv*D]``
+  slab) instead of one strided DMA per (head, block);
+* the **append is a single 8-row read-modify-write per plane** (the new
+  token's K/V for every head live in one row);
+* QK^T for all heads is **one block-diagonal matmul per block**:
+  queries are laid out as ``qbd[r, h*D:(h+1)*D] = q_r if head(r)==h else
+  0``, so ``qbd @ K_blk^T`` contracts the fused head*D axis and the
+  zero off-head lanes cancel every cross-head product;
+* P·V is one ``[rows, C] @ [C, Hkv*D]`` matmul; the per-head outputs are
+  the block-diagonal chunks, extracted with a constant mask and one
+  ``[rows, H*D] @ [H*D, D]`` tiled-identity matmul — no per-head loops,
+  no lane-dim reshapes, and **no lane-alignment constraint on D** (two
+  64-dim heads pack into one 128-lane tile automatically, which is how
+  GPT-2's d=64 runs the fused kernel on hardware; the reference chip is
+  built around sizeD=64, SpAtten.scala:10-35).
 
-  * program start: every DMA that can be issued immediately is — the
-    append's RMW block reads, every alive head's MSB (or full-plane) K
-    fetch, and (dense mode) every head's V fetch — all reading the OLD
-    planes.  Nothing orders behind the append.
-  * patch, don't order: the appended token's K/V row is quantized in
-    registers; its score column and P·V contribution are patched from
-    those registers, so fetched stale data for slot `length-1` never
-    matters.  (The fetch may race the append write; either value is
-    overwritten by the patch.)
-  * append: aligned 8-row RMW blocks splice the new row into the int8
-    plane and its nibble into the packed 4-bit plane (the masked
-    bit-plane write of Buffer.scala:78-83 / SpAttenController.scala:
-    230-232); reads land during phase A, writes drain at program end.
-  * phase A per head: blocked QK^T on MXU, masked f32 softmax, requant
-    decision + @pl.when full-plane recompute (RequantDecision.scala:
-    69-76), importance epilogue, exact per-(query-head, block) V top-k
-    (k-th order statistic replaces the QuickSelect FSM), and the V fetch
-    *starts* (indexed, unconditional — block ids extracted after a
-    vector-side ranking; ids park in SMEM for the P·V pass).
-  * P·V pass per head: waits the V DMAs (latency hidden behind the other
-    heads' phase A), folds the V scale into the probabilities, runs one
-    [G,C]x[C,D] MXU matmul, and adds the patched new-token contribution.
-  * dense mode (quant_enabled=False, v_keep=0) length-gates both fetches
-    and skips every pruning stage — the honest dense-int8 baseline runs
-    the same kernel with the SpAtten machinery off.
+Pipeline stages fused in this one pallas_call (mirroring the reference's
+single 15-stage dataflow, SpAttenController.scala:79-785):
 
-Numerics match `ops.attention_ref.spatten_attention_reference` on the
+  append (masked nibble RMW = the bit-plane write of Buffer.scala:78-83)
+  -> MSB-plane QK (MatrixFetcher 4-bit profile) -> masked f32 softmax
+  (real, vs Softmax.scala's dummy) -> requant decision
+  (RequantDecision.scala:69-76) -> merged full-plane recompute when any
+  head fires (stageRequantBuffer's drop-and-reorder becomes a row-select
+  between the two score planes) -> importance epilogue (cascade signal)
+  -> per-row local V top-k keep mask (TopK.scala semantics: keep
+  ``mass >= kth`` with ties) -> gated V fetch at coarse fetch-block
+  granularity (a block is fetched iff any row keeps part of it) -> P·V.
+
+The kernel computes attention with RoPE already applied (queries rotated
+by the caller; keys either cached-rotated — EngineConfig.rope_mode
+"cached" — or absolute-position models).  The "read"-rope mode keeps the
+jnp reference path.
+
+Numerics match ``ops.attention_ref.spatten_attention_reference`` on the
 post-append cache (tests compare in interpret mode).
 """
 
@@ -54,430 +53,397 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spatten_tpu.ops import quantize as qz
 from spatten_tpu.ops.attention_ref import MASK_VALUE, AttentionStats
-from spatten_tpu.ops.decode_attention import (
-    _even_blocks, _heads_per_program, _kth_largest, _rotate_half,
-)
+
+
+def _even_blocks(total: int, target: int) -> Tuple[int, int]:
+    """(block_rows, num_blocks): num_blocks * block_rows == total,
+    block_rows <= ~target."""
+    nb = max(1, -(-total // target))
+    while total % nb:
+        nb += 1
+    return total // nb, nb
+
+
+def _heads_per_program(hkv: int, cap: int, head_dim: int) -> int:
+    """Largest divisor of hkv whose lane slab (hpp*head_dim) is 128-aligned
+    and whose VMEM scratch (packed + full + V planes) stays under ~9 MB
+    (the 16 MB scoped-VMEM limit less score planes, pipeline double
+    buffers, and live [rows, C] temporaries)."""
+    budget = 9 * 1024 * 1024
+    best = None
+    for h in range(1, hkv + 1):
+        if hkv % h:
+            continue
+        if (h * head_dim) % 128:
+            continue
+        per = h * head_dim * (cap // 2 + cap + cap)   # msb + full + v bytes
+        if per <= budget:
+            best = h
+    if best is None:
+        raise ValueError(
+            f"no head grouping with 128-aligned lanes fits VMEM "
+            f"(hkv={hkv}, head_dim={head_dim}, cap={cap})")
+    return best
+
+
+def _kth_largest(x: jax.Array, k: int) -> jax.Array:
+    """k-th largest value per row of x [..., n] (k >= 1), by counting.
+
+    Replaces the reference's QuickSelect FSM (utils/QuickSelect.scala):
+    an all-pairs comparison + row-sum ranks every element in one vector
+    pass; the k-th order statistic is the smallest value with rank < k.
+    """
+    gt = (x[..., None, :] > x[..., :, None]).astype(jnp.int32)
+    rank = jnp.sum(gt, axis=-1)                       # strictly-greater count
+    # smallest value whose strictly-greater count is < k (tie-safe)
+    return jnp.min(jnp.where(rank < k, x, jnp.inf), axis=-1)
+
+
+def _fetch_block(cap: int, v_block: int, target: int = 256) -> int:
+    """V fetch-DMA granularity: a multiple of v_block dividing cap,
+    as close to `target` rows as possible."""
+    best = v_block
+    m = v_block
+    while m <= min(cap, target):
+        if cap % m == 0:
+            best = m
+        m += v_block
+    return best
 
 
 def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  sm_scale: float, requant_threshold: float,
                  quant_enabled: bool, v_keep: int, v_block: int,
-                 importance_kind: str, use_rope: bool,
-                 accumulate_importance: bool, quantize_queries: bool,
-                 track_importance: bool, importance_ema: float = 1.0):
+                 importance_kind: str, accumulate_importance: bool,
+                 quantize_queries: bool, track_importance: bool,
+                 importance_ema: float = 1.0):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, 1024)
     num_tblk = 2 * num_pblk
     num_vblk = cap // v_block
     keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else 0
     do_vprune = 0 < v_keep and keep_blocks < num_vblk
-    if do_vprune:
-        assert pblk % v_block == 0
-    keep_ub = min(num_vblk, group * keep_blocks) if do_vprune else 0
     do_requant = quant_enabled and requant_threshold > 0.0
-    int_dots = quantize_queries and not use_rope
+    int_dots = quantize_queries
     d = head_dim
+    slab = hpp * d
+    rows = hpp * group
+    # V fetch granularity: fine blocks when pruning (gated on the keep
+    # mask), coarse pblk blocks when dense
+    fblk = _fetch_block(cap, v_block) if do_vprune else pblk
+    nfb = cap // fblk
+    vpf = fblk // v_block if do_vprune else 1
 
     def kernel(*refs):
         it = iter(refs)
         lengths_ref = next(it)             # SMEM int32 [B]
-        q_ref = next(it)                   # [1, HPP, G, D] f32
-        knew_ref = next(it)                # [1, HPP, 1, D] f32 (raw row)
+        qbd_ref = next(it)                 # [1, rows, slab] f32 block-diag
+        knew_ref = next(it)                # [1, 1, slab] f32 raw new row
         vnew_ref = next(it)
-        kscale_ref = next(it)              # [1, HPP, 1, C] f32 (aliased)
+        kscale_ref = next(it)              # [1, hpp, C] f32 (aliased)
         vscale_ref = next(it)
-        if use_rope:
-            cos_ref = next(it)             # [C, D//2] f32
-            sin_ref = next(it)
-            cosidx_ref = next(it)          # [1, 1, 1, D] rope row at idx
-            sinidx_ref = next(it)
-        hmask_ref = next(it)               # [1, HPP, 1, G] f32
-        imp_in_ref = next(it)              # [1, HPP, 1, C or 128] f32
-        kmsb_hbm = next(it)                # [B, Hkv, C//2, D] uint8 (ANY)
-        kfull_hbm = next(it)               # [B, Hkv, C, D] int8 (ANY)
+        hmask_ref = next(it)               # [1, hpp, G] f32
+        imp_in_ref = next(it)              # [1, hpp, C or 128] f32
+        kmsb_hbm = next(it)                # [B, C//2, Hkv*D] uint8 (ANY)
+        kfull_hbm = next(it)               # [B, C, Hkv*D] int8 (ANY)
         vmsb_hbm = next(it)
         vfull_hbm = next(it)
-        out_ref = next(it)                 # [1, HPP, G, D] f32
-        maxp_ref = next(it)                # [1, HPP, 1, 128] f32
-        need_ref = next(it)                # [1, HPP, 1, 128] int32
-        imp_ref = next(it)                 # [1, HPP, 1, C or 128] f32
+        out_ref = next(it)                 # [1, rows, d] f32
+        maxp_ref = next(it)                # [1, hpp, 128] f32
+        need_ref = next(it)                # [1, hpp, 128] int32
+        imp_ref = next(it)                 # [1, hpp, C or 128] f32
         kscale_out = next(it)              # aliased with kscale_ref
         vscale_out = next(it)
         kmsb_out = next(it)                # aliased planes (ANY)
         kfull_out = next(it)
         vmsb_out = next(it)
         vfull_out = next(it)
-        # one whole (8, D) scratch per staged plane-row: HBM memrefs tile
-        # 8 sublanes, so a single-row DMA slice is unlowerable — we RMW
-        # the aligned 8-row block containing the target row instead
-        row_scr = [next(it) for _ in range(2 * hpp)]   # (8, D) int8 each
-        rmw_scr = [next(it) for _ in range(2 * hpp)]   # (8, D) uint8 each
-        kmsb_scr = next(it)                # [HPP, C//2, D] uint8
-        kfull_scr = next(it)               # [HPP, C, D] int8 (per head)
-        scores_scr = next(it)              # [HPP*G, C] f32 (all heads)
-        probs_scr = next(it)               # [HPP*G, C] f32 (post-select)
-        v_scr = next(it)                   # [HPP, C, D] int8
-        ids_smem = next(it)                # SMEM (HPP, max(keep_ub,1)) i32
-        app_sem = next(it)                 # DMA (4, HPP)
-        kmsb_sem = next(it)                # DMA (HPP, num_pblk)
-        kfull_sem = next(it)               # DMA (HPP, num_tblk)
-        v_sem = next(it)                   # DMA (HPP, keep_ub | num_tblk)
+        kapp_scr = next(it)                # (8, slab) int8
+        vapp_scr = next(it)
+        kmapp_scr = next(it)               # (8, slab) uint8
+        vmapp_scr = next(it)
+        if quant_enabled:
+            kmsb_scr = next(it)            # [C//2, slab] uint8
+        if (not quant_enabled) or do_requant:
+            kfull_scr = next(it)           # [C, slab] int8
+        scores_scr = next(it)              # [rows, C] f32
+        probs_scr = next(it)               # [rows, C] f32
+        if do_requant:
+            scores2_scr = next(it)         # [rows, C] f32 (full-plane pass)
+        v_scr = next(it)                   # [C, slab] int8
+        pvacc_scr = next(it)               # [rows, slab] f32
+        app_sem = next(it)                 # DMA (4,)
+        kmsb_sem = next(it)                # DMA (num_pblk,)
+        kfull_sem = next(it)               # DMA (num_tblk,)
+        v_sem = next(it)                   # DMA (nfb,)
 
         b = pl.program_id(0)
-        jpack = pl.program_id(1)
-        h0 = jpack * hpp
+        j = pl.program_id(1)
+        lane0 = j * slab
         length = lengths_ref[b]            # includes the new token
         idx = length - 1                   # slot of the appended row
         packed_limit = jnp.minimum(length, half)
         is_hi = idx < half
         prow = jnp.where(is_hi, idx, idx - half)
 
-        rows = hpp * group                 # combined score-plane rows
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 1)
         valid = col < length               # [rows, C]
-        col1 = col[0]                      # [C]
-        alive = [jnp.max(hmask_ref[0, h, 0, :]) > 0.0 for h in range(hpp)]
-
-        # ------------------------------------------------------------------
-        # LAUNCH: every DMA that reads the old planes starts now.
-        # ------------------------------------------------------------------
-        fstart = (idx // 8) * 8            # full-plane RMW block start
-        pstart = (prow // 8) * 8           # packed-plane RMW block start
-
-        def full_slice(ref, h):
-            return ref.at[b, h0 + h, pl.ds(fstart, 8), :]
-
-        def packed_slice(ref, h):
-            return ref.at[b, h0 + h, pl.ds(pstart, 8), :]
-
-        for h in range(hpp):
-            pltpu.make_async_copy(full_slice(kfull_out, h),
-                                  row_scr[2 * h], app_sem.at[0, h]).start()
-            pltpu.make_async_copy(full_slice(vfull_out, h),
-                                  row_scr[2 * h + 1],
-                                  app_sem.at[1, h]).start()
-            pltpu.make_async_copy(packed_slice(kmsb_out, h),
-                                  rmw_scr[2 * h], app_sem.at[2, h]).start()
-            pltpu.make_async_copy(packed_slice(vmsb_out, h),
-                                  rmw_scr[2 * h + 1],
-                                  app_sem.at[3, h]).start()
-
-        def msb_dma(h, i):
-            return pltpu.make_async_copy(
-                kmsb_out.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
-                kmsb_scr.at[h, pl.ds(i * pblk, pblk), :],
-                kmsb_sem.at[h, i])
-
-        def kfull_dma(h, i):
-            return pltpu.make_async_copy(
-                kfull_out.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
-                kfull_scr.at[h, pl.ds(i * pblk, pblk), :],
-                kfull_sem.at[h, i])
-
-        def kfull_phase(h, do_wait):
-            def body(i, _):
-                @pl.when(i * pblk < length)
-                def _():
-                    cp = kfull_dma(h, i)
-                    if do_wait:
-                        cp.wait()
-                    else:
-                        cp.start()
-                return 0
-            jax.lax.fori_loop(0, num_tblk, body, 0)
-
-        # dense V fetch at pblk granularity (no selection -> coarse DMAs)
-        def vdense_dma(h, i):
-            return pltpu.make_async_copy(
-                vfull_out.at[b, h0 + h, pl.ds(i * pblk, pblk), :],
-                v_scr.at[h, pl.ds(i * pblk, pblk), :],
-                v_sem.at[h, i])
-
-        def vdense_phase(h, do_wait):
-            def body(i, _):
-                @pl.when(i * pblk < length)
-                def _():
-                    cp = vdense_dma(h, i)
-                    if do_wait:
-                        cp.wait()
-                    else:
-                        cp.start()
-                return 0
-            jax.lax.fori_loop(0, num_tblk, body, 0)
-
-        if quant_enabled:
-            for h in range(hpp):
-                @pl.when(alive[h])
-                def _(h=h):
-                    def start(i, _):
-                        @pl.when(i * pblk < packed_limit)
-                        def _():
-                            msb_dma(h, i).start()
-                        return 0
-                    jax.lax.fori_loop(0, num_pblk, start, 0)
-        else:
-            for h in range(hpp):
-                @pl.when(alive[h])
-                def _(h=h):
-                    kfull_phase(h, do_wait=False)
-        if not do_vprune:
-            for h in range(hpp):
-                @pl.when(alive[h])
-                def _(h=h):
-                    vdense_phase(h, do_wait=False)
-
-        # ------------------------------------------------------------------
-        # Quantize the new rows in registers; update the scale rows.
-        # Semantics bit-match qz.update_token (same round/clip/scale).
-        # ------------------------------------------------------------------
-        def quant_row(row):                # [1, D] f32 -> (int8 row, scale)
-            amax = jnp.max(jnp.abs(row))
-            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-            q8 = jnp.clip(jnp.round(row / scale), -127, 127
-                          ).astype(jnp.int8)
-            return q8, scale
-
-        new_k, new_v = [], []              # (q8 row [1, D], scale) per head
-        is_new_col = col1 == idx
-        for h in range(hpp):
-            kq8, ks = quant_row(knew_ref[0, h].astype(jnp.float32))
-            vq8, vs = quant_row(vnew_ref[0, h].astype(jnp.float32))
-            new_k.append((kq8, ks))
-            new_v.append((vq8, vs))
-            kscale_out[0, h, 0, :] = jnp.where(
-                is_new_col, ks, kscale_ref[0, h, 0, :])
-            vscale_out[0, h, 0, :] = jnp.where(
-                is_new_col, vs, vscale_ref[0, h, 0, :])
-
-        def rope_row(vec):
-            """Rotate a [1, D] row to cache position idx."""
-            c = cosidx_ref[0, 0]           # [1, D]
-            s = sinidx_ref[0, 0]
-            return vec * c + _rotate_half(vec) * s
-
-        # ------------------------------------------------------------------
-        # Phase A per head: scores (patched at the new column) -> softmax
-        # -> requant -> importance -> V select -> V DMA start.
-        # ------------------------------------------------------------------
-        def rope_block(kb, t):
-            if not use_rope:
-                return kb
-            c = cos_ref[pl.ds(t * pblk, pblk), :]
-            s = sin_ref[pl.ds(t * pblk, pblk), :]
-            cf = jnp.concatenate([c, c], axis=-1)
-            sf = jnp.concatenate([s, s], axis=-1)
-            return kb * cf + _rotate_half(kb) * sf
-
-        def blocked_scores(h, get_kblk, q, acc_dtype=jnp.float32):
-            """QK^T for head h's G rows of the combined scores plane."""
-            for t in range(num_tblk):
-                @pl.when(t * pblk < length)
-                def _(t=t):
-                    kb = rope_block(get_kblk(t), t)
-                    s_blk = jax.lax.dot_general(
-                        q, kb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=acc_dtype)
-                    scores_scr[pl.ds(h * group, group),
-                               pl.ds(t * pblk, pblk)] = \
-                        s_blk.astype(jnp.float32)
-
-        def softmax_rows(s, vmask, colscale, coloffset, rowscale):
-            """Masked softmax of score rows (any leading row count)."""
-            s = (s * rowscale) * colscale + coloffset
-            s_masked = jnp.where(vmask, s, MASK_VALUE)
-            m = jnp.max(s_masked, axis=-1, keepdims=True)
-            e = jnp.exp(s_masked - m)
-            e = jnp.where(vmask, e, 0.0)
-            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            return s, e / denom
-
-        if do_vprune:
-            # full-width block-aggregation 0/1 matrix [C, nvb]: one MXU
-            # pass computes all block masses, one more expands the keep
-            # mask back to columns
-            row_blk = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_vblk), 0) // v_block
-            col_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, num_vblk), 1)
-            agg_full = (row_blk == col_ids).astype(jnp.float32)
-
-        # ------------------------------------------------------------------
-        # Head-batched phase A: per-head QK writes into one [rows, C]
-        # scores plane; softmax / epilogue / importance / V selection then
-        # vectorize across all heads' rows at once (a [1, C]-shaped plane
-        # uses 1 of 8 sublanes — batching heads recovers the other 7).
-        # ------------------------------------------------------------------
-        fold = not use_rope
-        q_all = q_ref[0].reshape(rows, d).astype(jnp.float32)
-        if int_dots:
-            qamax = jnp.max(jnp.abs(q_all), axis=-1, keepdims=True)
-            qscale = jnp.maximum(qamax, 1e-20) / 127.0
-            q_mat_all = jnp.clip(jnp.round(q_all / qscale),
-                                 -127, 127).astype(jnp.int8)
-            qf_all = q_mat_all.astype(jnp.float32)
-            qsum = jnp.sum(q_mat_all.astype(jnp.int32), axis=-1,
-                           keepdims=True).astype(jnp.float32)
-            rowscale = qscale              # [rows, 1]
-            acc = jnp.int32
-        else:
-            q_mat_all = q_all
-            qf_all = q_all
-            qsum = jnp.sum(q_all, axis=-1, keepdims=True)
-            rowscale = 1.0
-            acc = jnp.float32
-
-        kscale_hpp = kscale_out[0, :, 0, :]            # [hpp, C] updated
-        kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
-                       if group > 1 else kscale_hpp)   # [rows, C]
-
-        # head/group liveness as [rows, 1] / [hpp, 1] planes (built from
-        # scalar extracts: the [.., G]-lane mask can't reshape into rows)
+        col1 = col[:1]                     # [1, C]
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (hpp, cap), 1)
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         hpp_iota = jax.lax.broadcasted_iota(jnp.int32, (hpp, 1), 0)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+        chunk_s = lane_s // d              # [1, slab] head id per lane
+        head_of_row = rows_iota // group   # [rows, 1]
+        # block-diag lane mask: lane l belongs to row r iff chunk==head(r)
+        bd_mask = (chunk_s == head_of_row).astype(jnp.float32)  # [rows,slab]
+
+        hmask_h = hmask_ref[0]             # [hpp, G]
+        any_alive = jnp.max(hmask_h) > 0.0
+        alive_hpp = (jnp.max(hmask_h, axis=1, keepdims=True) > 0.0
+                     ).astype(jnp.float32)                      # [hpp, 1]
+        # per-row head mask ([rows,1]) via a tiny 0/1 matmul (no reshape
+        # of the [hpp, G] lane layout)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % group
         hmask_rows = jnp.zeros((rows, 1), jnp.float32)
         for h in range(hpp):
             for g in range(group):
                 hmask_rows = hmask_rows + jnp.where(
-                    rows_iota == h * group + g,
-                    hmask_ref[0, h, 0, g], 0.0)
-        alive_hpp = jnp.zeros((hpp, 1), jnp.float32)
-        for h in range(hpp):
-            alive_hpp = alive_hpp + jnp.where(
-                hpp_iota == h, alive[h].astype(jnp.float32), 0.0)
-        alive_rows = (jnp.repeat(alive_hpp, group, axis=0)
-                      if group > 1 else alive_hpp)     # [rows, 1]
+                    (head_of_row == h) & (g_iota == g), hmask_h[h, g], 0.0)
+        alive_rows = jnp.where(
+            hmask_rows > 0.0, 1.0,
+            jnp.zeros((rows, 1), jnp.float32))
 
-        # new-row register planes for the score patches
-        kq8_all = jnp.concatenate(
-            [jnp.broadcast_to(new_k[h][0], (group, d)) for h in range(hpp)],
-            axis=0)                                    # [rows, D] int8
-        k4new_all = (kq8_all.astype(jnp.int32) >> 4).astype(jnp.float32)
-        ks_all = jnp.concatenate(
-            [jnp.full((group, 1), 1.0, jnp.float32) * new_k[h][1]
-             for h in range(hpp)], axis=0)             # [rows, 1]
+        # ------------------------------------------------------------------
+        # LAUNCH: every DMA reading the old planes starts now.
+        # ------------------------------------------------------------------
+        fstart = (idx // 8) * 8            # full-plane RMW block start
+        pstart = (prow // 8) * 8           # packed-plane RMW block start
 
-        def patch_col_p1():
-            """[rows, 1] raw pass-1 score of the appended token."""
-            if fold:
-                return jnp.sum(qf_all * k4new_all, axis=-1, keepdims=True)
-            vec = (k4new_all * 16.0 + qz.MSB_MIDPOINT) * ks_all
-            vec = rope_row(vec)
-            return jnp.sum(q_all * vec, axis=-1, keepdims=True)
+        def app_slice(ref, start):
+            return ref.at[b, pl.ds(start, 8), pl.ds(lane0, slab)]
 
-        def patch_col_full():
-            """[rows, 1] raw full-plane score of the appended token."""
-            kd = kq8_all.astype(jnp.float32)
-            if fold:
-                return jnp.sum(qf_all * kd, axis=-1, keepdims=True)
-            vec = kd * ks_all
-            vec = rope_row(vec)
-            return jnp.sum(q_all * vec, axis=-1, keepdims=True)
+        pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
+                              app_sem.at[0]).start()
+        pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
+                              app_sem.at[1]).start()
+        pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
+                              app_sem.at[2]).start()
+        pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
+                              app_sem.at[3]).start()
 
-        def kblk_full(h, t):
-            rows_k = kfull_scr[h, pl.ds(t * pblk, pblk), :]
-            if int_dots:
-                return rows_k
-            raw = rows_k.astype(jnp.float32)
-            if fold:
-                return raw
-            sc = kscale_out[0, h, 0][t * pblk:(t + 1) * pblk]
-            return raw * sc[:, None]
+        def msb_dma(i):
+            return pltpu.make_async_copy(
+                kmsb_out.at[b, pl.ds(i * pblk, pblk), pl.ds(lane0, slab)],
+                kmsb_scr.at[pl.ds(i * pblk, pblk), :],
+                kmsb_sem.at[i])
 
-        full_scale = (kscale_rows * sm_scale) if fold else sm_scale
+        def kfull_dma(i):
+            return pltpu.make_async_copy(
+                kfull_out.at[b, pl.ds(i * pblk, pblk), pl.ds(lane0, slab)],
+                kfull_scr.at[pl.ds(i * pblk, pblk), :],
+                kfull_sem.at[i])
 
-        # --- per-head QK (the only per-head phase-A work) ----------------
-        for h in range(hpp):
-            @pl.when(alive[h])
-            def _qk(h=h):
-                q_mat = q_mat_all[h * group:(h + 1) * group]
-                if quant_enabled:
-                    def wait(i, _):
-                        @pl.when(i * pblk < packed_limit)
-                        def _():
-                            msb_dma(h, i).wait()
-                        return 0
-                    jax.lax.fori_loop(0, num_pblk, wait, 0)
+        def kfull_phase(do_wait):
+            for i in range(num_tblk):
+                @pl.when(i * pblk < length)
+                def _(i=i):
+                    cp = kfull_dma(i)
+                    cp.wait() if do_wait else cp.start()
 
-                    def kblk_msb(t):
-                        pkt = t if t < num_pblk else t - num_pblk
-                        rows_k = kmsb_scr[h, pl.ds(pkt * pblk, pblk), :]
-                        nib = rows_k.astype(jnp.int32)
-                        nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
-                        k4i = (nib ^ 8) - 8
-                        if int_dots:
-                            return k4i.astype(jnp.int8)
-                        k4 = k4i.astype(jnp.float32)
-                        if fold:
-                            return k4
-                        sc = kscale_out[0, h, 0][t * pblk:(t + 1) * pblk]
-                        return (k4 * 16.0 + qz.MSB_MIDPOINT) * sc[:, None]
+        def v_dma(f):
+            return pltpu.make_async_copy(
+                vfull_out.at[b, pl.ds(f * fblk, fblk), pl.ds(lane0, slab)],
+                v_scr.at[pl.ds(f * fblk, fblk), :],
+                v_sem.at[f])
 
-                    blocked_scores(h, kblk_msb, q_mat, acc)
-                else:
-                    kfull_phase(h, do_wait=True)
-                    blocked_scores(h, lambda t: kblk_full(h, t), q_mat, acc)
-
-        # --- combined epilogue + softmax ---------------------------------
         if quant_enabled:
-            if fold:
-                p1_scale = kscale_rows * (16.0 * sm_scale)
-                p1_offset = (rowscale * qsum) * (
-                    kscale_rows * (qz.MSB_MIDPOINT * sm_scale))
-                patch1 = patch_col_p1()
-            else:
-                p1_scale, p1_offset = sm_scale, 0.0
-                patch1 = patch_col_p1()
+            @pl.when(any_alive)
+            def _():
+                for i in range(num_pblk):
+                    @pl.when(i * pblk < packed_limit)
+                    def _(i=i):
+                        msb_dma(i).start()
         else:
-            p1_scale = full_scale
+            @pl.when(any_alive)
+            def _():
+                kfull_phase(do_wait=False)
+        if not do_vprune:
+            @pl.when(any_alive)
+            def _():
+                for f in range(nfb):
+                    @pl.when(f * fblk < length)
+                    def _(f=f):
+                        v_dma(f).start()
+
+        # ------------------------------------------------------------------
+        # Quantize the new K/V rows in registers (all heads in one lane
+        # row).  Semantics bit-match qz.update_token.
+        # ------------------------------------------------------------------
+        def quant_row(row):                # [1, slab] f32
+            """Per-head-chunk symmetric int8 quant.  Returns
+            (q8 [1,slab] f32-valued ints, scale_lane [1,slab],
+            scale per head [hpp,1])."""
+            absr = jnp.abs(row)
+            sc_h = []
+            for h in range(hpp):
+                amax = jnp.max(jnp.where(chunk_s == h, absr, 0.0))
+                sc_h.append(jnp.where(amax > 0, amax / 127.0, 1.0))
+            sc_lane = jnp.zeros((1, slab), jnp.float32)
+            sc_col = jnp.zeros((hpp, 1), jnp.float32)
+            for h in range(hpp):
+                sc_lane = sc_lane + jnp.where(chunk_s == h, sc_h[h], 0.0)
+                sc_col = sc_col + jnp.where(hpp_iota == h, sc_h[h], 0.0)
+            q8 = jnp.clip(jnp.round(row / sc_lane), -127, 127)
+            return q8, sc_lane, sc_col
+
+        knew = knew_ref[0].astype(jnp.float32)          # [1, slab]
+        vnew = vnew_ref[0].astype(jnp.float32)
+        kq8, ksc_lane, ksc_col = quant_row(knew)
+        vq8, vsc_lane, vsc_col = quant_row(vnew)
+        is_new_col = (col1 == idx).astype(jnp.float32)  # [1, C]
+        kscale_out[0] = jnp.where(col_h == idx, ksc_col, kscale_ref[0])
+        vscale_out[0] = jnp.where(col_h == idx, vsc_col, vscale_ref[0])
+
+        # ------------------------------------------------------------------
+        # Queries: block-diagonal [rows, slab]; optional int8 quant for
+        # integer MXU dots (the reference quantizes queries too).
+        # ------------------------------------------------------------------
+        q_all = qbd_ref[0].astype(jnp.float32)          # [rows, slab]
+        if int_dots:
+            qamax = jnp.max(jnp.abs(q_all), axis=-1, keepdims=True)
+            qscale = jnp.maximum(qamax, 1e-20) / 127.0
+            q_mat = jnp.clip(jnp.round(q_all / qscale),
+                             -127, 127).astype(jnp.int8)
+            qf = q_mat.astype(jnp.float32)
+            qsum = jnp.sum(qf, axis=-1, keepdims=True)
+            rowscale = qscale                           # [rows, 1]
+            acc = jnp.int32
+        else:
+            q_mat = q_all
+            qf = q_all
+            qsum = jnp.sum(q_all, axis=-1, keepdims=True)
+            rowscale = 1.0
+            acc = jnp.float32
+
+        # per-row K scale columns (row r uses its head's scales)
+        kscale_hpp = kscale_out[0]                      # [hpp, C] updated
+        kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
+                       if group > 1 else kscale_hpp)    # [rows, C]
+        vscale_hpp = vscale_out[0]
+        vscale_rows = (jnp.repeat(vscale_hpp, group, axis=0)
+                       if group > 1 else vscale_hpp)
+
+        # new-token score patches: the appended row's K may race the
+        # fetch, so its column is recomputed from registers
+        k4new = (kq8.astype(jnp.int32) >> 4).astype(jnp.float32)  # [1,slab]
+        patch1 = jnp.sum(qf * k4new, axis=-1, keepdims=True)      # [rows,1]
+        patch_full = jnp.sum(qf * kq8, axis=-1, keepdims=True)
+
+        def blocked_scores(get_kblk, target_scr):
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    s_blk = jax.lax.dot_general(
+                        q_mat, get_kblk(t), (((1,), (1,)), ((), ())),
+                        preferred_element_type=acc)
+                    target_scr[:, pl.ds(t * pblk, pblk)] = \
+                        s_blk.astype(jnp.float32)
+
+        def kblk_msb(t):
+            pkt = t if t < num_pblk else t - num_pblk
+            rows_k = kmsb_scr[pl.ds(pkt * pblk, pblk), :]
+            nib = rows_k.astype(jnp.int32)
+            nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
+            k4i = (nib ^ 8) - 8
+            return k4i.astype(jnp.int8) if int_dots \
+                else k4i.astype(jnp.float32)
+
+        def kblk_full(t):
+            rows_k = kfull_scr[pl.ds(t * pblk, pblk), :]
+            return rows_k if int_dots else rows_k.astype(jnp.float32)
+
+        def softmax_rows(s, colscale, coloffset):
+            s = (s * rowscale) * colscale + coloffset
+            s_masked = jnp.where(valid, s, MASK_VALUE)
+            m = jnp.max(s_masked, axis=-1, keepdims=True)
+            e = jnp.exp(s_masked - m)
+            e = jnp.where(valid, e, 0.0)
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+            return s, e / denom
+
+        # --- pass 1: QK on the 4-bit plane (or full plane when dense) ----
+        if quant_enabled:
+            @pl.when(any_alive)
+            def _():
+                for i in range(num_pblk):
+                    @pl.when(i * pblk < packed_limit)
+                    def _(i=i):
+                        msb_dma(i).wait()
+            blocked_scores(kblk_msb, scores_scr)
+            # real score = (q*qscale)·((k4*16 + MID)*kscale)
+            p1_scale = kscale_rows * (16.0 * sm_scale)
+            p1_offset = (rowscale * qsum) * (
+                kscale_rows * (qz.MSB_MIDPOINT * sm_scale))
+            patch = patch1
+        else:
+            @pl.when(any_alive)
+            def _():
+                kfull_phase(do_wait=True)
+            blocked_scores(kblk_full, scores_scr)
+            p1_scale = kscale_rows * sm_scale
             p1_offset = 0.0
-            patch1 = patch_col_full()
+            patch = patch_full
 
-        # patch the appended token's column (the plane row may be stale —
-        # the fetch did not order behind the append)
-        s_all = jnp.where(col == idx, patch1, scores_scr[:])
-        s_all, probs_all = softmax_rows(s_all, valid, p1_scale, p1_offset,
-                                        rowscale)
+        s_all = jnp.where(col == idx, patch, scores_scr[:])
+        s_all, probs_all = softmax_rows(s_all, p1_scale, p1_offset)
         scores_scr[:] = s_all
-
-        # --- requant decision + per-head recompute -----------------------
-        maxp_rows = jnp.max(probs_all, axis=-1, keepdims=True) * alive_rows
         probs_scr[:] = probs_all
+
+        # --- requant decision (RequantDecision.scala:69-76) --------------
+        # max prob is pre-head-mask (only fully-dead groups zero), matching
+        # the reference's RequantDecision placement before head masking
+        maxp_rows = jnp.max(probs_all, axis=-1, keepdims=True)
+        mp_h = jnp.zeros((hpp, 1), jnp.float32)
         for h in range(hpp):
-            r0 = h * group
-            mp_h = jnp.max(
-                jnp.where((rows_iota >= r0) & (rows_iota < r0 + group),
-                          maxp_rows, 0.0))
-            maxp_ref[0, h, 0, :] = jnp.full((128,), mp_h, jnp.float32)
-            if do_requant:
-                need_h = alive[h] & (mp_h < requant_threshold)
-                need_ref[0, h, 0, :] = jnp.full(
-                    (128,), need_h.astype(jnp.int32))
+            mp = jnp.max(jnp.where(head_of_row == h, maxp_rows, 0.0))
+            mp_h = mp_h + jnp.where(hpp_iota == h, mp, 0.0)
+        mp_h = mp_h * alive_hpp
+        maxp_ref[0] = jnp.broadcast_to(mp_h, (hpp, 128))
 
-                @pl.when(need_h)
-                def _requant(h=h):
-                    kfull_phase(h, do_wait=False)
-                    kfull_phase(h, do_wait=True)
-                    q_mat = q_mat_all[h * group:(h + 1) * group]
-                    blocked_scores(h, lambda t: kblk_full(h, t), q_mat,
-                                   acc)
-                    sl = pl.ds(h * group, group)
-                    s_h = jnp.where(col[:group] == idx,
-                                    patch_col_full()[r0:r0 + group],
-                                    scores_scr[sl, :])
-                    fs = (full_scale[r0:r0 + group]
-                          if fold else full_scale)
-                    rs = (rowscale[r0:r0 + group]
-                          if int_dots else rowscale)
-                    s_h, p_h = softmax_rows(s_h, valid[:group], fs, 0.0,
-                                            rs)
-                    scores_scr[sl, :] = s_h
-                    probs_scr[sl, :] = p_h
-            else:
-                need_ref[0, h, 0, :] = jnp.zeros((128,), jnp.int32)
+        if do_requant:
+            need_h = (alive_hpp > 0) & (mp_h < requant_threshold)  # [hpp,1]
+            need_ref[0] = jnp.broadcast_to(need_h.astype(jnp.int32),
+                                           (hpp, 128))
+            any_need = jnp.max(need_h.astype(jnp.int32)) > 0
+            fire_rows = (jnp.repeat(need_h, group, axis=0) if group > 1
+                         else need_h)                   # [rows, 1] bool
 
-        probs_all = probs_scr[:] * hmask_rows          # [rows, C]
+            @pl.when(any_need)
+            def _requant():
+                # merged recompute: fetch the full plane once (all heads
+                # of the slab), rescore every row, keep only firing rows.
+                # One fetch + one softmax replaces the per-head serialized
+                # requant loop; bytes cost only when >=1 head fires.
+                kfull_phase(do_wait=False)
+                kfull_phase(do_wait=True)
+                blocked_scores(kblk_full, scores2_scr)
+                s2 = jnp.where(col == idx, patch_full, scores2_scr[:])
+                s2 = (s2 * rowscale) * (kscale_rows * sm_scale)
+                s_merged = jnp.where(fire_rows, s2, scores_scr[:])
+                s_masked = jnp.where(valid, s_merged, MASK_VALUE)
+                m = jnp.max(s_masked, axis=-1, keepdims=True)
+                e = jnp.where(valid, jnp.exp(s_masked - m), 0.0)
+                den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                                  1e-30)
+                scores_scr[:] = s_merged
+                probs_scr[:] = e / den
+        else:
+            need_ref[0] = jnp.zeros((hpp, 128), jnp.int32)
 
-        # --- importance (all heads at once) ------------------------------
+        probs_all = probs_scr[:] * hmask_rows           # [rows, C]
+
+        # --- importance epilogue (cascade pruning signal) ----------------
         if track_importance:
             if importance_kind == "prob":
                 delta_rows = probs_all
@@ -486,176 +452,164 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     hmask_rows
             if group > 1:
                 delta = jnp.sum(delta_rows.reshape(hpp, group, cap),
-                                axis=1)                # [hpp, C]
+                                axis=1)                 # [hpp, C]
             else:
                 delta = delta_rows
             if accumulate_importance:
-                prev = jnp.where(col1[None, :] == idx, 0.0,
-                                 imp_in_ref[0, :, 0, :])
+                prev = jnp.where(col_h == idx, 0.0, imp_in_ref[0])
                 if importance_ema != 1.0:
                     prev = prev * importance_ema
-                imp_ref[0, :, 0, :] = jnp.where(
-                    alive_hpp > 0.0, prev + delta, imp_in_ref[0, :, 0, :])
+                imp_ref[0] = jnp.where(
+                    alive_hpp > 0.0, prev + delta, imp_in_ref[0])
             else:
-                imp_ref[0, :, 0, :] = delta
+                imp_ref[0] = delta
         else:
-            imp_ref[0, :, 0, :] = jnp.zeros((hpp, 128), jnp.float32)
+            imp_ref[0] = jnp.zeros((hpp, 128), jnp.float32)
 
-        # --- V selection (all heads at once) + indexed fetch start -------
-        head_ids = []
+        # --- local V pruning: exact per-row block keep mask + gated
+        # coarse-grained fetch ---------------------------------------------
         if do_vprune:
-            mass = jax.lax.dot_general(
-                probs_all, agg_full, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [rows, nvb]
-            kth = _kth_largest(mass, keep_blocks)      # [rows]
-            keep_gb = (mass >= kth[..., None]).astype(jnp.float32)
-            fm = keep_gb * mass
-            fetch_f = (jnp.max(fm.reshape(hpp, group, num_vblk), axis=1)
-                       if group > 1 else fm)           # [hpp, nvb]
-            # rank blocks per head by fetch score (descending, index tie-
-            # break); only the top keep_ub fetch, and only those stay
-            # kept — ties past the budget drop exactly like the reference
-            # TopK's keep_equal_num rule (TopK.scala:148-224)
-            jvec = jax.lax.broadcasted_iota(
-                jnp.int32, (num_vblk, num_vblk), 1)
-            gt = (fetch_f[:, None, :] > fetch_f[:, :, None]) | (
-                (fetch_f[:, None, :] == fetch_f[:, :, None])
-                & (jvec < jvec.T)[None])
-            rank = jnp.sum(gt.astype(jnp.int32), axis=2)   # [hpp, nvb]
-            fetched = ((rank < keep_ub) & (fetch_f > 0.0)
-                       ).astype(jnp.float32)               # [hpp, nvb]
-            fetched_rows = (jnp.repeat(fetched, group, axis=0)
-                            if group > 1 else fetched)
-            keep_gb = keep_gb * fetched_rows
-            keep_cols = jax.lax.dot_general(
-                keep_gb, agg_full, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [rows, C]
-            probs_scr[:] = probs_all * keep_cols
-            # extract the kept block ids; unkept ranks resolve to block 0
-            # (re-fetch of block 0 is an idempotent no-op)
-            rvec = jax.lax.broadcasted_iota(
-                jnp.int32, (hpp, keep_ub, num_vblk), 1)
-            cvec = jax.lax.broadcasted_iota(
-                jnp.int32, (hpp, keep_ub, num_vblk), 2)
-            hit = ((rank[:, None, :] == rvec)
-                   & (fetch_f[:, None, :] > 0.0))
-            ids = jnp.sum(jnp.where(hit, cvec, 0), axis=2)  # [hpp, keep_ub]
-            for h in range(hpp):
-                @pl.when(alive[h])
-                def _vfetch(h=h):
-                    for s in range(keep_ub):
-                        blk = ids[h, s]
-                        ids_smem[h, s] = blk
-                        pltpu.make_async_copy(
-                            vfull_out.at[b, h0 + h,
-                                         pl.ds(blk * v_block, v_block), :],
-                            v_scr.at[h, pl.ds(blk * v_block, v_block), :],
-                            v_sem.at[h, s]).start()
+            # block mass per pblk tile: the 0/1 token->v-block pattern is
+            # identical in every tile, so one tiny [pblk, pblk//v_block]
+            # constant serves all of them (a full [C, nvb] map would be
+            # 1-4 MB of VMEM at serving caps)
+            vpt = pblk // v_block
+            trow = jax.lax.broadcasted_iota(
+                jnp.int32, (pblk, vpt), 0) // v_block
+            tcol = jax.lax.broadcasted_iota(jnp.int32, (pblk, vpt), 1)
+            agg_t = (trow == tcol).astype(jnp.float32)  # [pblk, vpt]
+            mass = jnp.concatenate([
+                jax.lax.dot_general(
+                    probs_all[:, t * pblk:(t + 1) * pblk], agg_t,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for t in range(num_tblk)], axis=-1)     # [rows, nvb]
+            kth = _kth_largest(mass, keep_blocks)       # [rows]
+            keep_gb = ((mass >= kth[..., None]) & (mass > 0.0)
+                       ).astype(jnp.float32)            # [rows, nvb]
+            keep_cols = jnp.concatenate([
+                jax.lax.dot_general(
+                    keep_gb[:, t * vpt:(t + 1) * vpt], agg_t,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for t in range(num_tblk)], axis=-1)     # [rows, C]
+            probs_pv = probs_all * keep_cols
+            # fetch block f iff any row keeps a v-block inside it (kept ⊂
+            # fetched, so unfetched scratch only ever multiplies zeros)
+            for f in range(nfb):
+                gate = (jnp.max(keep_gb[:, f * vpf:(f + 1) * vpf]) > 0.0
+                        ) & (f * fblk < length)
+                @pl.when(gate)
+                def _(f=f):
+                    v_dma(f).start()
         else:
-            probs_scr[:] = probs_all
+            probs_pv = probs_all
+            keep_gb = None
 
         # ------------------------------------------------------------------
         # Append modify + write start (RMW reads landed during phase A).
         # ------------------------------------------------------------------
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, slab), 0)
         fmask = sub8 == (idx - fstart)
         pmask = sub8 == (prow - pstart)
 
-        for h in range(hpp):
-            pltpu.make_async_copy(full_slice(kfull_out, h),
-                                  row_scr[2 * h], app_sem.at[0, h]).wait()
-            pltpu.make_async_copy(full_slice(vfull_out, h),
-                                  row_scr[2 * h + 1],
-                                  app_sem.at[1, h]).wait()
-            pltpu.make_async_copy(packed_slice(kmsb_out, h),
-                                  rmw_scr[2 * h], app_sem.at[2, h]).wait()
-            pltpu.make_async_copy(packed_slice(vmsb_out, h),
-                                  rmw_scr[2 * h + 1],
-                                  app_sem.at[3, h]).wait()
-            for scr_i, (q8, _) in ((2 * h, new_k[h]), (2 * h + 1, new_v[h])):
-                blk = row_scr[scr_i][...]
-                row_scr[scr_i][...] = jnp.where(
-                    fmask, jnp.broadcast_to(q8, (8, d)), blk)
-                old = rmw_scr[scr_i][...].astype(jnp.int32)
-                nib = jnp.broadcast_to(
-                    (q8.astype(jnp.int32) >> 4) & 0xF, (8, d))
-                newb = jnp.where(is_hi,
-                                 (nib << 4) | (old & 0x0F),
-                                 (old & jnp.int32(0xF0)) | nib)
-                rmw_scr[scr_i][...] = jnp.where(pmask, newb, old
-                                                ).astype(jnp.uint8)
-            pltpu.make_async_copy(row_scr[2 * h], full_slice(kfull_out, h),
-                                  app_sem.at[0, h]).start()
-            pltpu.make_async_copy(row_scr[2 * h + 1],
-                                  full_slice(vfull_out, h),
-                                  app_sem.at[1, h]).start()
-            pltpu.make_async_copy(rmw_scr[2 * h], packed_slice(kmsb_out, h),
-                                  app_sem.at[2, h]).start()
-            pltpu.make_async_copy(rmw_scr[2 * h + 1],
-                                  packed_slice(vmsb_out, h),
-                                  app_sem.at[3, h]).start()
+        pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
+                              app_sem.at[0]).wait()
+        pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
+                              app_sem.at[1]).wait()
+        pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
+                              app_sem.at[2]).wait()
+        pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
+                              app_sem.at[3]).wait()
+        for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
+            scr[...] = jnp.where(
+                fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
+            ).astype(jnp.int8)
+        for scr, q8row in ((kmapp_scr, kq8), (vmapp_scr, vq8)):
+            old = scr[...].astype(jnp.int32)
+            nib = jnp.broadcast_to(
+                (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
+            newb = jnp.where(is_hi,
+                             (nib << 4) | (old & 0x0F),
+                             (old & jnp.int32(0xF0)) | nib)
+            scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
+        pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
+                              app_sem.at[0]).start()
+        pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
+                              app_sem.at[1]).start()
+        pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
+                              app_sem.at[2]).start()
+        pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
+                              app_sem.at[3]).start()
 
         # ------------------------------------------------------------------
-        # P·V pass per head (V DMA latency hidden behind phase A).
+        # P·V: one cross matmul + block-diagonal extraction.
         # ------------------------------------------------------------------
-        for h in range(hpp):
-            @pl.when(alive[h])
-            def _pv(h=h):
-                if do_vprune:
-                    for s in range(keep_ub):
-                        blk = ids_smem[h, s]
-                        pltpu.make_async_copy(
-                            vfull_out.at[b, h0 + h,
-                                         pl.ds(blk * v_block, v_block), :],
-                            v_scr.at[h, pl.ds(blk * v_block, v_block), :],
-                            v_sem.at[h, s]).wait()
-                else:
-                    vdense_phase(h, do_wait=True)
+        if do_vprune:
+            for f in range(nfb):
+                gate = (jnp.max(keep_gb[:, f * vpf:(f + 1) * vpf]) > 0.0
+                        ) & (f * fblk < length)
+                @pl.when(gate)
+                def _(f=f):
+                    v_dma(f).wait()
+        else:
+            for f in range(nfb):
+                @pl.when(f * fblk < length)
+                def _(f=f):
+                    v_dma(f).wait()
 
-                probs_pv = probs_scr[pl.ds(h * group, group), :]
-                vq8, vs = new_v[h]
-                # patch the appended token's contribution: its plane row
-                # may be stale, so zero its column and add the true row
-                p_idx = jnp.sum(probs_pv * is_new_col[None, :].astype(
-                    jnp.float32), axis=-1)                    # [G]
-                probs_pv = probs_pv * (1.0 - is_new_col[None, :].astype(
-                    jnp.float32))
-                vscale_row = vscale_out[0, h, 0]
-                pv = probs_pv * vscale_row[None, :]
-                out = jax.lax.dot_general(
-                    pv, v_scr[h].astype(jnp.float32),
+        # zero the appended token's (possibly stale) column; its true
+        # contribution is patched from registers below
+        p_idx = jnp.sum(probs_pv * is_new_col, axis=-1,
+                        keepdims=True)                  # [rows, 1]
+        pvmat = (probs_pv * (1.0 - is_new_col)) * vscale_rows
+        # blocked accumulation: the int8->f32 cast materializes one
+        # [pblk, slab] tile at a time (a whole-cache cast would be 8 MB of
+        # VMEM at cap 4096), and blocks past `length` skip entirely
+        pvacc_scr[...] = jnp.zeros((rows, slab), jnp.float32)
+        for t in range(num_tblk):
+            @pl.when(t * pblk < length)
+            def _(t=t):
+                vb = v_scr[pl.ds(t * pblk, pblk), :].astype(jnp.float32)
+                pvacc_scr[...] += jax.lax.dot_general(
+                    pvmat[:, t * pblk:(t + 1) * pblk], vb,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                out = out + p_idx[:, None] * (
-                    vq8.astype(jnp.float32) * vs)
-                out_ref[0, h] = out.astype(out_ref.dtype)
+        out_full = pvacc_scr[...]                       # [rows, slab]
+        # block-diag extract: mask off-head chunks, fold chunks onto D
+        # with a constant tiled-identity matmul (no lane reshapes)
+        li_s = jax.lax.broadcasted_iota(jnp.int32, (slab, d), 0) % d
+        li_d = jax.lax.broadcasted_iota(jnp.int32, (slab, d), 1)
+        fold = (li_s == li_d).astype(jnp.float32)       # [slab, d]
+        out_rows = jax.lax.dot_general(
+            out_full * bd_mask, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [rows, d]
+        vnew_deq = jnp.broadcast_to(vq8 * vsc_lane, (rows, slab)) * bd_mask
+        vnew_rows = jax.lax.dot_general(
+            vnew_deq, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [rows, d]
+        out_ref[0] = out_rows + p_idx * vnew_rows
 
-        # append writes drain last (they were issued above; by now their
-        # latency is hidden behind the P·V pass)
-        for h in range(hpp):
-            pltpu.make_async_copy(row_scr[2 * h], full_slice(kfull_out, h),
-                                  app_sem.at[0, h]).wait()
-            pltpu.make_async_copy(row_scr[2 * h + 1],
-                                  full_slice(vfull_out, h),
-                                  app_sem.at[1, h]).wait()
-            pltpu.make_async_copy(rmw_scr[2 * h], packed_slice(kmsb_out, h),
-                                  app_sem.at[2, h]).wait()
-            pltpu.make_async_copy(rmw_scr[2 * h + 1],
-                                  packed_slice(vmsb_out, h),
-                                  app_sem.at[3, h]).wait()
+        # append writes drain last (latency hidden behind P·V)
+        pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
+                              app_sem.at[0]).wait()
+        pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
+                              app_sem.at[1]).wait()
+        pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
+                              app_sem.at[2]).wait()
+        pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
+                              app_sem.at[3]).wait()
 
-    return kernel, (num_pblk, num_tblk, num_vblk, keep_ub)
+    return kernel, (num_pblk, num_tblk, nfb)
 
 
 def fused_decode_attention(
     q: jax.Array,                  # [B, Hq, 1, D] (rotated queries)
-    k_quant: qz.QuantizedKV,       # planes [B, Hkv, C(/2), D] — ALIASED
+    k_quant: qz.QuantizedKV,       # planes [B, C(/2), Hkv*D] — ALIASED
     v_quant: qz.QuantizedKV,       # (donate via jit for in-place update)
     k_new: jax.Array,              # [B, Hkv, 1, D] raw new K row (already
                                    #   rotated iff rope_mode == "cached")
     v_new: jax.Array,              # [B, Hkv, 1, D] raw new V row
-    cos: jax.Array,                # [C, D]
-    sin: jax.Array,
     lengths: jax.Array,            # [B] int32 valid tokens INCL. new row
     *,
     sm_scale: float = 1.0,
@@ -665,7 +619,6 @@ def fused_decode_attention(
     v_block_size: int = 16,
     head_mask: Optional[jax.Array] = None,
     importance_kind: str = "prob",
-    use_rope: bool = True,
     quantize_queries: bool = False,
     importance_in: Optional[jax.Array] = None,   # [B, Hkv, C]
     track_importance: bool = True,
@@ -677,142 +630,146 @@ def fused_decode_attention(
     k_quant', v_quant') where the primed caches contain the appended row
     (planes aliased in-place when the caller donates them).
 
-    `sm_scale` may fold per-layer scaling into the queries instead (pass
-    pre-scaled q and sm_scale=1.0) — needed when the scale is a traced
-    per-layer value (GPT-2's scale_attn_by_inverse_layer_idx).
+    Queries must arrive fully rotated/scaled; the kernel computes no RoPE
+    (rope_mode "cached" or absolute-position models — "read" mode uses
+    the jnp reference path).
     """
     b, hq, q_len, d = q.shape
     assert q_len == 1
-    hkv = k_quant.full.shape[1]
-    cap = k_quant.full.shape[2]
+    hkv = k_quant.heads
+    cap = k_quant.tokens
     group = hq // hkv
     assert cap % v_block_size == 0
-    hpp = _heads_per_program(hkv, cap, d)
+    hpp = _heads_per_program(hkv, cap, d) if not interpret else hkv
+    rows_p = hpp * group
 
     accumulate = importance_in is not None
-    kernel, (num_pblk, num_tblk, num_vblk, keep_ub) = _make_kernel(
+    kernel, (num_pblk, num_tblk, nfb) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
-        importance_kind=importance_kind, use_rope=use_rope,
+        importance_kind=importance_kind,
         accumulate_importance=accumulate,
         quantize_queries=quantize_queries,
         track_importance=track_importance,
         importance_ema=importance_ema)
 
+    rows_total = hq
+    # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
+    # kv-head h's group — built with a tiny einsum (B*Hq*Hkv*D floats)
     qg = q.astype(jnp.float32).reshape(b, hkv, group, d)
+    eye = jnp.eye(hkv, dtype=jnp.float32)
+    qbd = jnp.einsum("bhgd,hk->bhgkd", qg, eye).reshape(
+        b, rows_total, hkv * d)
+
     if head_mask is None:
-        hm = jnp.ones((b, hkv, 1, group), jnp.float32)
+        hm = jnp.ones((b, hkv, group), jnp.float32)
     else:
         hmb = head_mask if head_mask.ndim == 2 else \
             jnp.broadcast_to(head_mask[None], (b, hq))
-        hm = hmb.astype(jnp.float32).reshape(b, hkv, 1, group)
+        hm = hmb.astype(jnp.float32).reshape(b, hkv, group)
 
-    kscale = k_quant.scale.reshape(b, hkv, 1, cap)
-    vscale = v_quant.scale.reshape(b, hkv, 1, cap)
     imp_cols = cap if track_importance else 128
     if accumulate:
-        imp_in = importance_in.astype(jnp.float32).reshape(b, hkv, 1, cap)
+        imp_in = importance_in.astype(jnp.float32)
     else:
-        imp_in = jnp.zeros((b, hkv, 1, imp_cols), jnp.float32)
+        imp_in = jnp.zeros((b, hkv, imp_cols), jnp.float32)
 
-    def blk(shape, index=lambda i, j, *_: (i, j, 0, 0)):
-        return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
+    quant_on = quant_enabled
+    do_requant = quant_enabled and requant_threshold > 0.0
+    keep_blocks = (max(1, -(-v_keep // v_block_size)) if v_keep > 0 else 0)
+    do_vprune = 0 < v_keep and keep_blocks < cap // v_block_size
+    slab = hpp * d
 
     in_specs = [
-        blk((1, hpp, group, d)),                     # q
-        blk((1, hpp, 1, d)),                         # k_new
-        blk((1, hpp, 1, d)),                         # v_new
-        blk((1, hpp, 1, cap)),                       # kscale
-        blk((1, hpp, 1, cap)),                       # vscale
+        pl.BlockSpec((1, rows_p, slab),
+                     lambda i, j, *_: (i, j, j),
+                     memory_space=pltpu.VMEM),          # qbd
+        pl.BlockSpec((1, 1, slab), lambda i, j, *_: (i, 0, j),
+                     memory_space=pltpu.VMEM),          # k_new
+        pl.BlockSpec((1, 1, slab), lambda i, j, *_: (i, 0, j),
+                     memory_space=pltpu.VMEM),          # v_new
+        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # kscale
+        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # vscale
+        pl.BlockSpec((1, hpp, group), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # hmask
+        pl.BlockSpec((1, hpp, imp_cols), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # imp_in
     ]
-    rope_args = []
-    if use_rope:
-        # per-sequence rope row at the append position (idx = length - 1)
-        pos_idx = jnp.maximum(lengths - 1, 0)
-        cos_idx = jnp.take(cos, jnp.minimum(pos_idx, cos.shape[0] - 1),
-                           axis=0).reshape(b, 1, 1, d)
-        sin_idx = jnp.take(sin, jnp.minimum(pos_idx, sin.shape[0] - 1),
-                           axis=0).reshape(b, 1, 1, d)
-        in_specs += [
-            pl.BlockSpec((cap, d // 2), lambda i, j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap, d // 2), lambda i, j, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            blk((1, 1, 1, d), lambda i, j, *_: (i, 0, 0, 0)),
-            blk((1, 1, 1, d), lambda i, j, *_: (i, 0, 0, 0)),
-        ]
-        rope_args = [cos[:, : d // 2].astype(jnp.float32),
-                     sin[:, : d // 2].astype(jnp.float32),
-                     cos_idx.astype(jnp.float32),
-                     sin_idx.astype(jnp.float32)]
     in_specs += [
-        blk((1, hpp, 1, group)),                     # hmask
-        blk((1, hpp, 1, imp_cols)),                  # imp_in
         pl.BlockSpec(memory_space=pl.ANY),           # kmsb
         pl.BlockSpec(memory_space=pl.ANY),           # kfull
         pl.BlockSpec(memory_space=pl.ANY),           # vmsb
         pl.BlockSpec(memory_space=pl.ANY),           # vfull
     ]
     out_specs = [
-        blk((1, hpp, group, d)),                     # out
-        blk((1, hpp, 1, 128)),                       # maxp
-        blk((1, hpp, 1, 128)),                       # need
-        blk((1, hpp, 1, imp_cols)),                  # imp
-        blk((1, hpp, 1, cap)),                       # kscale'
-        blk((1, hpp, 1, cap)),                       # vscale'
+        pl.BlockSpec((1, rows_p, d), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # out
+        pl.BlockSpec((1, hpp, 128), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # maxp
+        pl.BlockSpec((1, hpp, 128), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # need
+        pl.BlockSpec((1, hpp, imp_cols), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # imp
+        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # kscale'
+        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),          # vscale'
         pl.BlockSpec(memory_space=pl.ANY),           # kmsb'
         pl.BlockSpec(memory_space=pl.ANY),           # kfull'
         pl.BlockSpec(memory_space=pl.ANY),           # vmsb'
         pl.BlockSpec(memory_space=pl.ANY),           # vfull'
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hkv, group, d), jnp.float32),
-        jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.float32),
-        jax.ShapeDtypeStruct((b, hkv, 1, 128), jnp.int32),
-        jax.ShapeDtypeStruct((b, hkv, 1, imp_cols), jnp.float32),
-        jax.ShapeDtypeStruct(kscale.shape, jnp.float32),
-        jax.ShapeDtypeStruct(vscale.shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, rows_total, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, hkv, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, hkv, 128), jnp.int32),
+        jax.ShapeDtypeStruct((b, hkv, imp_cols), jnp.float32),
+        jax.ShapeDtypeStruct(k_quant.scale.shape, jnp.float32),
+        jax.ShapeDtypeStruct(v_quant.scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(k_quant.msb.shape, jnp.uint8),
         jax.ShapeDtypeStruct(k_quant.full.shape, jnp.int8),
         jax.ShapeDtypeStruct(v_quant.msb.shape, jnp.uint8),
         jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
     ]
     # operand index -> output index (operand 0 is the scalar prefetch)
-    nrope = 4 if use_rope else 0
-    kscale_op = 4                      # lengths=0 q=1 knew=2 vnew=3
-    imp_op = 6 + nrope + 1             # hmask at 6+nrope, imp after
-    plane0_op = imp_op + 1
-    aliases = {
-        kscale_op: 4, kscale_op + 1: 5,
-        plane0_op: 6, plane0_op + 1: 7,
-        plane0_op + 2: 8, plane0_op + 3: 9,
-    }
+    aliases = {4: 4, 5: 5, 8: 6, 9: 7, 10: 8, 11: 9}
     if accumulate:
-        aliases[imp_op] = 3
+        aliases[7] = 3
+
+    scratch = [
+        pltpu.VMEM((8, slab), jnp.int8),     # kapp
+        pltpu.VMEM((8, slab), jnp.int8),     # vapp
+        pltpu.VMEM((8, slab), jnp.uint8),    # kmapp
+        pltpu.VMEM((8, slab), jnp.uint8),    # vmapp
+    ]
+    if quant_on:
+        scratch.append(pltpu.VMEM((cap // 2, slab), jnp.uint8))
+    if (not quant_on) or do_requant:
+        scratch.append(pltpu.VMEM((cap, slab), jnp.int8))
+    scratch += [
+        pltpu.VMEM((rows_p, cap), jnp.float32),    # scores
+        pltpu.VMEM((rows_p, cap), jnp.float32),    # probs
+    ]
+    if do_requant:
+        scratch.append(pltpu.VMEM((rows_p, cap), jnp.float32))
+    scratch += [
+        pltpu.VMEM((cap, slab), jnp.int8),         # v
+        pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((num_pblk,)),
+        pltpu.SemaphoreType.DMA((num_tblk,)),
+        pltpu.SemaphoreType.DMA((nfb,)),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=(
-            [pltpu.VMEM((8, d), jnp.int8) for _ in range(2 * hpp)] +
-            [pltpu.VMEM((8, d), jnp.uint8) for _ in range(2 * hpp)] + [
-                pltpu.VMEM((hpp, cap // 2, d), jnp.uint8),    # kmsb
-                pltpu.VMEM((hpp, cap, d), jnp.int8),          # kfull
-                pltpu.VMEM((hpp * group, cap), jnp.float32),  # scores
-                pltpu.VMEM((hpp * group, cap), jnp.float32),  # probs
-                pltpu.VMEM((hpp, cap, d), jnp.int8),          # v
-                pltpu.SMEM((hpp, max(keep_ub, 1)), jnp.int32),
-                pltpu.SemaphoreType.DMA((4, hpp)),
-                pltpu.SemaphoreType.DMA((hpp, num_pblk)),
-                pltpu.SemaphoreType.DMA((hpp, num_tblk)),
-                # sized to live DMAs only: the semaphore-flag space is
-                # tiny (~512 slots)
-                pltpu.SemaphoreType.DMA(
-                    (hpp, keep_ub if keep_ub else num_tblk)),
-            ]),
+        scratch_shapes=scratch,
     )
 
     outs = pl.pallas_call(
@@ -823,23 +780,21 @@ def fused_decode_attention(
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
-        qg,
-        k_new.astype(jnp.float32).reshape(b, hkv, 1, d),
-        v_new.astype(jnp.float32).reshape(b, hkv, 1, d),
-        kscale, vscale, *rope_args, hm, imp_in,
+        qbd,
+        k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
+        v_new.astype(jnp.float32).reshape(b, 1, hkv * d),
+        k_quant.scale, v_quant.scale, hm, imp_in,
         k_quant.msb, k_quant.full, v_quant.msb, v_quant.full,
     )
     (out, maxp, need, imp, kscale2, vscale2,
      kmsb2, kfull2, vmsb2, vfull2) = outs
 
-    k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2,
-                        scale=kscale2.reshape(b, hkv, cap))
-    v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2,
-                        scale=vscale2.reshape(b, hkv, cap))
+    k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2, scale=kscale2)
+    v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2, scale=vscale2)
     stats = AttentionStats(
-        max_prob=maxp[..., 0, 0],
-        need_requant=need[..., 0, 0].astype(bool),
-        importance_delta=(imp.reshape(b, hkv, cap) if track_importance
+        max_prob=maxp[..., 0],
+        need_requant=need[..., 0].astype(bool),
+        importance_delta=(imp if track_importance
                           else jnp.zeros((b, hkv, cap), jnp.float32)),
         probs=None,
     )

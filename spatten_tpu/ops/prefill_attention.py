@@ -44,7 +44,7 @@ def _block(arr, i, size, axis):
 
 def prefill_attention(
     q: jax.Array,                  # [B, Hq, S, D] (rotated queries)
-    k_quant: qz.QuantizedKV,       # planes [B, Hkv, C(/2), D]
+    k_quant: qz.QuantizedKV,       # planes [B, C(/2), Hkv*D] (token-major)
     v_quant: qz.QuantizedKV,
     cos: jax.Array,                # [C, D]
     sin: jax.Array,
@@ -63,8 +63,8 @@ def prefill_attention(
 ) -> Tuple[jax.Array, AttentionStats]:
     """Streaming-blocks equivalent of `spatten_attention_reference`."""
     b, hq, s, d = q.shape
-    hkv = k_quant.full.shape[1]
-    cap = k_quant.full.shape[2]
+    hkv = k_quant.heads
+    cap = k_quant.tokens
     group = hq // hkv
     block_size = max(block_size, v_block_size)
     while cap % block_size:
@@ -91,6 +91,11 @@ def prefill_attention(
 
     half_blocks = max(1, nblk // 2)
 
+    def _head_major(fused):
+        """Token-major block [B, blk, Hkv*D] -> [B, Hkv, blk, D]."""
+        blk = fused.shape[1]
+        return fused.reshape(b, blk, hkv, d).transpose(0, 2, 1, 3)
+
     def k_block(i, plane):
         """Dequantized (+rotated) K block [B, Hkv, blk, D]."""
         if quant_enabled and plane == "msb" and nblk >= 2:
@@ -99,18 +104,19 @@ def prefill_attention(
             # only one packed block is ever sliced (0.5 B/elem moved)
             pk = jax.lax.dynamic_slice_in_dim(
                 k_quant.msb, (i % half_blocks) * block_size, block_size,
-                axis=2).astype(jnp.int32)
+                axis=1).astype(jnp.int32)
             is_hi = i < half_blocks
             nib = jnp.where(is_hi, pk >> 4, pk & 0xF)
             kb = (((nib ^ 8) - 8).astype(jnp.float32)
                   * 16.0 + qz.MSB_MIDPOINT)
         elif quant_enabled and plane == "msb":
             kb4 = qz.unpack_msb(k_quant.msb)          # tiny caps only
-            kb = _block(kb4, i, block_size, 2).astype(jnp.float32)
+            kb = _block(kb4, i, block_size, 1).astype(jnp.float32)
             kb = kb * 16.0 + qz.MSB_MIDPOINT
         else:
-            kb = _block(k_quant.full, i, block_size, 2).astype(jnp.float32)
-        sc = _block(k_quant.scale, i, block_size, 2)
+            kb = _block(k_quant.full, i, block_size, 1).astype(jnp.float32)
+        kb = _head_major(kb)                          # [B, Hkv, blk, D]
+        sc = _block(k_quant.scale, i, block_size, 2)  # [B, Hkv, blk]
         kb = kb * sc[..., None]
         if use_rope:
             pos = i * block_size + jnp.arange(block_size)
@@ -197,7 +203,8 @@ def prefill_attention(
                 kcols = jnp.repeat(kb, v_block_size, axis=-1)
                 p = p * kcols
             vb = _repeat_kv(
-                _block(v_quant.full, i, block_size, 2).astype(jnp.float32)
+                _head_major(_block(v_quant.full, i, block_size, 1)
+                            .astype(jnp.float32))
                 * _block(v_quant.scale, i, block_size, 2)[..., None],
                 group)
             return acc + jnp.einsum("bhqc,bhcd->bhqd", p, vb,

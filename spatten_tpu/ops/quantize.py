@@ -1,24 +1,32 @@
-"""Two-plane progressive KV quantization.
+"""Two-plane progressive KV quantization over the token-major layout.
 
 TPU realization of the reference's bit-sliced buffer + progressive fetch
 (Buffer.scala:78-83 one-RAM-per-bit; MatrixFetcher.scala:333-361 MSB/LSB
 bit-plane alignment; SpAttenController.scala:214-232 masked LSB writes):
 
-* ``full`` plane: int8, symmetric per-(token, head) scale.
-* ``msb`` plane : the arithmetic-shift-right-4 nibble of the int8 value,
-  packed two-tokens-per-byte into a uint8 array of half the token rows —
-  reading it moves 0.5 bytes/element over HBM, the true 4-bit bandwidth.
+* ``full`` plane: int8 ``[..., T, H*D]`` — **token-major**: one contiguous
+  row per token slot holding every head's vector.  This is the layout the
+  decode kernel wants: appends are single-row writes, per-block fetches
+  are contiguous slabs covering all heads (see ops/fused_decode.py).
+* ``msb`` plane: the arithmetic-shift-right-4 nibble of the int8 value,
+  packed two-tokens-per-byte into a uint8 ``[..., T//2, H*D]`` — reading
+  it moves 0.5 bytes/element over HBM, the true 4-bit bandwidth.
+* ``scale``: f32 ``[..., H, T]`` symmetric per-(token, head) scale.
 
-Packing layout ("split-token"): for a cache of T token rows, packed row
-``t`` holds the MSB nibble of token ``t`` in its high bits and of token
-``t + T//2`` in its low bits.  Unpacking therefore produces tokens in natural
-order ([0, T/2) from the high nibbles, [T/2, T) from the low) with a cheap
+Packing layout ("split-token"): packed row ``t`` holds the MSB nibble of
+token ``t`` in its high bits and of token ``t + T//2`` in its low bits.
+Unpacking therefore produces tokens in natural order with a cheap
 sublane concat — no lane shuffles on TPU.
 
-The planes compose exactly: ``int8 == (msb << 4) | lsb`` so a requantization
-pass that fetches the full plane refines, never contradicts, the MSB pass —
-mirroring how the RTL's LSB fetch completes the MSB bits in the bit-sliced
-SRAM rather than recomputing a new quantization.
+The planes compose exactly: ``int8 == (msb << 4) | lsb`` so a
+requantization pass that fetches the full plane refines, never
+contradicts, the MSB pass — mirroring how the RTL's LSB fetch completes
+the MSB bits in the bit-sliced SRAM rather than recomputing a new
+quantization.
+
+Head-major <-> token-major conversion happens only at the (rare)
+prefill / prune boundaries; the decode hot path reads and writes the
+token-major planes directly.
 """
 
 from __future__ import annotations
@@ -36,11 +44,11 @@ MSB_MIDPOINT = 7.5
 
 
 class QuantizedKV(NamedTuple):
-    """A quantized K or V tensor with both planes.
+    """A quantized K or V tensor with both planes (token-major).
 
-    full:  int8  [..., T, D]
-    msb:   uint8 [..., T//2, D]   packed nibble plane
-    scale: f32   [..., T]         per-token (per leading dims) scale
+    full:  int8  [..., T, H*D]
+    msb:   uint8 [..., T//2, H*D]   packed nibble plane
+    scale: f32   [..., H, T]        per-(token, head) scale
     """
 
     full: jax.Array
@@ -51,6 +59,14 @@ class QuantizedKV(NamedTuple):
     def tokens(self) -> int:
         return self.full.shape[-2]
 
+    @property
+    def heads(self) -> int:
+        return self.scale.shape[-2]
+
+    @property
+    def head_dim(self) -> int:
+        return self.full.shape[-1] // self.scale.shape[-2]
+
 
 def _nibble(q8: jax.Array) -> jax.Array:
     """MSB nibble of an int8 value as uint8 in [0, 15]."""
@@ -58,7 +74,7 @@ def _nibble(q8: jax.Array) -> jax.Array:
 
 
 def pack_msb(q8: jax.Array) -> jax.Array:
-    """Pack the MSB nibbles of int8 [..., T, D] into uint8 [..., T//2, D]."""
+    """Pack MSB nibbles of int8 [..., T, F] into uint8 [..., T//2, F]."""
     t = q8.shape[-2]
     assert t % 2 == 0, "token dim must be even for nibble packing"
     hi = _nibble(q8[..., : t // 2, :])
@@ -67,7 +83,7 @@ def pack_msb(q8: jax.Array) -> jax.Array:
 
 
 def unpack_msb(packed: jax.Array) -> jax.Array:
-    """Unpack uint8 [..., T//2, D] to signed 4-bit values int8 [..., T, D].
+    """Unpack uint8 [..., T//2, F] to signed 4-bit values int8 [..., T, F].
 
     Values are in [-8, 7]: the arithmetic high nibble of the original int8.
     """
@@ -77,26 +93,44 @@ def unpack_msb(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([hi, lo], axis=-2).astype(jnp.int8)
 
 
-def quantize(x: jax.Array) -> QuantizedKV:
-    """Symmetric int8 quantization over the last axis, plus the MSB plane.
+def _to_token_major(x_hm: jax.Array) -> jax.Array:
+    """[..., H, T, D] -> [..., T, H*D]."""
+    h, t, d = x_hm.shape[-3:]
+    moved = jnp.moveaxis(x_hm, -3, -2)                 # [..., T, H, D]
+    return moved.reshape(x_hm.shape[:-3] + (t, h * d))
 
-    x: [..., T, D] -> QuantizedKV.
-    """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)       # [..., T]
+
+def _to_head_major(fused: jax.Array, heads: int) -> jax.Array:
+    """[..., T, H*D] -> [..., H, T, D]."""
+    t, f = fused.shape[-2:]
+    d = f // heads
+    split = fused.reshape(fused.shape[:-2] + (t, heads, d))
+    return jnp.moveaxis(split, -2, -3)                 # [..., H, T, D]
+
+
+def quantize(x: jax.Array) -> QuantizedKV:
+    """Symmetric int8 quantization of head-major input [..., H, T, D]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)   # [..., H, T]
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q8 = jnp.clip(
         jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
     ).astype(jnp.int8)
-    return QuantizedKV(full=q8, msb=pack_msb(q8), scale=scale)
+    fused = _to_token_major(q8)
+    return QuantizedKV(full=fused, msb=pack_msb(fused), scale=scale)
 
 
 def dequantize_full(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
-    return (q.full.astype(jnp.float32) * q.scale[..., None]).astype(dtype)
+    """-> head-major [..., H, T, D]."""
+    hm = _to_head_major(q.full, q.heads).astype(jnp.float32)
+    return (hm * q.scale[..., None]).astype(dtype)
 
 
 def dequantize_msb(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
-    """Dequantize from the 4-bit plane only (pass-1 approximation)."""
-    v4 = unpack_msb(q.msb).astype(jnp.float32)
+    """Dequantize from the 4-bit plane only (pass-1 approximation).
+
+    -> head-major [..., H, T, D].
+    """
+    v4 = _to_head_major(unpack_msb(q.msb), q.heads).astype(jnp.float32)
     return ((v4 * 16.0 + MSB_MIDPOINT) * q.scale[..., None]).astype(dtype)
 
 
@@ -110,27 +144,29 @@ def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
                  ) -> QuantizedKV:
     """Write one new token row into slot `index` of both planes.
 
-    x_new: [..., D] unquantized; index: scalar int32 slot.
+    x_new: [..., H, D] unquantized; index: scalar int32 slot.
     The packed-plane write is a read-modify-write of one byte row, touching
     only the nibble owned by `index` — the TPU analog of the RTL's per-bit
     write mask (SpAttenController.scala:230-232).
     """
     t = q.tokens
     x32 = x_new.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1)
+    amax = jnp.max(jnp.abs(x32), axis=-1)                     # [..., H]
     scale_new = jnp.where(amax > 0, amax / 127.0, 1.0)
     q8_new = jnp.clip(jnp.round(x32 / scale_new[..., None]), -127, 127
-                      ).astype(jnp.int8)
+                      ).astype(jnp.int8)                      # [..., H, D]
+    fused_row = q8_new.reshape(q8_new.shape[:-2]
+                               + (q8_new.shape[-2] * q8_new.shape[-1],))
 
-    full = _dus(q.full, q8_new[..., None, :], index, axis=-2)
+    full = _dus(q.full, fused_row[..., None, :], index, axis=-2)
     scale = _dus(q.scale, scale_new[..., None], index, axis=-1)
 
     half = t // 2
     row = index % half
     is_hi = index < half
     old = jax.lax.dynamic_index_in_dim(q.msb, row, axis=q.msb.ndim - 2,
-                                       keepdims=False)            # [..., D]
-    nib = _nibble(q8_new)
+                                       keepdims=False)        # [..., H*D]
+    nib = _nibble(fused_row)
     new_byte = jnp.where(
         is_hi,
         (nib << 4) | (old & jnp.uint8(0x0F)),
@@ -141,16 +177,20 @@ def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
 
 
 def gather_tokens(q: QuantizedKV, indices: jax.Array) -> QuantizedKV:
-    """Rebuild a QuantizedKV keeping only `indices` along the token axis.
+    """Rebuild a QuantizedKV keeping `indices` along the token axis.
 
-    indices: [..., T_new] (leading dims must broadcast against q's leading
-    dims).  Used by token pruning: gather the int8 plane + scales, then
-    re-pack the nibble plane (pruning is capacity-triggered and rare, so a
-    full re-pack is cheap relative to decode steps).
+    indices: [..., H, T_new] per-head kept slots (leading dims broadcast
+    against q's leading dims).  Used by token pruning: each head gathers
+    its own survivor set, then the nibble plane re-packs (pruning is
+    capacity-triggered and rare, so a full re-pack is cheap relative to
+    decode steps).
     """
-    full = jnp.take_along_axis(q.full, indices[..., None], axis=-2)
+    heads = q.heads
+    full_hm = _to_head_major(q.full, heads)                   # [...,H,T,D]
+    full_g = jnp.take_along_axis(full_hm, indices[..., None], axis=-2)
     scale = jnp.take_along_axis(q.scale, indices, axis=-1)
-    return QuantizedKV(full=full, msb=pack_msb(full), scale=scale)
+    fused = _to_token_major(full_g)
+    return QuantizedKV(full=fused, msb=pack_msb(fused), scale=scale)
 
 
 def rotate_rows_by_delta(q: QuantizedKV, delta: jax.Array, cos: jax.Array,
@@ -163,12 +203,11 @@ def rotate_rows_by_delta(q: QuantizedKV, delta: jax.Array, cos: jax.Array,
     rotates by Δ (cos is even, sin is odd: cos(Δ)=cos(-Δ),
     sin(Δ)=-sin(-Δ)), and requantizes both planes.
 
-    q: planes [..., T, D]; delta: int32 [..., T] with delta <= 0;
-    cos/sin: [P, D] rope tables.
+    delta: int32 [..., H, T] with delta <= 0; cos/sin: [P, D] rope tables.
     """
-    x = dequantize_full(q, jnp.float32)                  # [..., T, D]
+    x = dequantize_full(q, jnp.float32)                  # [..., H, T, D]
     mag = jnp.clip(-delta, 0, cos.shape[0] - 1)
-    c = jnp.take(cos, mag, axis=0)                       # [..., T, D]
+    c = jnp.take(cos, mag, axis=0)                       # [..., H, T, D]
     s = -jnp.take(sin, mag, axis=0)
     half = x.shape[-1] // 2
     rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)

@@ -84,13 +84,17 @@ def param_pspecs(params: Any) -> Any:
 
 def state_pspecs(state: DecodeState) -> DecodeState:
     """PartitionSpec pytree for a DecodeState."""
-    def cache_spec(leaf):
-        # [L, B, Hkv, ...]: layers replicated, batch over data, heads over
-        # model, token/feature dims unsharded
-        return P(None, "data", "model", *([None] * (leaf.ndim - 3)))
+    from spatten_tpu.engine.kv_cache import LayerKVCache
+    from spatten_tpu.ops.quantize import QuantizedKV
+    # token-major planes [L, B, C, Hkv*D]: heads live in the fused lane
+    # axis -> shard the last axis over "model"; scales are [L, B, Hkv, C]
+    plane = P(None, "data", None, "model")
+    scale = P(None, "data", "model", None)
+    kv = QuantizedKV(full=plane, msb=plane, scale=scale)
+    cache_specs = LayerKVCache(k=kv, v=kv)
 
     return DecodeState(
-        cache=jax.tree.map(cache_spec, state.cache),
+        cache=cache_specs,
         importance=P(None, "data", "model", None),
         lengths=P("data"),
         layer_lengths=P(None, "data"),

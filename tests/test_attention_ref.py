@@ -135,7 +135,7 @@ def test_importance_epilogue_matches_manual():
     )
     # prob importance sums to (#queries * group) per kv head over valid region
     tot = np.asarray(stats.importance_delta).sum(-1)
-    group = q.shape[1] // kq.full.shape[1]
+    group = q.shape[1] // kq.heads
     np.testing.assert_allclose(tot, q.shape[2] * group, rtol=1e-5)
     # nothing attributed past `length`
     assert np.abs(np.asarray(stats.importance_delta)[..., 24:]).max() == 0

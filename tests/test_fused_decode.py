@@ -3,17 +3,23 @@
 The fused kernel appends the new token's K/V row in-kernel, so the
 reference computation is: `append_tokens` (the XLA path) followed by
 `spatten_attention_reference` over the appended cache.  Cache planes must
-match the XLA append bit-exactly (same quantize semantics)."""
+match the XLA append bit-exactly (same quantize semantics).
+
+The kernel computes no RoPE (queries arrive rotated; keys cached-rotated
+or abs-pos), so every comparison runs the reference with use_rope=False —
+cached-mode end-to-end rotation correctness is covered by
+test_rope_cached_mode.py and the engine tests."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spatten_tpu.engine import kv_cache as kvc
 from spatten_tpu.ops import quantize as qz
 from spatten_tpu.ops import rope as rope_ops
 from spatten_tpu.ops.attention_ref import spatten_attention_reference
-from spatten_tpu.ops.fused_decode import fused_decode_attention
+from spatten_tpu.ops.fused_decode import _kth_largest, fused_decode_attention
 
 
 def make_inputs(key, b=2, hq=4, hkv=2, cap=64, d=32, length=50):
@@ -35,7 +41,7 @@ def make_inputs(key, b=2, hq=4, hkv=2, cap=64, d=32, length=50):
 
 def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
              quant_enabled=True, v_keep=0, v_block_size=16,
-             head_mask=None, importance_kind="prob", use_rope=True,
+             head_mask=None, importance_kind="prob",
              quantize_queries=False, importance_in=None,
              track_importance=True, **mk):
     q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(key, **mk)
@@ -43,17 +49,18 @@ def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
         sm_scale=sm_scale, requant_threshold=requant_threshold,
         quant_enabled=quant_enabled, v_keep=v_keep,
         v_block_size=v_block_size, head_mask=head_mask,
-        importance_kind=importance_kind, use_rope=use_rope,
+        importance_kind=importance_kind,
     )
     # reference: XLA append, then attend over the appended cache
     cache = kvc.LayerKVCache(k=kq, v=vq)
     cache_ref = kvc.append_tokens(cache, k_new, v_new, lengths - 1)
     q_pos = lengths[:, None] - 1
     ref_out, ref_stats = spatten_attention_reference(
-        q, cache_ref.k, cache_ref.v, cos, sin, lengths, q_pos, **kwargs)
+        q, cache_ref.k, cache_ref.v, cos, sin, lengths, q_pos,
+        use_rope=False, **kwargs)
 
     ker_out, ker_stats, k2, v2 = fused_decode_attention(
-        q, kq, vq, k_new, v_new, cos, sin, lengths,
+        q, kq, vq, k_new, v_new, lengths,
         quantize_queries=quantize_queries, importance_in=importance_in,
         track_importance=track_importance, interpret=True, **kwargs)
     return (ref_out, ref_stats, cache_ref), (ker_out, ker_stats,
@@ -69,15 +76,15 @@ def assert_planes_match(cache_ref, cache_ker, lengths):
         for b in range(ln.shape[0]):
             L = int(ln[b])
             np.testing.assert_array_equal(
-                np.asarray(qker.full)[b, :, :L], np.asarray(qref.full)[b, :, :L],
+                np.asarray(qker.full)[b, :L], np.asarray(qref.full)[b, :L],
                 err_msg=f"{name}.full row mismatch (b={b})")
             np.testing.assert_allclose(
                 np.asarray(qker.scale)[b, :, :L],
                 np.asarray(qref.scale)[b, :, :L], rtol=1e-6,
                 err_msg=f"{name}.scale mismatch (b={b})")
             # packed plane: check the nibbles of all valid tokens
-            ref4 = np.asarray(qz.unpack_msb(qref.msb))[b, :, :L]
-            ker4 = np.asarray(qz.unpack_msb(qker.msb))[b, :, :L]
+            ref4 = np.asarray(qz.unpack_msb(qref.msb))[b, :L]
+            ker4 = np.asarray(qz.unpack_msb(qker.msb))[b, :L]
             np.testing.assert_array_equal(ker4, ref4,
                                           err_msg=f"{name}.msb (b={b})")
 
@@ -94,6 +101,18 @@ def assert_match(ref, ker, lengths=None, atol=2e-5):
                                   np.asarray(ref_stats.need_requant))
     if lengths is not None:
         assert_planes_match(cache_ref, cache_ker, lengths)
+
+
+def test_kth_largest_matches_topk():
+    for k in (1, 3, 7):
+        x = jax.random.normal(jax.random.PRNGKey(k), (16,))
+        got = _kth_largest(x, k)
+        want = jax.lax.top_k(x, k)[0][-1]
+        assert float(got) == pytest.approx(float(want))
+    # duplicates
+    x = jnp.array([3.0, 1.0, 3.0, 2.0])
+    assert float(_kth_largest(x, 2)) == 3.0
+    assert float(_kth_largest(x, 3)) == 2.0
 
 
 def test_fused_basic_and_planes():
@@ -138,6 +157,28 @@ def test_fused_gqa_vprune():
     assert_match(r, k)
 
 
+def test_fused_mha_group1():
+    # MHA case: hq == hkv
+    r, k = run_both(jax.random.PRNGKey(15), hq=2, hkv=2)
+    assert_match(r, k)
+
+
+def test_fused_head_dim_64_pair_packing():
+    # two 64-dim heads share one 128-lane tile in the token-major layout
+    # (the reference chip's native sizeD=64, SpAtten.scala:10-35)
+    r, k = run_both(jax.random.PRNGKey(16), hq=4, hkv=4, d=64,
+                    v_keep=24, v_block_size=16)
+    assert_match(r, k)
+
+
+def test_fused_presoftmax_importance():
+    r, k = run_both(jax.random.PRNGKey(17), importance_kind="presoftmax")
+    assert_match(r, k)
+    np.testing.assert_allclose(np.asarray(k[1].importance_delta),
+                               np.asarray(r[1].importance_delta),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_fused_head_mask_dead_head():
     hm = jnp.array([True, False, True, True])
     lengths = jnp.array([50, 50], jnp.int32)
@@ -147,21 +188,45 @@ def test_fused_head_mask_dead_head():
     assert_match(r, k, lengths=lengths)
 
 
-def test_fused_no_rope_int8_queries():
+def test_fused_full_pipeline():
+    r, k = run_both(jax.random.PRNGKey(18), requant_threshold=0.15,
+                    v_keep=24, v_block_size=16,
+                    head_mask=jnp.array([True, True, False, True]))
+    assert_match(r, k)
+
+
+def test_fused_int8_queries():
     q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(
         jax.random.PRNGKey(7))
     kwargs = dict(sm_scale=0.18, requant_threshold=0.0, quant_enabled=True,
-                  v_keep=0, v_block_size=16, use_rope=False)
+                  v_keep=0, v_block_size=16)
     cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
                                   k_new, v_new, lengths - 1)
     ref_out, _ = spatten_attention_reference(
         q, cache_ref.k, cache_ref.v, cos, sin, lengths,
-        lengths[:, None] - 1, **kwargs)
+        lengths[:, None] - 1, use_rope=False, **kwargs)
     got_out, _, _, _ = fused_decode_attention(
-        q, kq, vq, k_new, v_new, cos, sin, lengths,
+        q, kq, vq, k_new, v_new, lengths,
         quantize_queries=True, interpret=True, **kwargs)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
                                atol=0.03, rtol=0.05)
+
+
+def test_fused_int8_queries_full_pipeline():
+    q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(
+        jax.random.PRNGKey(12))
+    kwargs = dict(sm_scale=0.18, requant_threshold=0.3, quant_enabled=True,
+                  v_keep=24, v_block_size=16)
+    cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
+                                  k_new, v_new, lengths - 1)
+    ref_out, _ = spatten_attention_reference(
+        q, cache_ref.k, cache_ref.v, cos, sin, lengths,
+        lengths[:, None] - 1, use_rope=False, **kwargs)
+    got_out, _, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, lengths,
+        quantize_queries=True, interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=0.05, rtol=0.1)
 
 
 def test_fused_importance_accumulate_in_place():
@@ -176,6 +241,20 @@ def test_fused_importance_accumulate_in_place():
     want = want + np.asarray(r[1].importance_delta)
     np.testing.assert_allclose(np.asarray(k[1].importance_delta), want,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_accumulate_dead_head_carries_through():
+    b, hkv, cap = 2, 2, 64
+    imp0 = jax.random.uniform(jax.random.PRNGKey(13), (b, hkv, cap))
+    hm = jnp.array([False, False, True, True])   # kv head 0 fully dead
+    _, k = run_both(jax.random.PRNGKey(14), importance_in=imp0,
+                    head_mask=hm, length=50)
+    got = np.asarray(k[1].importance_delta)
+    # dead group: accumulator unchanged
+    np.testing.assert_allclose(got[:, 0], np.asarray(imp0)[:, 0],
+                               atol=1e-6)
+    # live group: changed (delta added)
+    assert not np.allclose(got[:, 1], np.asarray(imp0)[:, 1])
 
 
 def test_fused_track_importance_off():

@@ -67,7 +67,13 @@ def test_generate_without_pruning_matches_with_headroom():
 def test_prune_preserves_start_and_recent_tokens():
     """After a forced prune, the kept cache must contain the sink tokens
     (slots 0..start) and the most recent `recent` tokens, in order."""
-    cfg = tiny_cfg()
+    # "read" rope mode: the prune must not touch surviving K values
+    # (cached mode re-rotates survivors — exactness covered by
+    # test_rope_cached_mode.py)
+    from spatten_tpu.config import EngineConfig
+    cfg = tiny_cfg(engine=EngineConfig(
+        max_batch_size=2, cache_capacity=32, prefill_chunk=8,
+        rope_mode="read"))
     p = cfg.pruning
     b, hkv, cap, dh = 1, cfg.model.num_kv_heads, cfg.engine.cache_capacity, \
         cfg.model.head_dim
@@ -112,7 +118,10 @@ def test_prune_preserves_start_and_recent_tokens():
 
 def test_importance_drives_selection():
     """Tokens given huge importance must survive the prune."""
-    cfg = tiny_cfg()
+    from spatten_tpu.config import EngineConfig
+    cfg = tiny_cfg(engine=EngineConfig(      # marker values: no re-rotation
+        max_batch_size=2, cache_capacity=32, prefill_chunk=8,
+        rope_mode="read"))
     p, cap = cfg.pruning, cfg.engine.cache_capacity
     b, hkv = 1, cfg.model.num_kv_heads
     L = cfg.model.num_layers

@@ -32,7 +32,7 @@ def test_pack_unpack_msb_identity():
 
 def test_planes_compose():
     """int8 == (msb << 4) | lsb — the plane-composition invariant."""
-    x = _rand((4, 32), seed=2)
+    x = _rand((1, 4, 32), seed=2)        # [H=1, T, D]
     q = qz.quantize(x)
     msb = qz.unpack_msb(q.msb).astype(jnp.int32)
     lsb = q.full.astype(jnp.int32) & 0xF
@@ -42,7 +42,7 @@ def test_planes_compose():
 
 
 def test_msb_dequant_is_coarse_but_bounded():
-    x = _rand((8, 64), seed=3)
+    x = _rand((1, 8, 64), seed=3)        # [H=1, T, D]
     q = qz.quantize(x)
     deq4 = qz.dequantize_msb(q)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)

@@ -64,12 +64,11 @@ def timeit(name, fn, *args, donate=None):
 
 
 def main():
-    from bench import build_cfg, BENCH_LAYERS
+    import dataclasses
+
+    from bench import build_cfg, warm_state, BENCH_LAYERS
     from spatten_tpu.engine.state import init_state
     from spatten_tpu.models import transformer
-    from spatten_tpu.ops import quantize as qz
-    from spatten_tpu.ops.decode_attention import decode_attention
-    from spatten_tpu.ops import rope as rope_ops
 
     cache = int(os.environ.get("SPATTEN_BENCH_CACHE", 4096))
     batch = int(os.environ.get("SPATTEN_BENCH_BATCH", 16))
@@ -82,31 +81,7 @@ def main():
 
     params = transformer.init_params(m, jax.random.PRNGKey(0))
     params = jax.device_put(jax.device_get(params))
-
-    key = jax.random.PRNGKey(1)
-    # PER-LAYER caches: ablation scans must not reuse one layer's arrays
-    # (XLA hoists loop-invariant work — e.g. the dense dequant — out of the
-    # scan, faking an 8x traffic reduction)
-    L = BENCH_LAYERS
-    kq = qz.quantize(jax.random.normal(key, (L, b, hkv, cap, dh),
-                                       jnp.float32))
-    vq = qz.quantize(jax.random.normal(key, (L, b, hkv, cap, dh),
-                                       jnp.float32))
-    q = jax.random.normal(key, (b, hkv, 1, dh))
-    cos, sin = rope_ops.rope_table(cap, dh, m.rope_theta)
-    lengths_sp = jnp.full((b,), cfg_sp.pruning.cache_size, jnp.int32)
-    lengths_dn = jnp.full((b,), int(cap * 0.9), jnp.int32)
-    imp = jnp.zeros((b, hkv, cap), jnp.float32)
-    sm = 1.0 / dh ** 0.5
-    v_keep = max(cfg_sp.pruning.v_block_size,
-                 int(cfg_sp.pruning.v_keep_ratio * cap))
-
-    # ---- full steps (the bench numbers) --------------------------------
-    def mk_state(cfg, lengths):
-        st = init_state(cfg, batch=b)
-        # own copy: the state is donated, must not share the ablation arrays
-        from spatten_tpu.engine.state import with_lengths
-        return with_lengths(st, lengths + 0)
+    tok = jnp.zeros((b,), jnp.int32)
 
     def step(cfg):
         def f(params, state, token):
@@ -115,84 +90,42 @@ def main():
             return state, jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
         return f
 
-    tok = jnp.zeros((b,), jnp.int32)
-    t_sp = timeit("FULL spatten step (8L)", step(cfg_sp), params,
-                  mk_state(cfg_sp, lengths_sp), tok, donate=(1,))
-    t_dn = timeit("FULL dense step (8L, jnp attn)", step(cfg_dn), params,
-                  mk_state(cfg_dn, lengths_dn), tok, donate=(1,))
+    def mk_state(cfg):
+        return warm_state(cfg, init_state(cfg, batch=b))
 
-    # ---- attention in isolation (x8 to mimic depth) --------------------
-    def sp_variant(requant, vk):
-        def f(q, kq, vq, lengths, imp):
-            def body(imp, layer_kv):
-                lkq, lvq = layer_kv
-                out, st = decode_attention(
-                    q.reshape(b, hkv, 1, dh), lkq, lvq, cos, sin, lengths,
-                    sm_scale=sm, requant_threshold=requant,
-                    quant_enabled=True, v_keep=vk,
-                    v_block_size=cfg_sp.pruning.v_block_size,
-                    use_rope=False, quantize_queries=True,
-                    importance_in=imp, probs_dtype=jnp.bfloat16)
-                return st.importance_delta, out
-            imp, outs = jax.lax.scan(body, imp, (kq, vq))
-            return imp, outs
-        return f
+    def run(name, cfg):
+        return timeit(name, step(cfg), params, mk_state(cfg), tok,
+                      donate=(1,))
 
-    def attn_dense_pallas(q, kq, vq, lengths):
-        def body(c, layer_kv):
-            lkq, lvq = layer_kv
-            out, _ = decode_attention(
-                q.reshape(b, hkv, 1, dh), lkq, lvq, cos, sin, lengths,
-                sm_scale=sm, requant_threshold=0.0, quant_enabled=False,
-                v_keep=0, use_rope=False)
-            return c, out
-        _, outs = jax.lax.scan(body, 0, (kq, vq))
-        return outs
-
-    def attn_dense_jnp(q, kq, vq, lengths):
-        from spatten_tpu.ops.attention_ref import spatten_attention_reference
-        pos = lengths[:, None] - 1
-        def body(c, layer_kv):
-            lkq, lvq = layer_kv
-            out, _ = spatten_attention_reference(
-                q.reshape(b, hkv, 1, dh), lkq, lvq, cos, sin, lengths, pos,
-                sm_scale=sm, quant_enabled=False, v_keep=0, use_rope=False)
-            return c, out
-        _, outs = jax.lax.scan(body, 0, (kq, vq))
-        return outs
-
-    timeit("attention x8: spatten kernel (quant+vprune)",
-           sp_variant(0.05, v_keep), q, kq, vq, lengths_sp, imp)
-    timeit("attention x8: pallas dense (length-gated)", attn_dense_pallas,
-           q, kq, vq, lengths_dn)
-    timeit("attention x8: jnp dense reference", attn_dense_jnp,
-           q, kq, vq, lengths_dn)
-    timeit("attention x8: spatten, no V-prune",
-           sp_variant(0.05, 0), q, kq, vq, lengths_sp, imp)
-    timeit("attention x8: spatten, no requant",
-           sp_variant(0.0, v_keep), q, kq, vq, lengths_sp, imp)
-
-    # ---- cache append (the scatter into [L,B,Hkv,C,D] planes) ----------
-    from spatten_tpu.engine import kv_cache as kvc
-    cache0 = jax.tree.map(lambda a: a, kvc.LayerKVCache(k=kq, v=vq))
-    knew = jax.random.normal(key, (b, hkv, 1, dh), jnp.float32)
-
-    def append_only(cache, knew, lengths):
-        def body(c, layer_cache):
-            lc = kvc.append_tokens(layer_cache, knew, knew, lengths)
-            return c, lc
-        _, nc = jax.lax.scan(body, 0, cache)
-        return nc
-
-    timeit("append_tokens x8 (cache scatter)", append_only,
-           cache0, knew, lengths_sp)
+    # ---- full steps (the bench numbers) + feature ablations ------------
+    t_sp = run("FULL spatten step (8L)", cfg_sp)
+    t_dn = run("FULL dense step (8L)", cfg_dn)
+    run("spatten, no V-prune", dataclasses.replace(
+        cfg_sp, pruning=dataclasses.replace(
+            cfg_sp.pruning, enable_v_pruning=False)))
+    run("spatten, no requant", dataclasses.replace(
+        cfg_sp, quant=dataclasses.replace(
+            cfg_sp.quant, enable_requant=False, requant_threshold=0.0)))
+    run("spatten, requant fires always", dataclasses.replace(
+        cfg_sp, quant=dataclasses.replace(
+            cfg_sp.quant, requant_threshold=1.1)))
+    run("spatten, no importance tracking", dataclasses.replace(
+        cfg_sp, pruning=dataclasses.replace(
+            cfg_sp.pruning, enable_token_pruning=False,
+            enable_v_pruning=False)))
+    cap_small = 512
+    run("spatten @ cap 512 (overhead floor)",
+        build_cfg(True, cap_small, batch))
+    run("dense @ cap 512 (overhead floor)",
+        build_cfg(False, cap_small, batch))
 
     # ---- lm_head alone -------------------------------------------------
     def lm_only(params, x):
         return jnp.argmax(x @ params["embed"].T, -1)
 
     xlm = jnp.zeros((b, m.hidden_size), jnp.bfloat16)
-    timeit("lm_head alone (tied embed, vocab 32000)", lm_only, params, xlm)
+    timeit(f"lm_head alone (tied embed, vocab {m.vocab_size})", lm_only,
+           params, xlm)
 
     # ---- non-attention floor: weights-only model ----------------------
     def weights_only(params, x):
