@@ -200,7 +200,9 @@ def main():
     import os
     cache = int(os.environ.get("SPATTEN_BENCH_CACHE", 4096))
     batch = int(os.environ.get("SPATTEN_BENCH_BATCH", 16))
-    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 16))
+    # long windows amortize this platform's ~25 ms per-dispatch (tunnel)
+    # overhead, which otherwise dilutes both engines equally
+    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 64))
 
     cfg_sp = build_cfg(True, cache, batch)
     cfg_dn = build_cfg(False, cache, batch)

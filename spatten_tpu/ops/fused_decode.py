@@ -40,6 +40,10 @@ jnp reference path.
 
 Numerics match ``ops.attention_ref.spatten_attention_reference`` on the
 post-append cache (tests compare in interpret mode).
+
+Dense mode (``quant_enabled=False``) maintains only the full planes and
+scales; the packed nibble planes are never read there, so their append
+RMW is skipped and their contents are undefined.
 """
 
 from __future__ import annotations
@@ -128,6 +132,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     d = head_dim
     slab = hpp * d
     rows = hpp * group
+    # requant fetch gating granularity: per head when a head's lane chunk
+    # is DMA-sliceable (d >= 128), else per lane-aligned head group
+    gate_hpg = max(1, -(-128 // d))
+    if hpp % gate_hpg:
+        gate_hpg = hpp
+    ngate = hpp // gate_hpg
     # V fetch granularity: fine blocks when pruning (gated on the keep
     # mask), coarse pblk blocks when dense
     fblk = _fetch_block(cap, v_block) if do_vprune else pblk
@@ -227,10 +237,13 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                               app_sem.at[0]).start()
         pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
                               app_sem.at[1]).start()
-        pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
-                              app_sem.at[2]).start()
-        pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
-                              app_sem.at[3]).start()
+        if quant_enabled:
+            # dense mode never reads the packed nibble planes, so their
+            # append RMW is skipped entirely
+            pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
+                                  app_sem.at[2]).start()
+            pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
+                                  app_sem.at[3]).start()
 
         def msb_dma(i):
             return pltpu.make_async_copy(
@@ -242,7 +255,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             return pltpu.make_async_copy(
                 kfull_out.at[b, pl.ds(i * pblk, pblk), pl.ds(lane0, slab)],
                 kfull_scr.at[pl.ds(i * pblk, pblk), :],
-                kfull_sem.at[i])
+                kfull_sem.at[i, 0])
 
         def kfull_phase(do_wait):
             for i in range(num_tblk):
@@ -250,6 +263,25 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _(i=i):
                     cp = kfull_dma(i)
                     cp.wait() if do_wait else cp.start()
+
+        def kfull_gated_phase(gate_fire, do_wait):
+            """Per-head-group gated full-plane fetch: only firing heads'
+            lane chunks move (the reference requant loop re-fetches only
+            the requests that fired, SpAttenController.scala:140-175).
+            Queries are block-diagonal, so stale K lanes of non-fetched
+            heads only ever multiply zero query lanes."""
+            for g in range(ngate):
+                glanes = gate_hpg * d
+                for i in range(num_tblk):
+                    @pl.when(gate_fire[g] & (i * pblk < length))
+                    def _(i=i, g=g, glanes=glanes):
+                        cp = pltpu.make_async_copy(
+                            kfull_out.at[b, pl.ds(i * pblk, pblk),
+                                         pl.ds(lane0 + g * glanes, glanes)],
+                            kfull_scr.at[pl.ds(i * pblk, pblk),
+                                         pl.ds(g * glanes, glanes)],
+                            kfull_sem.at[i, g])
+                        cp.wait() if do_wait else cp.start()
 
         def v_dma(f):
             return pltpu.make_async_copy(
@@ -336,7 +368,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         # new-token score patches: the appended row's K may race the
         # fetch, so its column is recomputed from registers
-        k4new = (kq8.astype(jnp.int32) >> 4).astype(jnp.float32)  # [1,slab]
+        # unsigned nibble of the new K row (n = k4 + 8, matching kblk_msb)
+        k4new = ((((kq8.astype(jnp.int32)) >> 4) & 0xF) ^ 8
+                 ).astype(jnp.float32)                            # [1,slab]
         patch1 = jnp.sum(qf * k4new, axis=-1, keepdims=True)      # [rows,1]
         patch_full = jnp.sum(qf * kq8, axis=-1, keepdims=True)
 
@@ -351,13 +385,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         s_blk.astype(jnp.float32)
 
         def kblk_msb(t):
+            """Unsigned-nibble unpack n = k4 + 8 (one xor, no sign
+            extension); the +8 bias folds into the score offset:
+            k8 ~ k4*16 + MID == n*16 + (MID - 128)."""
             pkt = t if t < num_pblk else t - num_pblk
             rows_k = kmsb_scr[pl.ds(pkt * pblk, pblk), :]
             nib = rows_k.astype(jnp.int32)
             nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
-            k4i = (nib ^ 8) - 8
-            return k4i.astype(jnp.int8) if int_dots \
-                else k4i.astype(jnp.float32)
+            n = nib ^ 8
+            return n.astype(jnp.int8) if int_dots \
+                else n.astype(jnp.float32)
 
         def kblk_full(t):
             rows_k = kfull_scr[pl.ds(t * pblk, pblk), :]
@@ -384,7 +421,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # real score = (q*qscale)·((k4*16 + MID)*kscale)
             p1_scale = kscale_rows * (16.0 * sm_scale)
             p1_offset = (rowscale * qsum) * (
-                kscale_rows * (qz.MSB_MIDPOINT * sm_scale))
+                kscale_rows * ((qz.MSB_MIDPOINT - 128.0) * sm_scale))
             patch = patch1
         else:
             @pl.when(any_alive)
@@ -415,18 +452,30 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             need_h = (alive_hpp > 0) & (mp_h < requant_threshold)  # [hpp,1]
             need_ref[0] = jnp.broadcast_to(need_h.astype(jnp.int32),
                                            (hpp, 128))
-            any_need = jnp.max(need_h.astype(jnp.int32)) > 0
             fire_rows = (jnp.repeat(need_h, group, axis=0) if group > 1
                          else need_h)                   # [rows, 1] bool
+            # one packed scalar carries every per-head-group fire count
+            # (single vector->scalar transfer); stride leaves room for up
+            # to gate_hpg firing heads per group
+            stride = max(1, gate_hpg).bit_length()
+            gpow = jnp.exp2(
+                ((hpp_iota // gate_hpg) * stride).astype(jnp.float32))
+            rbits = jnp.sum(
+                jnp.where(need_h, gpow, 0.0)).astype(jnp.int32)
+            any_need = rbits > 0
+            gmask = (1 << stride) - 1
+            gate_fire = [((rbits >> (g * stride)) & gmask) > 0
+                         for g in range(ngate)]
 
             @pl.when(any_need)
             def _requant():
-                # merged recompute: fetch the full plane once (all heads
-                # of the slab), rescore every row, keep only firing rows.
-                # One fetch + one softmax replaces the per-head serialized
-                # requant loop; bytes cost only when >=1 head fires.
-                kfull_phase(do_wait=False)
-                kfull_phase(do_wait=True)
+                # merged recompute: fetch the full plane for the firing
+                # head groups only, rescore every row, keep only firing
+                # rows.  One gated fetch + one softmax replaces the
+                # per-head serialized requant loop; bytes move only for
+                # heads that fired.
+                kfull_gated_phase(gate_fire, do_wait=False)
+                kfull_gated_phase(gate_fire, do_wait=True)
                 blocked_scores(kblk_full, scores2_scr)
                 s2 = jnp.where(col == idx, patch_full, scores2_scr[:])
                 s2 = (s2 * rowscale) * (kscale_rows * sm_scale)
@@ -495,16 +544,30 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 for t in range(num_tblk)], axis=-1)     # [rows, C]
             probs_pv = probs_all * keep_cols
             # fetch block f iff any row keeps a v-block inside it (kept ⊂
-            # fetched, so unfetched scratch only ever multiplies zeros)
+            # fetched, so unfetched scratch only ever multiplies zeros).
+            # The nfb gates are packed into ONE scalar bitmask (a single
+            # vector->scalar transfer); per-block tests are then scalar
+            # bit ops instead of nfb vector reductions.
+            kept_any = jnp.max(keep_gb, axis=0, keepdims=True)   # [1, nvb]
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (num_vblk, nfb), 0)
+            vcol = jax.lax.broadcasted_iota(jnp.int32, (num_vblk, nfb), 1)
+            group_vf = (vrow // vpf == vcol).astype(jnp.float32)
+            cnt = jax.lax.dot_general(                   # [1, nfb] counts
+                kept_any, group_vf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pow2 = jnp.exp2(jax.lax.broadcasted_iota(
+                jnp.float32, (1, nfb), 1))
+            gbits = jnp.sum(
+                jnp.where(cnt > 0.0, pow2, 0.0)
+            ).astype(jnp.int32)                          # scalar bitmask
             for f in range(nfb):
-                gate = (jnp.max(keep_gb[:, f * vpf:(f + 1) * vpf]) > 0.0
-                        ) & (f * fblk < length)
-                @pl.when(gate)
+                @pl.when(((gbits & (1 << f)) > 0) & (f * fblk < length))
                 def _(f=f):
                     v_dma(f).start()
         else:
             probs_pv = probs_all
             keep_gb = None
+            gbits = None
 
         # ------------------------------------------------------------------
         # Append modify + write start (RMW reads landed during phase A).
@@ -517,39 +580,40 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                               app_sem.at[0]).wait()
         pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
                               app_sem.at[1]).wait()
-        pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
-                              app_sem.at[2]).wait()
-        pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
-                              app_sem.at[3]).wait()
+        if quant_enabled:
+            pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
+                                  app_sem.at[2]).wait()
+            pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
+                                  app_sem.at[3]).wait()
         for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
             scr[...] = jnp.where(
                 fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
             ).astype(jnp.int8)
-        for scr, q8row in ((kmapp_scr, kq8), (vmapp_scr, vq8)):
-            old = scr[...].astype(jnp.int32)
-            nib = jnp.broadcast_to(
-                (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
-            newb = jnp.where(is_hi,
-                             (nib << 4) | (old & 0x0F),
-                             (old & jnp.int32(0xF0)) | nib)
-            scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
+        if quant_enabled:
+            for scr, q8row in ((kmapp_scr, kq8), (vmapp_scr, vq8)):
+                old = scr[...].astype(jnp.int32)
+                nib = jnp.broadcast_to(
+                    (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
+                newb = jnp.where(is_hi,
+                                 (nib << 4) | (old & 0x0F),
+                                 (old & jnp.int32(0xF0)) | nib)
+                scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
         pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
                               app_sem.at[0]).start()
         pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
                               app_sem.at[1]).start()
-        pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
-                              app_sem.at[2]).start()
-        pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
-                              app_sem.at[3]).start()
+        if quant_enabled:
+            pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
+                                  app_sem.at[2]).start()
+            pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
+                                  app_sem.at[3]).start()
 
         # ------------------------------------------------------------------
         # P·V: one cross matmul + block-diagonal extraction.
         # ------------------------------------------------------------------
         if do_vprune:
             for f in range(nfb):
-                gate = (jnp.max(keep_gb[:, f * vpf:(f + 1) * vpf]) > 0.0
-                        ) & (f * fblk < length)
-                @pl.when(gate)
+                @pl.when(((gbits & (1 << f)) > 0) & (f * fblk < length))
                 def _(f=f):
                     v_dma(f).wait()
         else:
@@ -595,12 +659,13 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                               app_sem.at[0]).wait()
         pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
                               app_sem.at[1]).wait()
-        pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
-                              app_sem.at[2]).wait()
-        pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
-                              app_sem.at[3]).wait()
+        if quant_enabled:
+            pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
+                                  app_sem.at[2]).wait()
+            pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
+                                  app_sem.at[3]).wait()
 
-    return kernel, (num_pblk, num_tblk, nfb)
+    return kernel, (num_pblk, num_tblk, nfb, ngate)
 
 
 def fused_decode_attention(
@@ -644,7 +709,7 @@ def fused_decode_attention(
     rows_p = hpp * group
 
     accumulate = importance_in is not None
-    kernel, (num_pblk, num_tblk, nfb) = _make_kernel(
+    kernel, (num_pblk, num_tblk, nfb, ngate) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
@@ -760,7 +825,7 @@ def fused_decode_attention(
         pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
         pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((num_pblk,)),
-        pltpu.SemaphoreType.DMA((num_tblk,)),
+        pltpu.SemaphoreType.DMA((num_tblk, ngate)),
         pltpu.SemaphoreType.DMA((nfb,)),
     ]
 

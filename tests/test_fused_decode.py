@@ -67,8 +67,12 @@ def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
                                              kvc.LayerKVCache(k=k2, v=v2))
 
 
-def assert_planes_match(cache_ref, cache_ker, lengths):
-    """Valid rows (and scales) of every plane must match the XLA append."""
+def assert_planes_match(cache_ref, cache_ker, lengths, check_msb=True):
+    """Valid rows (and scales) of every plane must match the XLA append.
+
+    `check_msb=False` for dense mode: the kernel documents the packed
+    nibble planes as unmaintained when quantization is off (they are
+    never read, so their append RMW is skipped)."""
     ln = np.asarray(lengths)
     for name in ("k", "v"):
         qref = getattr(cache_ref, name)
@@ -82,6 +86,8 @@ def assert_planes_match(cache_ref, cache_ker, lengths):
                 np.asarray(qker.scale)[b, :, :L],
                 np.asarray(qref.scale)[b, :, :L], rtol=1e-6,
                 err_msg=f"{name}.scale mismatch (b={b})")
+            if not check_msb:
+                continue
             # packed plane: check the nibbles of all valid tokens
             ref4 = np.asarray(qz.unpack_msb(qref.msb))[b, :L]
             ker4 = np.asarray(qz.unpack_msb(qker.msb))[b, :L]
@@ -89,7 +95,7 @@ def assert_planes_match(cache_ref, cache_ker, lengths):
                                           err_msg=f"{name}.msb (b={b})")
 
 
-def assert_match(ref, ker, lengths=None, atol=2e-5):
+def assert_match(ref, ker, lengths=None, atol=2e-5, check_msb=True):
     (ref_out, ref_stats, cache_ref) = ref
     (ker_out, ker_stats, cache_ker) = ker
     np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
@@ -100,7 +106,8 @@ def assert_match(ref, ker, lengths=None, atol=2e-5):
     np.testing.assert_array_equal(np.asarray(ker_stats.need_requant),
                                   np.asarray(ref_stats.need_requant))
     if lengths is not None:
-        assert_planes_match(cache_ref, cache_ker, lengths)
+        assert_planes_match(cache_ref, cache_ker, lengths,
+                            check_msb=check_msb)
 
 
 def test_kth_largest_matches_topk():
@@ -128,7 +135,7 @@ def test_fused_quant_disabled_dense_mode():
     lengths = jnp.array([50, 64], jnp.int32)   # incl. a full cache
     r, k = run_both(jax.random.PRNGKey(1), quant_enabled=False,
                     length=np.array([50, 64]))
-    assert_match(r, k, lengths=lengths)
+    assert_match(r, k, lengths=lengths, check_msb=False)
 
 
 def test_fused_requant_fire():
