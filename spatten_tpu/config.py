@@ -167,6 +167,11 @@ class PruningConfig:
     # --- head pruning ---
     enable_head_pruning: bool = False
     head_keep: int = 0              # 0 = keep all heads
+    # Re-derive the head mask from live importance every N decode steps
+    # inside the jitted scan (0 = once after prefill only).  This is the
+    # "on the fly" head pruning of the reference traces (hp-step5 CSVs:
+    # later layers keep 10-13/16 heads, mask evolving with the workload).
+    head_update_interval: int = 0
 
     # --- importance signal ---
     # "prob": accumulate softmax probabilities (HPCA'21 paper).

@@ -124,11 +124,29 @@ def prefill_chunk(params, cfg: SpAttenConfig, state: DecodeState,
     return logits[:, -1], state, aux
 
 
+def maybe_update_head_mask(cfg: SpAttenConfig, state: DecodeState
+                           ) -> DecodeState:
+    """On-the-fly head pruning: re-derive the per-layer head mask from the
+    live importance accumulators every `head_update_interval` decode steps
+    (the reference's hp-step5 traces show the mask evolving during decode;
+    post-prefill-only masks never adapt).  Uses the max sequence length as
+    the step clock so it works in any jitted step without extra state."""
+    p = cfg.pruning
+    n = p.head_update_interval
+    if not (p.enable_head_pruning and p.head_keep > 0 and n > 0):
+        return state
+    from spatten_tpu.engine.policy import update_head_mask
+    do = (jnp.max(state.lengths) % n) == 0
+    return jax.lax.cond(do, lambda s: update_head_mask(cfg, s),
+                        lambda s: s, state)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def decode_step(params, cfg: SpAttenConfig, state: DecodeState,
                 token: jax.Array):
     """One greedy decode step.  token: int32 [B] -> (next_token [B], state)."""
     state, _ = maybe_prune(cfg, state, 1)
+    state = maybe_update_head_mask(cfg, state)
     logits, state, aux = transformer.forward(params, cfg, state,
                                              token[:, None])
     next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
@@ -211,6 +229,7 @@ def generate(
 def _decode_logits(params, cfg: SpAttenConfig, state: DecodeState,
                    token: jax.Array):
     state, _ = maybe_prune(cfg, state, 1)
+    state = maybe_update_head_mask(cfg, state)
     logits, state, _ = transformer.forward(params, cfg, state,
                                            token[:, None])
     return logits[:, -1], state

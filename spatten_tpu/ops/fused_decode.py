@@ -68,20 +68,34 @@ def _even_blocks(total: int, target: int) -> Tuple[int, int]:
     return total // nb, nb
 
 
-def _heads_per_program(hkv: int, cap: int, head_dim: int) -> int:
-    """Largest divisor of hkv whose lane slab (hpp*head_dim) is 128-aligned
-    and whose VMEM scratch (packed + full + V planes) stays under ~9 MB
-    (the 16 MB scoped-VMEM limit less score planes, pipeline double
-    buffers, and live [rows, C] temporaries)."""
-    budget = 9 * 1024 * 1024
+NSLOTS = 4      # rotating VMEM slots per DMA stream (depth of the
+                # manual prefetch pipeline; K/V planes stream through
+                # these instead of residing whole in VMEM)
+
+
+def _heads_per_program(hkv: int, cap: int, head_dim: int, group: int = 1
+                       ) -> int:
+    """Largest divisor of hkv whose lane slab (hpp*head_dim) is 128-aligned,
+    whose row count (hpp*group) is sublane-aligned when possible, and whose
+    VMEM footprint fits.
+
+    The K/V planes stream through NSLOTS rotating [blk, slab] buffers, so
+    the plane scratch is cap-independent; what scales with cap is the
+    [rows, cap] score/prob planes."""
+    budget = 10 * 1024 * 1024
     best = None
     for h in range(1, hkv + 1):
         if hkv % h:
             continue
         if (h * head_dim) % 128:
             continue
-        per = h * head_dim * (cap // 2 + cap + cap)   # msb + full + v bytes
-        if per <= budget:
+        slab = h * head_dim
+        rows = h * group
+        half = cap // 2
+        pblk = _even_blocks(half, 1024)[0]
+        stream = slab * pblk * NSLOTS * 3          # msb + kfull + v slots
+        planes = rows * cap * 4 * 3                # scores/probs/scores2
+        if stream + planes <= budget:
             best = h
     if best is None:
         raise ValueError(
@@ -105,13 +119,20 @@ def _kth_largest(x: jax.Array, k: int) -> jax.Array:
 
 def _fetch_block(cap: int, v_block: int, target: int = 256) -> int:
     """V fetch-DMA granularity: a multiple of v_block dividing cap,
-    as close to `target` rows as possible."""
+    as close to `target` rows as possible.  The block count is capped at
+    24 so the per-block fetch gates pack exactly into one f32-summed
+    int32 bitmask."""
     best = v_block
     m = v_block
     while m <= min(cap, target):
         if cap % m == 0:
             best = m
         m += v_block
+    while cap // best > 24:
+        m = best + v_block
+        while cap % m or m % v_block:
+            m += v_block
+        best = m
     return best
 
 
@@ -120,7 +141,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  quant_enabled: bool, v_keep: int, v_block: int,
                  importance_kind: str, accumulate_importance: bool,
                  quantize_queries: bool, track_importance: bool,
-                 importance_ema: float = 1.0):
+                 importance_ema: float = 1.0, skip_append: bool = False,
+                 head_gating: bool = False):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, 1024)
     num_tblk = 2 * num_pblk
@@ -143,6 +165,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     fblk = _fetch_block(cap, v_block) if do_vprune else pblk
     nfb = cap // fblk
     vpf = fblk // v_block if do_vprune else 1
+    # rotating-slot stream depths (VMEM is cap-independent)
+    ps = min(num_pblk, NSLOTS)
+    ts = min(num_tblk, NSLOTS)
+    vs = min(nfb, NSLOTS)
 
     def kernel(*refs):
         it = iter(refs)
@@ -173,19 +199,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         kmapp_scr = next(it)               # (8, slab) uint8
         vmapp_scr = next(it)
         if quant_enabled:
-            kmsb_scr = next(it)            # [C//2, slab] uint8
+            kmsb_scr = next(it)            # [ps, pblk, slab] uint8 slots
         if (not quant_enabled) or do_requant:
-            kfull_scr = next(it)           # [C, slab] int8
+            kfull_scr = next(it)           # [ts, pblk, slab] int8 slots
         scores_scr = next(it)              # [rows, C] f32
         probs_scr = next(it)               # [rows, C] f32
         if do_requant:
             scores2_scr = next(it)         # [rows, C] f32 (full-plane pass)
-        v_scr = next(it)                   # [C, slab] int8
+        v_scr = next(it)                   # [vs, fblk, slab] int8 slots
         pvacc_scr = next(it)               # [rows, slab] f32
         app_sem = next(it)                 # DMA (4,)
-        kmsb_sem = next(it)                # DMA (num_pblk,)
-        kfull_sem = next(it)               # DMA (num_tblk,)
-        v_sem = next(it)                   # DMA (nfb,)
+        kmsb_sem = next(it)                # DMA (ps, ngate)
+        kfull_sem = next(it)               # DMA (ts, ngate)
+        v_sem = next(it)                   # DMA (vs,)
 
         b = pl.program_id(0)
         j = pl.program_id(1)
@@ -209,9 +235,28 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         bd_mask = (chunk_s == head_of_row).astype(jnp.float32)  # [rows,slab]
 
         hmask_h = hmask_ref[0]             # [hpp, G]
-        any_alive = jnp.max(hmask_h) > 0.0
-        alive_hpp = (jnp.max(hmask_h, axis=1, keepdims=True) > 0.0
-                     ).astype(jnp.float32)                      # [hpp, 1]
+        alive_h = jnp.max(hmask_h, axis=1, keepdims=True) > 0.0  # [hpp,1]
+        if head_gating:
+            # pack per-head-group alive counts into one scalar; pruned
+            # head groups then skip their K/V DMA lane chunks entirely
+            # (the reference's head pruning: missing heads never issue
+            # fetches, SURVEY.md §2.8)
+            stride_a = max(1, gate_hpg).bit_length()
+            apow = jnp.exp2(
+                ((hpp_iota // gate_hpg) * stride_a).astype(jnp.float32))
+            abits = jnp.sum(jnp.where(alive_h, apow, 0.0)).astype(jnp.int32)
+            any_alive = abits > 0
+            full_bits = sum(gate_hpg << (g * stride_a)
+                            for g in range(ngate))
+            all_alive = abits == full_bits
+            amask_b = (1 << stride_a) - 1
+            alive_gate = [((abits >> (g * stride_a)) & amask_b) > 0
+                          for g in range(ngate)]
+        else:
+            any_alive = jnp.max(hmask_h) > 0.0
+            all_alive = None
+            alive_gate = None
+        alive_hpp = alive_h.astype(jnp.float32)                 # [hpp, 1]
         # per-row head mask ([rows,1]) via a tiny 0/1 matmul (no reshape
         # of the [hpp, G] lane layout)
         g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % group
@@ -233,80 +278,96 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         def app_slice(ref, start):
             return ref.at[b, pl.ds(start, 8), pl.ds(lane0, slab)]
 
-        pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
-                              app_sem.at[0]).start()
-        pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
-                              app_sem.at[1]).start()
-        if quant_enabled:
-            # dense mode never reads the packed nibble planes, so their
-            # append RMW is skipped entirely
-            pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
-                                  app_sem.at[2]).start()
-            pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
-                                  app_sem.at[3]).start()
+        if not skip_append:
+            pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
+                                  app_sem.at[0]).start()
+            pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
+                                  app_sem.at[1]).start()
+            if quant_enabled:
+                # dense mode never reads the packed nibble planes, so
+                # their append RMW is skipped entirely
+                pltpu.make_async_copy(app_slice(kmsb_out, pstart),
+                                      kmapp_scr, app_sem.at[2]).start()
+                pltpu.make_async_copy(app_slice(vmsb_out, pstart),
+                                      vmapp_scr, app_sem.at[3]).start()
 
-        def msb_dma(i):
-            return pltpu.make_async_copy(
-                kmsb_out.at[b, pl.ds(i * pblk, pblk), pl.ds(lane0, slab)],
-                kmsb_scr.at[pl.ds(i * pblk, pblk), :],
-                kmsb_sem.at[i])
+        # -- rotating-slot DMA streams (manual prefetch pipeline):
+        # block i of a plane lands in slot i % nslots; the consumer waits
+        # slot i, uses it, then immediately starts block i + nslots into
+        # the freed slot.  When `head_gating`, every K fetch splits into
+        # per-head-group lane DMAs gated on that group's liveness (the
+        # reference's head pruning: pruned heads never issue fetches).
+        glanes = gate_hpg * d
 
-        def kfull_dma(i):
-            return pltpu.make_async_copy(
-                kfull_out.at[b, pl.ds(i * pblk, pblk), pl.ds(lane0, slab)],
-                kfull_scr.at[pl.ds(i * pblk, pblk), :],
-                kfull_sem.at[i, 0])
+        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates):
+            """Fetch block i of `plane` into slot i%|scr| (or wait it)."""
+            slot = i % scr.shape[0]
 
-        def kfull_phase(do_wait):
-            for i in range(num_tblk):
-                @pl.when(i * pblk < length)
-                def _(i=i):
-                    cp = kfull_dma(i)
-                    cp.wait() if do_wait else cp.start()
+            def cp(g=None):
+                if g is None:
+                    return pltpu.make_async_copy(
+                        plane.at[b, pl.ds(i * pblk, pblk),
+                                 pl.ds(lane0, slab)],
+                        scr.at[slot], sem.at[slot, 0])
+                return pltpu.make_async_copy(
+                    plane.at[b, pl.ds(i * pblk, pblk),
+                             pl.ds(lane0 + g * glanes, glanes)],
+                    scr.at[slot, :, pl.ds(g * glanes, glanes)],
+                    sem.at[slot, g])
 
-        def kfull_gated_phase(gate_fire, do_wait):
-            """Per-head-group gated full-plane fetch: only firing heads'
-            lane chunks move (the reference requant loop re-fetches only
-            the requests that fired, SpAttenController.scala:140-175).
-            Queries are block-diagonal, so stale K lanes of non-fetched
-            heads only ever multiply zero query lanes."""
-            for g in range(ngate):
-                glanes = gate_hpg * d
-                for i in range(num_tblk):
-                    @pl.when(gate_fire[g] & (i * pblk < length))
-                    def _(i=i, g=g, glanes=glanes):
-                        cp = pltpu.make_async_copy(
-                            kfull_out.at[b, pl.ds(i * pblk, pblk),
-                                         pl.ds(lane0 + g * glanes, glanes)],
-                            kfull_scr.at[pl.ds(i * pblk, pblk),
-                                         pl.ds(g * glanes, glanes)],
-                            kfull_sem.at[i, g])
-                        cp.wait() if do_wait else cp.start()
+            if gates is None:
+                @pl.when(cond)
+                def _():
+                    cp().wait() if do_wait else cp().start()
+            else:
+                for g in range(ngate):
+                    @pl.when(cond & gates[g])
+                    def _(g=g):
+                        c = cp(g)
+                        c.wait() if do_wait else c.start()
 
-        def v_dma(f):
-            return pltpu.make_async_copy(
-                vfull_out.at[b, pl.ds(f * fblk, fblk), pl.ds(lane0, slab)],
-                v_scr.at[pl.ds(f * fblk, fblk), :],
-                v_sem.at[f])
+        def msb_io(i, do_wait):
+            gates = alive_gate if head_gating else None
+            cond = (i * pblk < packed_limit)
+            if not head_gating:
+                cond = cond & any_alive
+            k_stream_io(kmsb_out, kmsb_scr, kmsb_sem, i, do_wait, cond,
+                        gates)
 
-        if quant_enabled:
-            @pl.when(any_alive)
+        def kfull_io(i, do_wait, gates):
+            cond = (i * pblk < length)
+            if gates is None and head_gating is False:
+                cond = cond & any_alive
+            k_stream_io(kfull_out, kfull_scr, kfull_sem, i, do_wait, cond,
+                        gates)
+
+        def v_io(f, do_wait, extra_cond=None):
+            slot = f % vs
+            cond = (f * fblk < length)
+            if extra_cond is not None:
+                cond = cond & extra_cond
+
+            @pl.when(cond)
             def _():
-                for i in range(num_pblk):
-                    @pl.when(i * pblk < packed_limit)
-                    def _(i=i):
-                        msb_dma(i).start()
+                cp = pltpu.make_async_copy(
+                    vfull_out.at[b, pl.ds(f * fblk, fblk),
+                                 pl.ds(lane0, slab)],
+                    v_scr.at[slot], v_sem.at[slot])
+                cp.wait() if do_wait else cp.start()
+
+        # prologue: fill the K pipeline (and V when its gating is static)
+        if quant_enabled:
+            for i in range(ps):
+                msb_io(i, do_wait=False)
         else:
-            @pl.when(any_alive)
-            def _():
-                kfull_phase(do_wait=False)
+            gates0 = alive_gate if head_gating else None
+            for i in range(ts):
+                kfull_io(i, do_wait=False, gates=gates0)
         if not do_vprune:
             @pl.when(any_alive)
             def _():
-                for f in range(nfb):
-                    @pl.when(f * fblk < length)
-                    def _(f=f):
-                        v_dma(f).start()
+                for f in range(vs):
+                    v_io(f, do_wait=False)
 
         # ------------------------------------------------------------------
         # Quantize the new K/V rows in registers (all heads in one lane
@@ -374,31 +435,55 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         patch1 = jnp.sum(qf * k4new, axis=-1, keepdims=True)      # [rows,1]
         patch_full = jnp.sum(qf * kq8, axis=-1, keepdims=True)
 
-        def blocked_scores(get_kblk, target_scr):
-            for t in range(num_tblk):
-                @pl.when(t * pblk < length)
-                def _(t=t):
-                    s_blk = jax.lax.dot_general(
-                        q_mat, get_kblk(t), (((1,), (1,)), ((), ())),
-                        preferred_element_type=acc)
-                    target_scr[:, pl.ds(t * pblk, pblk)] = \
-                        s_blk.astype(jnp.float32)
+        def score_block(kblk, target_scr, t):
+            s_blk = jax.lax.dot_general(
+                q_mat, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=acc)
+            target_scr[:, pl.ds(t * pblk, pblk)] = s_blk.astype(jnp.float32)
 
-        def kblk_msb(t):
+        def kblk_msb(i, hi):
             """Unsigned-nibble unpack n = k4 + 8 (one xor, no sign
             extension); the +8 bias folds into the score offset:
             k8 ~ k4*16 + MID == n*16 + (MID - 128)."""
-            pkt = t if t < num_pblk else t - num_pblk
-            rows_k = kmsb_scr[pl.ds(pkt * pblk, pblk), :]
+            rows_k = kmsb_scr[i % ps]
             nib = rows_k.astype(jnp.int32)
-            nib = (nib >> 4) if t < num_pblk else (nib & 0xF)
+            nib = (nib >> 4) if hi else (nib & 0xF)
             n = nib ^ 8
             return n.astype(jnp.int8) if int_dots \
                 else n.astype(jnp.float32)
 
         def kblk_full(t):
-            rows_k = kfull_scr[pl.ds(t * pblk, pblk), :]
+            rows_k = kfull_scr[t % ts]
             return rows_k if int_dots else rows_k.astype(jnp.float32)
+
+        def msb_scores_pipeline():
+            """Streamed pass-1 scoring: each packed block i carries the
+            hi nibbles of tokens [i*pblk, (i+1)*pblk) and the lo nibbles
+            of [half + i*pblk, ...); both halves score as soon as the
+            block lands, then the freed slot prefetches block i + ps."""
+            for i in range(num_pblk):
+                msb_io(i, do_wait=True)
+
+                @pl.when(i * pblk < packed_limit)
+                def _(i=i):
+                    score_block(kblk_msb(i, True), scores_scr, i)
+
+                @pl.when(half + i * pblk < length)
+                def _(i=i):
+                    score_block(kblk_msb(i, False), scores_scr,
+                                i + num_pblk)
+                if i + ps < num_pblk:
+                    msb_io(i + ps, do_wait=False)
+
+        def kfull_scores_pipeline(target_scr, gates):
+            for t in range(num_tblk):
+                kfull_io(t, do_wait=True, gates=gates)
+
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    score_block(kblk_full(t), target_scr, t)
+                if t + ts < num_tblk:
+                    kfull_io(t + ts, do_wait=False, gates=gates)
 
         def softmax_rows(s, colscale, coloffset):
             s = (s * rowscale) * colscale + coloffset
@@ -411,23 +496,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         # --- pass 1: QK on the 4-bit plane (or full plane when dense) ----
         if quant_enabled:
-            @pl.when(any_alive)
-            def _():
-                for i in range(num_pblk):
-                    @pl.when(i * pblk < packed_limit)
-                    def _(i=i):
-                        msb_dma(i).wait()
-            blocked_scores(kblk_msb, scores_scr)
+            msb_scores_pipeline()
             # real score = (q*qscale)·((k4*16 + MID)*kscale)
             p1_scale = kscale_rows * (16.0 * sm_scale)
             p1_offset = (rowscale * qsum) * (
                 kscale_rows * ((qz.MSB_MIDPOINT - 128.0) * sm_scale))
             patch = patch1
         else:
-            @pl.when(any_alive)
-            def _():
-                kfull_phase(do_wait=True)
-            blocked_scores(kblk_full, scores_scr)
+            kfull_scores_pipeline(
+                scores_scr, alive_gate if head_gating else None)
             p1_scale = kscale_rows * sm_scale
             p1_offset = 0.0
             patch = patch_full
@@ -470,13 +547,13 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             @pl.when(any_need)
             def _requant():
                 # merged recompute: fetch the full plane for the firing
-                # head groups only, rescore every row, keep only firing
-                # rows.  One gated fetch + one softmax replaces the
-                # per-head serialized requant loop; bytes move only for
-                # heads that fired.
-                kfull_gated_phase(gate_fire, do_wait=False)
-                kfull_gated_phase(gate_fire, do_wait=True)
-                blocked_scores(kblk_full, scores2_scr)
+                # head groups only (streamed through the rotating slots),
+                # rescore every row, keep only firing rows.  One gated
+                # fetch + one softmax replaces the per-head serialized
+                # requant loop; bytes move only for heads that fired.
+                for i in range(ts):
+                    kfull_io(i, do_wait=False, gates=gate_fire)
+                kfull_scores_pipeline(scores2_scr, gate_fire)
                 s2 = jnp.where(col == idx, patch_full, scores2_scr[:])
                 s2 = (s2 * rowscale) * (kscale_rows * sm_scale)
                 s_merged = jnp.where(fire_rows, s2, scores_scr[:])
@@ -556,14 +633,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 kept_any, group_vf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             pow2 = jnp.exp2(jax.lax.broadcasted_iota(
-                jnp.float32, (1, nfb), 1))
+                jnp.int32, (1, nfb), 1).astype(jnp.float32))
             gbits = jnp.sum(
                 jnp.where(cnt > 0.0, pow2, 0.0)
             ).astype(jnp.int32)                          # scalar bitmask
-            for f in range(nfb):
-                @pl.when(((gbits & (1 << f)) > 0) & (f * fblk < length))
-                def _(f=f):
-                    v_dma(f).start()
+            for f in range(vs):
+                v_io(f, do_wait=False, extra_cond=(gbits & (1 << f)) > 0)
         else:
             probs_pv = probs_all
             keep_gb = None
@@ -576,69 +651,73 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         fmask = sub8 == (idx - fstart)
         pmask = sub8 == (prow - pstart)
 
-        pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
-                              app_sem.at[0]).wait()
-        pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
-                              app_sem.at[1]).wait()
-        if quant_enabled:
-            pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
-                                  app_sem.at[2]).wait()
-            pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
-                                  app_sem.at[3]).wait()
-        for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
-            scr[...] = jnp.where(
-                fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
-            ).astype(jnp.int8)
-        if quant_enabled:
-            for scr, q8row in ((kmapp_scr, kq8), (vmapp_scr, vq8)):
-                old = scr[...].astype(jnp.int32)
-                nib = jnp.broadcast_to(
-                    (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
-                newb = jnp.where(is_hi,
-                                 (nib << 4) | (old & 0x0F),
-                                 (old & jnp.int32(0xF0)) | nib)
-                scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
-        pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
-                              app_sem.at[0]).start()
-        pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
-                              app_sem.at[1]).start()
-        if quant_enabled:
-            pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
-                                  app_sem.at[2]).start()
-            pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
-                                  app_sem.at[3]).start()
+        if not skip_append:
+            pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
+                                  app_sem.at[0]).wait()
+            pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
+                                  app_sem.at[1]).wait()
+            if quant_enabled:
+                pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
+                                      app_sem.at[2]).wait()
+                pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
+                                      app_sem.at[3]).wait()
+            for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
+                scr[...] = jnp.where(
+                    fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
+                ).astype(jnp.int8)
+            if quant_enabled:
+                for scr, q8row in ((kmapp_scr, kq8), (vmapp_scr, vq8)):
+                    old = scr[...].astype(jnp.int32)
+                    nib = jnp.broadcast_to(
+                        (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
+                    newb = jnp.where(is_hi,
+                                     (nib << 4) | (old & 0x0F),
+                                     (old & jnp.int32(0xF0)) | nib)
+                    scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
+            pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
+                                  app_sem.at[0]).start()
+            pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
+                                  app_sem.at[1]).start()
+            if quant_enabled:
+                pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
+                                      app_sem.at[2]).start()
+                pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
+                                      app_sem.at[3]).start()
 
         # ------------------------------------------------------------------
-        # P·V: one cross matmul + block-diagonal extraction.
+        # P·V: streamed per-fetch-block matmuls + block-diag extraction.
+        # Unfetched (pruned-away) blocks skip both the DMA wait and the
+        # matmul — their probabilities are exactly zero via keep_cols.
         # ------------------------------------------------------------------
-        if do_vprune:
-            for f in range(nfb):
-                @pl.when(((gbits & (1 << f)) > 0) & (f * fblk < length))
-                def _(f=f):
-                    v_dma(f).wait()
-        else:
-            for f in range(nfb):
-                @pl.when(f * fblk < length)
-                def _(f=f):
-                    v_dma(f).wait()
-
         # zero the appended token's (possibly stale) column; its true
         # contribution is patched from registers below
         p_idx = jnp.sum(probs_pv * is_new_col, axis=-1,
                         keepdims=True)                  # [rows, 1]
         pvmat = (probs_pv * (1.0 - is_new_col)) * vscale_rows
-        # blocked accumulation: the int8->f32 cast materializes one
-        # [pblk, slab] tile at a time (a whole-cache cast would be 8 MB of
-        # VMEM at cap 4096), and blocks past `length` skip entirely
         pvacc_scr[...] = jnp.zeros((rows, slab), jnp.float32)
-        for t in range(num_tblk):
-            @pl.when(t * pblk < length)
-            def _(t=t):
-                vb = v_scr[pl.ds(t * pblk, pblk), :].astype(jnp.float32)
+        for f in range(nfb):
+            if do_vprune:
+                gate_f = ((gbits & (1 << f)) > 0) & (f * fblk < length)
+            else:
+                gate_f = any_alive & (f * fblk < length)
+
+            @pl.when(gate_f)
+            def _(f=f):
+                pltpu.make_async_copy(
+                    vfull_out.at[b, pl.ds(f * fblk, fblk),
+                                 pl.ds(lane0, slab)],
+                    v_scr.at[f % vs], v_sem.at[f % vs]).wait()
+                vb = v_scr[f % vs].astype(jnp.float32)
                 pvacc_scr[...] += jax.lax.dot_general(
-                    pvmat[:, t * pblk:(t + 1) * pblk], vb,
+                    pvmat[:, f * fblk:(f + 1) * fblk], vb,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+            if f + vs < nfb:
+                if do_vprune:
+                    v_io(f + vs, do_wait=False,
+                         extra_cond=(gbits & (1 << (f + vs))) > 0)
+                else:
+                    v_io(f + vs, do_wait=False, extra_cond=any_alive)
         out_full = pvacc_scr[...]                       # [rows, slab]
         # block-diag extract: mask off-head chunks, fold chunks onto D
         # with a constant tiled-identity matmul (no lane reshapes)
@@ -654,18 +733,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             preferred_element_type=jnp.float32)         # [rows, d]
         out_ref[0] = out_rows + p_idx * vnew_rows
 
-        # append writes drain last (latency hidden behind P·V)
-        pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
-                              app_sem.at[0]).wait()
-        pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
-                              app_sem.at[1]).wait()
-        if quant_enabled:
-            pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
-                                  app_sem.at[2]).wait()
-            pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
-                                  app_sem.at[3]).wait()
+        if not skip_append:
+            # append writes drain last (latency hidden behind P·V)
+            pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
+                                  app_sem.at[0]).wait()
+            pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
+                                  app_sem.at[1]).wait()
+            if quant_enabled:
+                pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
+                                      app_sem.at[2]).wait()
+                pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
+                                      app_sem.at[3]).wait()
 
-    return kernel, (num_pblk, num_tblk, nfb, ngate)
+    return kernel, (pblk, fblk, ps, ts, vs, ngate)
 
 
 def fused_decode_attention(
@@ -690,6 +770,8 @@ def fused_decode_attention(
     importance_ema: float = 1.0,    # imp <- ema * imp + delta (CSV col 15
                                     #   `if_rescale_previous_importance`)
     interpret: bool = False,
+    _skip_append: bool = False,   # perf-triage only: don't write the cache
+    _hpp_override: Optional[int] = None,
 ) -> Tuple[jax.Array, AttentionStats, qz.QuantizedKV, qz.QuantizedKV]:
     """One fused decode step.  Returns (out [B,Hq,1,D], stats,
     k_quant', v_quant') where the primed caches contain the appended row
@@ -705,11 +787,14 @@ def fused_decode_attention(
     cap = k_quant.tokens
     group = hq // hkv
     assert cap % v_block_size == 0
-    hpp = _heads_per_program(hkv, cap, d) if not interpret else hkv
+    hpp = _heads_per_program(hkv, cap, d, group) if not interpret else hkv
+    if _hpp_override is not None:
+        hpp = _hpp_override
     rows_p = hpp * group
 
     accumulate = importance_in is not None
-    kernel, (num_pblk, num_tblk, nfb, ngate) = _make_kernel(
+    head_gating = head_mask is not None
+    kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
@@ -717,7 +802,8 @@ def fused_decode_attention(
         accumulate_importance=accumulate,
         quantize_queries=quantize_queries,
         track_importance=track_importance,
-        importance_ema=importance_ema)
+        importance_ema=importance_ema, skip_append=_skip_append,
+        head_gating=head_gating)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -811,9 +897,9 @@ def fused_decode_attention(
         pltpu.VMEM((8, slab), jnp.uint8),    # vmapp
     ]
     if quant_on:
-        scratch.append(pltpu.VMEM((cap // 2, slab), jnp.uint8))
+        scratch.append(pltpu.VMEM((ps, pblk, slab), jnp.uint8))
     if (not quant_on) or do_requant:
-        scratch.append(pltpu.VMEM((cap, slab), jnp.int8))
+        scratch.append(pltpu.VMEM((ts, pblk, slab), jnp.int8))
     scratch += [
         pltpu.VMEM((rows_p, cap), jnp.float32),    # scores
         pltpu.VMEM((rows_p, cap), jnp.float32),    # probs
@@ -821,12 +907,12 @@ def fused_decode_attention(
     if do_requant:
         scratch.append(pltpu.VMEM((rows_p, cap), jnp.float32))
     scratch += [
-        pltpu.VMEM((cap, slab), jnp.int8),         # v
+        pltpu.VMEM((vs, fblk, slab), jnp.int8),    # v slots
         pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
         pltpu.SemaphoreType.DMA((4,)),
-        pltpu.SemaphoreType.DMA((num_pblk,)),
-        pltpu.SemaphoreType.DMA((num_tblk, ngate)),
-        pltpu.SemaphoreType.DMA((nfb,)),
+        pltpu.SemaphoreType.DMA((ps, ngate)),
+        pltpu.SemaphoreType.DMA((ts, ngate)),
+        pltpu.SemaphoreType.DMA((vs,)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

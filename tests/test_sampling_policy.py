@@ -92,3 +92,32 @@ def test_generate_with_head_pruning_and_sampling():
     hm = np.asarray(res.state.head_mask)
     # exactly 1 of 2 kv groups (2 of 4 q heads) alive per layer
     assert (hm.sum(axis=1) == 2).all()
+
+
+def test_on_the_fly_head_mask_updates_during_decode():
+    """head_update_interval > 0 re-derives the mask inside the decode scan
+    (on-the-fly head pruning); the final mask must reflect decode-time
+    importance, keep exactly head_keep groups, and the engine must stay
+    numerically healthy with heads dying mid-decode."""
+    cfg = SpAttenConfig(
+        model=ModelConfig.tiny(),
+        pruning=PruningConfig(start_size=2, important_size=8, recent_size=8,
+                              v_keep_ratio=0.5, v_block_size=4,
+                              enable_head_pruning=True, head_keep=1,
+                              head_update_interval=3),
+        engine=EngineConfig(max_batch_size=1, cache_capacity=32,
+                            prefill_chunk=8),
+    ).validate()
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 255)
+    res = gen.generate(params, cfg, prompt, max_new_tokens=10)
+    hm = np.asarray(res.state.head_mask)
+    assert (hm.sum(axis=1) == 2).all()        # 1 of 2 kv groups per layer
+
+    # the decode-scan update must match a host-side re-derivation from the
+    # final importance state
+    from spatten_tpu.engine.policy import update_head_mask
+    rederived = np.asarray(
+        jax.jit(update_head_mask, static_argnums=0)(cfg, res.state)
+        .head_mask)
+    np.testing.assert_array_equal(hm, rederived)

@@ -118,7 +118,7 @@ def bench_bw():
 
 def kernel_case(name, *, batch=16, cap=4096, spatten=False, quant=None,
                 requant=None, vprune=None, imp=None, steps=256,
-                length=None, threshold=0.05):
+                length=None, threshold=0.05, skip_append=False, hpp=None):
     """Time a scan of bare fused_decode_attention calls (one layer)."""
     from spatten_tpu.engine.kv_cache import init_stacked_cache
     from spatten_tpu.ops.fused_decode import fused_decode_attention
@@ -154,6 +154,8 @@ def kernel_case(name, *, batch=16, cap=4096, spatten=False, quant=None,
             importance_in=impbuf if imp else None,
             quantize_queries=True,
             track_importance=imp,
+            _skip_append=skip_append,
+            _hpp_override=hpp,
         )
         return (k2, v2, stats.importance_delta if imp else impbuf,
                 acc + out.sum())
@@ -183,11 +185,51 @@ def bench_kernel():
     kernel_case("dense len=1250", spatten=False, length=1250)
 
 
+def bench_8k():
+    kernel_case("dense 8k", spatten=False, cap=8192)
+    kernel_case("dense 8k b=32", spatten=False, cap=8192, batch=32)
+    kernel_case("spatten 8k len=2490 allfire", spatten=True, cap=8192,
+                length=2490)
+    kernel_case("spatten 8k len=2490 nofire", spatten=True, cap=8192,
+                length=2490, threshold=1e-9)
+    kernel_case("spatten 8k b=32 len=2490 nofire", spatten=True, cap=8192,
+                batch=32, length=2490, threshold=1e-9)
+    kernel_case("spatten 8k b=32 len=2490 allfire", spatten=True, cap=8192,
+                batch=32, length=2490)
+    kernel_case("sp 8k b=32 2490 nofire novp", spatten=True, cap=8192,
+                batch=32, length=2490, threshold=1e-9, vprune=False)
+    kernel_case("sp 8k b=32 2490 nofire noimp", spatten=True, cap=8192,
+                batch=32, length=2490, threshold=1e-9, imp=False)
+    kernel_case("sp 8k b=32 2490 norq", spatten=True, cap=8192,
+                batch=32, length=2490, requant=False)
+    kernel_case("sp 8k b=32 2490 qonly", quant=True, cap=8192,
+                batch=32, length=2490, requant=False, vprune=False,
+                imp=False)
+    kernel_case("dense 8k b=32 len=2490", spatten=False, cap=8192,
+                batch=32, length=2490)
+
+
+def bench_floor():
+    kernel_case("dense", spatten=False)
+    kernel_case("dense no-append", spatten=False, skip_append=True)
+    kernel_case("dense len=1250 no-append", spatten=False, length=1250,
+                skip_append=True)
+    kernel_case("spatten 1250 nofire no-append", spatten=True, length=1250,
+                threshold=1e-9, skip_append=True)
+    kernel_case("dense len=128", spatten=False, length=128)
+    kernel_case("dense len=128 no-append", spatten=False, length=128,
+                skip_append=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "bw"
     if mode == "bw":
         bench_bw()
     elif mode == "kernel":
         bench_kernel()
+    elif mode == "8k":
+        bench_8k()
+    elif mode == "floor":
+        bench_floor()
     else:
         raise SystemExit(f"unknown mode {mode}")
