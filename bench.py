@@ -11,11 +11,18 @@ runs exactly the work a pod chip runs per decode step (the two per-layer
 psums move ~1 MB/step over ICI — negligible), so single-chip timing *is*
 the per-chip serving rate.
 
+The primary point is **long-context serving** (cache 16384, batch 32) —
+the regime the reference is built for, where KV traffic dominates the
+step and pruning/quantization pays (SpAttenController.scala:79-366 moves
+KV bytes, not weights).  Shorter-context points (8192x32, 4096x16) are
+reported in `detail` — as context shrinks, weight streaming bounds both
+engines and the ratio compresses toward 1 on any hardware.
+
 `value` = decode tokens/sec on this chip with the full SpAtten engine
-(two-plane quantized KV, progressive requant, cascade token pruning, local
-V pruning, fused Pallas kernel).  `vs_baseline` = speedup over the dense
-path (same shapes, no pruning, no quantized plane, jnp attention) — the
-reference's own comparison (>= 2x dense at its pruning ratios).
+(two-plane quantized KV, progressive requant, cascade token pruning,
+local V pruning, on-the-fly head pruning, fused Pallas kernel).
+`vs_baseline` = speedup over the dense path (same fused kernel in dense
+mode: length-gated fetches, int8 KV + int8 queries, no pruning stages).
 """
 
 from __future__ import annotations
@@ -74,6 +81,10 @@ def build_cfg(spatten: bool, cache: int, batch: int):
             cascade_layer_ratios=(1.0, 0.78, 0.25, 0.25, 0.25,
                                   0.14, 0.14, 0.14),
             enable_v_pruning=True, v_keep_ratio=0.25, v_block_size=64,
+            # on-the-fly head pruning: keep 3 of the 4 per-chip kv-head
+            # groups (the reference's hp traces keep 10-13/16), mask
+            # re-derived from live importance every 32 decode steps
+            enable_head_pruning=True, head_keep=3, head_update_interval=32,
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True)
@@ -98,7 +109,6 @@ def warm_state(cfg, state):
     """Steady-state lengths: the pruned engine holds its per-layer cascade
     budgets (deeper layers fewer tokens); the dense engine holds the full
     context."""
-    import jax.numpy as jnp
     b = state.lengths.shape[0]
     if cfg.pruning.enable_token_pruning:
         from spatten_tpu.pruning import token_pruning
@@ -118,53 +128,139 @@ def warm_state(cfg, state):
         layer_lengths=layer_lengths)
 
 
-def time_decode(cfg, params, steps: int) -> float:
-    """Returns decode tokens/sec (batch * steps / wall).
+def warm_cache_content(cfg, state):
+    """Fill the KV planes with synthetic content whose attention
+    concentrates on the sink + recent-window tokens.
+
+    A zero cache gives an exactly uniform softmax — an attention pattern
+    no real model exhibits and the worst case for every SpAtten stage
+    (requant max-prob ~ 1/L always fires, V mass spreads over every
+    block).  Real decode attention concentrates on the first (sink) and
+    recent tokens (the StreamingLLM observation the reference's rolling
+    cache is built on, kv_cache_token_pruning.py:36) — its own traces
+    show value_fetch ~= 0.2x key_fetch on GPT-2.  K rows get random int8
+    content; the concentration is carried by the per-token K scales
+    (sinks + recent tail ~20x the middle)."""
+    import spatten_tpu.engine.kv_cache as kvc
+    from spatten_tpu.ops import quantize as qz
+
+    m, e = cfg.model, cfg.engine
+    L, bsz, cap = m.num_layers, e.max_batch_size, e.cache_capacity
+    f = m.num_kv_heads * m.head_dim
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(cache, layer_lengths):
+        def one_layer(l):
+            i_b = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap, f), 0)
+            i_t = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap, f), 1)
+            i_f = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap, f), 2)
+            h = (i_b * 104729 + i_t * 7919 + i_f * 131 + l * 17
+                 ) * jnp.int32(-1640531527)
+            q8 = (((h >> 13) % 255) - 127).astype(jnp.int8)
+            return q8, qz.pack_msb(q8)
+
+        full, msb = jax.lax.map(one_layer, jnp.arange(L))
+        t = jnp.arange(cap)[None, None, None, :]
+        ln = layer_lengths[:, :, None, None]                 # [L, B, 1, 1]
+        sink = t < jnp.maximum(ln // 20, 4)
+        recent = (t >= (ln * 4) // 5) & (t < ln)
+        kscale = jnp.where(sink | recent, 0.57, 0.03).astype(jnp.float32)
+        kscale = jnp.broadcast_to(kscale, (L, bsz, m.num_kv_heads, cap))
+        vscale = jnp.full((L, bsz, m.num_kv_heads, cap), 1.0 / 127,
+                          jnp.float32)
+        k = qz.QuantizedKV(full=full, msb=msb, scale=kscale)
+        v = qz.QuantizedKV(full=full, msb=msb, scale=vscale)
+        return kvc.LayerKVCache(k=k, v=v)
+
+    return state._replace(cache=fill(state.cache, state.layer_lengths))
+
+
+def time_decode(cfg, params, steps: int, repeats: int = 3):
+    """Returns (tokens/sec, final_state).
 
     A scanned window of decode steps per dispatch — exactly how the
-    serving engine's generate() dispatches (lax.scan over tokens), so the
-    per-dispatch host/tunnel roundtrip amortizes across the window.  The
-    cache prune never fires within the measured window (its gather
-    amortizes over the capacity−cache_size headroom, ~0.2%/step at these
-    shapes), so the step omits the prune branch to keep the
-    remotely-compiled module small."""
+    serving engine's generate() dispatches: the capacity-triggered prune
+    cond and the periodic head-mask update run once at the window
+    boundary, and the per-token scan is branch-free (generate()'s window
+    structure; a per-token cond would copy the cache every step).  min
+    over `repeats` windows: robust to tunnel contention noise."""
+    import spatten_tpu.engine.generate as gen
     from spatten_tpu.engine.state import init_state
     from spatten_tpu.models import transformer
 
     b = cfg.engine.max_batch_size
     state = init_state(cfg, batch=b)
     state = warm_state(cfg, state)
+    state = warm_cache_content(cfg, state)
     token = jnp.zeros((b,), jnp.int32)
 
     # params MUST be an argument (not a closure capture): captured arrays
     # lower as HLO constants, which the remote-compile path ships with the
     # module
-    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
-    def window(params, state, token, n):
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
+    def window(params, carry, n):
+        state, token = carry
+        state, _ = gen.maybe_prune(cfg, state, n)
+        state = gen.maybe_update_head_mask(cfg, state, window=n)
+        from spatten_tpu.ops import rope as rope_ops
+        tables = rope_ops.rope_table(cfg.engine.cache_capacity,
+                                     cfg.model.head_dim,
+                                     cfg.model.rope_theta)
+
         def body(carry, _):
             state, token = carry
             logits, state, _ = transformer.forward(
-                params, cfg, state, token[:, None])
+                params, cfg, state, token[:, None], rope_tables=tables)
             token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (state, token), ()
-        (state, token), _ = jax.lax.scan(body, (state, token), None,
-                                         length=n)
-        return state, token
+        carry, _ = jax.lax.scan(body, (state, token), None, length=n)
+        return carry
 
     t0 = time.perf_counter()
-    state, token = window(params, state, token, steps)
+    carry = window(params, (state, token), steps)
     # force completion with a host transfer: on the remote-TPU (axon)
     # platform block_until_ready returns before execution finishes
-    jax.device_get(token)
+    jax.device_get(carry[1])
     log(f"compile+first window: {time.perf_counter() - t0:.1f}s")
 
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        carry = window(params, carry, steps)
+        jax.device_get(carry[1])
+        best = min(best, time.perf_counter() - t0)
+    log(f"timed: {best:.3f}s ({best / steps * 1e3:.2f} ms/step)")
+    return b * steps / best, carry[0]
+
+
+def measure_prune(cfg, params, reps: int = 8) -> float:
+    """Milliseconds per cascade-prune event (the compaction gather +
+    cached-K re-rotation), measured by forcing the trigger every
+    iteration of a scanned window."""
+    import spatten_tpu.engine.generate as gen
+    from spatten_tpu.engine.state import init_state
+
+    if not cfg.pruning.enable_token_pruning:
+        return 0.0
+    b = cfg.engine.max_batch_size
+    cap = cfg.engine.cache_capacity
+    state = warm_cache_content(cfg, warm_state(cfg, init_state(cfg, batch=b)))
+
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def prune_window(state, n):
+        def body(st, _):
+            st = st._replace(lengths=jnp.full((b,), cap, jnp.int32))
+            st2, _ = gen.maybe_prune(cfg, st, 1)
+            return st2, ()
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    state = prune_window(state, reps)
+    jax.device_get(state.lengths)
     t0 = time.perf_counter()
-    state, token = window(params, state, token, steps)
-    jax.device_get(token)
-    dt = time.perf_counter() - t0
-    log(f"timed: {dt:.3f}s ({dt / steps * 1e3:.2f} ms/step)")
-    del state
-    return b * steps / dt
+    state = prune_window(state, reps)
+    jax.device_get(state.lengths)
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def calibrate_requant(cfg, params, quantile=0.15):
@@ -181,6 +277,7 @@ def calibrate_requant(cfg, params, quantile=0.15):
     b = cfg.engine.max_batch_size
     state = init_state(cfg, batch=b)
     state = warm_state(cfg, state)
+    state = warm_cache_content(cfg, state)
     token = jnp.zeros((b,), jnp.int32)
 
     @jax.jit
@@ -192,57 +289,76 @@ def calibrate_requant(cfg, params, quantile=0.15):
     return float(np.quantile(maxp, quantile))
 
 
-def main():
-    from spatten_tpu.models import transformer
-
-    # long-context serving: the regime where KV traffic dominates and
-    # SpAtten's pruning/quantization pays (the reference's whole premise)
-    import os
-    cache = int(os.environ.get("SPATTEN_BENCH_CACHE", 4096))
-    batch = int(os.environ.get("SPATTEN_BENCH_BATCH", 16))
-    # long windows amortize this platform's ~25 ms per-dispatch (tunnel)
-    # overhead, which otherwise dilutes both engines equally
-    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 64))
+def run_point(cache: int, batch: int, steps: int, params):
+    """Measure one (cache, batch) serving point.  Returns a dict."""
+    import numpy as np
 
     cfg_sp = build_cfg(True, cache, batch)
     cfg_dn = build_cfg(False, cache, batch)
 
-    from spatten_tpu.models.weight_quant import quantize_params
-    params = transformer.init_params(cfg_sp.model, jax.random.PRNGKey(0))
-    # weight-only int8 for BOTH engines: the north star is framed against
-    # a dense-INT8 baseline (BASELINE.md), and decode streams every weight
-    # byte per step
-    params = quantize_params(params)
-    params = jax.device_get(params)          # keep host copy cheap
-    params = jax.device_put(params)
-
     thr = calibrate_requant(cfg_sp, params)
-    log(f"calibrated requant threshold: {thr:.3e}")
+    log(f"[cap {cache} b {batch}] calibrated requant threshold: {thr:.3e}")
     cfg_sp = dataclasses.replace(
         cfg_sp, quant=dataclasses.replace(cfg_sp.quant,
                                           requant_threshold=thr))
 
-    log("timing spatten engine...")
-    tps_sp = time_decode(cfg_sp, params, steps)
-    log(f"spatten: {tps_sp:.1f} tok/s; timing dense baseline...")
-    tps_dn = time_decode(cfg_dn, params, steps)
-    log(f"dense: {tps_dn:.1f} tok/s")
-    scale = BENCH_LAYERS / FULL_LAYERS
-    tps_sp *= scale
-    tps_dn *= scale
+    log(f"[cap {cache} b {batch}] timing spatten engine...")
+    tps_sp, end_state = time_decode(cfg_sp, params, steps)
+    log(f"[cap {cache} b {batch}] spatten: {tps_sp:.1f} tok/s; dense...")
+    tps_dn, _ = time_decode(cfg_dn, params, steps)
+    log(f"[cap {cache} b {batch}] dense: {tps_dn:.1f} tok/s")
 
+    prune_ms = measure_prune(cfg_sp, params)
+    p = cfg_sp.pruning
+    headroom = cfg_sp.engine.cache_capacity - p.cache_size
+    head_keep = float(np.asarray(end_state.head_mask).mean())
+
+    scale = BENCH_LAYERS / FULL_LAYERS
+    return {
+        "cache_capacity": cache, "batch": batch,
+        "spatten_tok_s": round(tps_sp * scale, 2),
+        "dense_int8_tok_s": round(tps_dn * scale, 2),
+        "vs_baseline": round(tps_sp / tps_dn, 3),
+        "prune_ms_per_event": round(prune_ms, 3),
+        "prune_ms_amortized": round(prune_ms / max(headroom, 1), 5),
+        "requant_threshold": thr,
+        "requant_rate": 0.15,      # threshold calibrated to this quantile
+        "head_keep_fraction": round(head_keep, 3),
+    }
+
+
+def main():
+    from spatten_tpu.models import transformer
+    from spatten_tpu.models.weight_quant import quantize_params
+
+    import os
+    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 64))
+    points = os.environ.get("SPATTEN_BENCH_POINTS",
+                        "16384x32,8192x32,4096x16")
+
+    params = transformer.init_params(shard_model_cfg(),
+                                     jax.random.PRNGKey(0))
+    # weight-only int8 for BOTH engines: the north star is framed against
+    # a dense-INT8 baseline (BASELINE.md), and decode streams every weight
+    # byte per step
+    params = jax.device_put(jax.device_get(quantize_params(params)))
+
+    results = []
+    for spec in points.split(","):
+        cache, batch = (int(x) for x in spec.split("x"))
+        results.append(run_point(cache, batch, steps, params))
+
+    primary = results[0]
     print(json.dumps({
         "metric": "decode_tokens_per_s_per_chip",
-        "value": round(tps_sp, 2),
+        "value": primary["spatten_tok_s"],
         "unit": "tok/s/chip",
-        "vs_baseline": round(tps_sp / tps_dn, 3),
+        "vs_baseline": primary["vs_baseline"],
         "detail": {
             "model": "llama2-7b TP8 per-chip shard "
                      f"({BENCH_LAYERS}L measured, scaled to {FULL_LAYERS}L)",
-            "cache_capacity": cache, "batch": batch,
-            "spatten_tok_s": round(tps_sp, 2),
-            "dense_int8_tok_s": round(tps_dn, 2),
             "device": str(jax.devices()[0]),
+            "points": results,
         },
     }))
 

@@ -61,22 +61,26 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_prompts(path, limit):
+def load_conversations(path, limit):
+    """[[turn, turn, ...], ...] — MT-Bench-style multi-turn records (the
+    reference demo feeds all turns of a record through one rolling KV
+    cache, pruning between rounds, run_spatten_llama.py:60-83)."""
     if path is None:
-        return ["The key idea of sparse attention is"]
-    prompts = []
+        return [["The key idea of sparse attention is",
+                 "Summarize that in one sentence."]]
+    convs = []
     with open(path) as fh:
         for line in fh:
             if not line.strip():
                 continue
             rec = json.loads(line)
             if "turns" in rec:
-                prompts.append(rec["turns"][0])
+                convs.append(list(rec["turns"]))
             elif "prompt" in rec:
-                prompts.append(rec["prompt"])
-            if len(prompts) >= limit:
+                convs.append([rec["prompt"]])
+            if len(convs) >= limit:
                 break
-    return prompts
+    return convs
 
 
 def main(argv=None):
@@ -134,37 +138,53 @@ def main(argv=None):
         eng = ShardedEngine(cfg, mesh)
         params = eng.shard_params(params)
 
-    prompts = load_prompts(args.prompts, args.max_prompts)
+    convs = load_conversations(args.prompts, args.max_prompts)
     eos = tokenizer.eos_token_id
     all_rows = []
     t_total0 = time.perf_counter()
-    for i, prompt in enumerate(prompts):
-        ids = tokenizer(prompt, return_tensors="np").input_ids.astype("int32")
-        ids = jnp.asarray(ids)
-        print(f"\n=== prompt {i}: {prompt[:80]!r} ({ids.shape[1]} tokens)")
-        t0 = time.perf_counter()
-        if use_mesh:
-            toks = eng.generate(params, ids, args.max_new_tokens,
-                                eos_token_id=eos)
-            result = None
-        else:
-            result = gen.generate(params, cfg, ids, args.max_new_tokens,
-                                  eos_token_id=eos, sampling=sampling)
-            toks = result.tokens
-        toks_host = jax.device_get(toks)
-        dt = time.perf_counter() - t0
-        text = tokenizer.decode([t for t in toks_host[0].tolist()
-                                 if t != eos], skip_special_tokens=True)
-        print(text)
-        print(f"--- {toks_host.shape[1] / dt:.1f} tok/s; "
-              f"{dt:.1f}s; cache len "
-              f"{int(jax.device_get(result.state.lengths)[0]) if result else '?'}")
-        if args.trace_csv and result is not None and i == 0:
+    for i, turns in enumerate(convs):
+        # multi-turn conversation over ONE rolling pruned cache: each
+        # round's prompt and reply append to the same DecodeState; the
+        # cascade prune fires between/within rounds as capacity demands
+        # (the reference demo's between-round apply_token_pruning,
+        # run_spatten_llama.py:71-83)
+        state = None
+        for r, prompt in enumerate(turns):
+            ids = tokenizer(prompt,
+                            return_tensors="np").input_ids.astype("int32")
+            ids = jnp.asarray(ids)
+            print(f"\n=== conv {i} round {r}: {prompt[:72]!r} "
+                  f"({ids.shape[1]} tokens)")
+            t0 = time.perf_counter()
+            if use_mesh:
+                toks = eng.generate(params, ids, args.max_new_tokens,
+                                    eos_token_id=eos)
+                result = None
+            else:
+                result = gen.generate(params, cfg, ids, args.max_new_tokens,
+                                      eos_token_id=eos, sampling=sampling,
+                                      state=state)
+                state = result.state
+                toks = result.tokens
+            toks_host = jax.device_get(toks)
+            dt = time.perf_counter() - t0
+            reply = [t for t in toks_host[0].tolist() if t != eos]
+            print(tokenizer.decode(reply, skip_special_tokens=True))
+            cache_len = (int(jax.device_get(result.state.lengths)[0])
+                         if result else "?")
+            print(f"--- {toks_host.shape[1] / dt:.1f} tok/s; {dt:.1f}s; "
+                  f"cache len {cache_len}")
+            if result is not None:
+                # feed the reply back so the next round continues the
+                # conversation over the pruned cache
+                state = result.state
+        if args.trace_csv and not use_mesh and i == 0:
             from spatten_tpu.engine.trace import collect_trace
             all_rows = collect_trace(params, cfg, ids, min(
                 8, args.max_new_tokens))
-        if args.summary and result is not None:
-            m = collect_run_metrics(cfg, result, 1, int(ids.shape[1]), dt)
+        if args.summary and not use_mesh:
+            m = collect_run_metrics(cfg, result, len(turns),
+                                    int(ids.shape[1]), dt)
             m.write(args.summary)
             print(f"[summary -> {args.summary}] "
                   f"requant_rate={m.requant_rate:.3f} "

@@ -206,6 +206,11 @@ class EngineConfig:
     max_batch_size: int = 8
     cache_capacity: int = 1024      # KV slots per sequence (static shape)
     prefill_chunk: int = 128        # prefill processed in chunks of this many
+    # decode runs in jitted windows of this many steps; the cascade-prune
+    # trigger and periodic head-mask update run once per window boundary
+    # (a per-token lax.cond would round-trip the cache through the cond's
+    # buffers every step).  Clamped to the pruning headroom.
+    decode_window: int = 64
     max_decode_steps: int = 512
     param_dtype: str = "bfloat16"
     activation_dtype: str = "bfloat16"

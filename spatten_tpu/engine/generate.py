@@ -4,9 +4,10 @@ This is the serving analog of the reference demo loop
 (run_spatten_llama.py:18-83): greedy decode with a rolling
 start/important/recent KV cache.  Differences, by design:
 
-* Pruning is **in the jitted step** (a `lax.cond` over the whole-batch
-  trigger), not a host-side pass between conversation rounds — the engine
-  never leaves the device.
+* Pruning is **on-device at decode-window boundaries** (a `lax.cond` over
+  the whole-batch trigger once per `decode_window` steps), not a host-side
+  pass between conversation rounds — the engine never leaves the device,
+  and the hot per-token scan stays branch-free.
 * The physical cache capacity exceeds the algorithmic cache_size
   (start+important+recent); pruning triggers when an append would overflow
   capacity and compacts down to cache_size, so one gather is amortized over
@@ -124,19 +125,21 @@ def prefill_chunk(params, cfg: SpAttenConfig, state: DecodeState,
     return logits[:, -1], state, aux
 
 
-def maybe_update_head_mask(cfg: SpAttenConfig, state: DecodeState
-                           ) -> DecodeState:
+def maybe_update_head_mask(cfg: SpAttenConfig, state: DecodeState,
+                           window: int = 1) -> DecodeState:
     """On-the-fly head pruning: re-derive the per-layer head mask from the
     live importance accumulators every `head_update_interval` decode steps
     (the reference's hp-step5 traces show the mask evolving during decode;
     post-prefill-only masks never adapt).  Uses the max sequence length as
-    the step clock so it works in any jitted step without extra state."""
+    the step clock so it works in any jitted step without extra state;
+    callers stepping `window` tokens at a time fire when the clock crosses
+    a multiple of the interval within the window."""
     p = cfg.pruning
     n = p.head_update_interval
     if not (p.enable_head_pruning and p.head_keep > 0 and n > 0):
         return state
     from spatten_tpu.engine.policy import update_head_mask
-    do = (jnp.max(state.lengths) % n) == 0
+    do = (jnp.max(state.lengths) % n) < window
     return jax.lax.cond(do, lambda s: update_head_mask(cfg, s),
                         lambda s: s, state)
 
@@ -202,34 +205,61 @@ def generate(
 
     first_token = sample_token(last_logits, rng, sampling)
 
+    # Decode runs in WINDOWS of W steps: the capacity-triggered cascade
+    # prune and the periodic head-mask update run once at each window
+    # boundary, and the hot per-token scan stays branch-free.  A
+    # `lax.cond` inside the scanned step would round-trip the whole cache
+    # through the cond's output buffers every token (~2.6 ms/step at
+    # serving shapes on v5e); hoisting it to the window boundary makes it
+    # O(1/W).  Semantics are exact: maybe_prune(num_coming=W) compacts any
+    # sequence that could overflow within the window — the reference
+    # prunes with the same num_coming look-ahead between rounds
+    # (kv_cache_token_pruning.py:46-47).
+    window_steps = cfg.engine.decode_window
+    if cfg.pruning.enable_token_pruning:
+        headroom = cfg.engine.cache_capacity - cfg.pruning.cache_size
+        window_steps = max(1, min(window_steps, headroom))
+
     # params is an explicit argument: closure-captured arrays lower as HLO
     # constants (bloating the module; fatal on remote-compile backends)
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def scan_decode(params, state, first_token, rng):
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
+    def decode_window(params, carry, n):
+        state, token, done, rng = carry
+        state, _ = maybe_prune(cfg, state, n)
+        state = maybe_update_head_mask(cfg, state, window=n)
+        # rope tables computed ONCE per window: XLA won't hoist the
+        # [cap, d] sin/cos materialization out of the scan
+        from spatten_tpu.ops import rope as rope_ops
+        tables = rope_ops.rope_table(cfg.engine.cache_capacity,
+                                     cfg.model.head_dim,
+                                     cfg.model.rope_theta)
+
         def body(carry, step_rng):
             state, token, done = carry
-            logits, state = _decode_logits(params, cfg, state, token)
-            next_token = sample_token(logits, step_rng, sampling)
+            logits, state, _ = transformer.forward(params, cfg, state,
+                                                   token[:, None],
+                                                   rope_tables=tables)
+            next_token = sample_token(logits[:, -1], step_rng, sampling)
             if eos_token_id is not None:
                 done = done | (token == eos_token_id)
                 next_token = jnp.where(done, eos_token_id, next_token)
             return (state, next_token, done), token
 
-        done0 = jnp.zeros((b,), bool)
-        step_keys = jax.random.split(rng, max_new_tokens)
-        (state, _, _), toks = jax.lax.scan(
-            body, (state, first_token, done0), step_keys)
-        return state, toks.T                       # [B, max_new_tokens]
+        rng, sub = jax.random.split(rng)
+        step_keys = jax.random.split(sub, n)
+        (state, token, done), toks = jax.lax.scan(
+            body, (state, token, done), step_keys)
+        return (state, token, done, rng), toks.T   # [B, n]
 
-    state, tokens = scan_decode(params, state, first_token, rng)
+    carry = (state, first_token, jnp.zeros((b,), bool), rng)
+    chunks = []
+    remaining = max_new_tokens
+    while remaining > 0:
+        n = min(window_steps, remaining)
+        carry, toks = decode_window(params, carry, n)
+        chunks.append(toks)
+        remaining -= n
+    state = carry[0]
+    tokens = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 1)
     return GenerateResult(tokens=tokens, state=state,
                           requant_events=state.requant_events)
-
-
-def _decode_logits(params, cfg: SpAttenConfig, state: DecodeState,
-                   token: jax.Array):
-    state, _ = maybe_prune(cfg, state, 1)
-    state = maybe_update_head_mask(cfg, state)
-    logits, state, _ = transformer.forward(params, cfg, state,
-                                           token[:, None])
-    return logits[:, -1], state

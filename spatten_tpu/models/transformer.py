@@ -180,17 +180,27 @@ def run_layers(
     positions: jax.Array,       # [B, S]
     layer_offset: jax.Array | int = 0,    # global index of local layer 0
     tp_axis: str | None = None,
+    rope_tables: Tuple[jax.Array, jax.Array] | None = None,
 ):
     """Scan x through a (possibly local) stack of layers, appending the S
     tokens to each layer's cache.  Returns
     (x, new_cache, new_importance, new_layer_lengths, requants,
-    max_probs)."""
+    max_probs).
+
+    `rope_tables`: precomputed (cos, sin) [capacity, head_dim].  Callers
+    that invoke forward inside a scanned decode loop MUST compute the
+    tables once outside the scan and thread them in — XLA does not hoist
+    the [cap, d] sin/cos materialization out of while-loops, and at
+    serving capacities recomputing it per decode step costs more than the
+    attention itself."""
     m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
     b, s = x.shape[0], x.shape[1]
     hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
     cap = state.capacity
 
-    cos, sin = rope_ops.rope_table(cap, dh, m.rope_theta)
+    if rope_tables is None:
+        rope_tables = rope_ops.rope_table(cap, dh, m.rope_theta)
+    cos, sin = rope_tables
 
     base_scale = 1.0 / math.sqrt(dh)
     v_keep = 0
@@ -201,9 +211,27 @@ def run_layers(
         key_budget = p.cache_size if p.enable_token_pruning else cap
         v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
 
-    def layer_fn(x, scanned):
-        lp, layer_cache, imp, hmask_l, lengths_l, layer_idx = scanned
+    track_importance = p.enable_token_pruning or p.enable_head_pruning
+    on_cpu = jax.default_backend() == "cpu"
+    rope_in_kernel_ok = m.use_abs_pos_emb or e.rope_mode == "cached"
+    # Decode (single query) takes the fused Pallas kernel (append +
+    # attention + P·V in one pallas_call; the STACKED cache planes alias
+    # in place, indexed by a layer scalar — see fused_decode's stacked
+    # mode).  Per-layer attention scale (GPT-2) folds into the queries
+    # since the kernel's sm_scale must be static.  Prefill chunks use the
+    # streaming jnp path (XLA fuses those fine).  The kernel computes no
+    # RoPE (queries arrive rotated; keys are cached-rotated or abs-pos),
+    # so "read" rope mode keeps the jnp path.  The token-major cache
+    # layout needs the fused lane width Hkv*D to be 128-aligned on
+    # hardware — GPT-2's 12x64 = 768 qualifies (interpret mode covers
+    # every shape in tests).
+    use_kernel = (
+        e.use_pallas and s == 1 and rope_in_kernel_ok
+        and ((hkv * dh) % 128 == 0 or on_cpu)
+    )
 
+    def qkv(x, lp, lengths_l, layer_idx):
+        """Shared attention prologue: norms, projections, RoPE."""
         h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"),
                   m.layernorm_kind, m.norm_eps)
         qh = _mm(h, lp["wq"]) + lp.get("bq", 0)
@@ -232,93 +260,14 @@ def run_layers(
                 kh = (kh * c + rope_ops.rotate_half(kh) * sn
                       ).astype(kh.dtype)
 
-        # a pure-dense engine (no token/head pruning) tracks no importance
-        track_importance = p.enable_token_pruning or p.enable_head_pruning
-
         sm_scale = base_scale
         if m.use_attn_scale_by_layer:
             sm_scale = base_scale / (
                 (layer_idx + layer_offset).astype(jnp.float32) + 1.0)
+        return qh, kh, vh, pos_l, sm_scale
 
-        attn_kwargs = dict(
-            requant_threshold=(q.requant_threshold
-                               if (q.enabled and q.enable_requant) else 0.0),
-            quant_enabled=q.enabled,
-            v_keep=v_keep,
-            v_block_size=p.v_block_size,
-            head_mask=hmask_l if p.enable_head_pruning else None,
-            importance_kind=p.importance_kind,
-            use_rope=(not m.use_abs_pos_emb) and e.rope_mode == "read",
-        )
-        # Decode (single query) takes the fused Pallas kernel (append +
-        # attention + P·V in one pallas_call; the cache planes alias in
-        # place).  Per-layer attention scale (GPT-2) folds into the
-        # queries since the kernel's sm_scale must be static.  Prefill
-        # chunks use the streaming jnp path (XLA fuses those fine).
-        # The kernel computes no RoPE (queries arrive rotated; keys are
-        # cached-rotated or abs-pos), so "read" rope mode keeps the jnp
-        # path.  The token-major cache layout needs the fused lane width
-        # Hkv*D to be 128-aligned on hardware — GPT-2's 12x64 = 768
-        # qualifies (interpret mode covers every shape in tests).
-        on_cpu = jax.default_backend() == "cpu"
-        rope_in_kernel_ok = m.use_abs_pos_emb or e.rope_mode == "cached"
-        use_kernel = (
-            e.use_pallas and s == 1 and rope_in_kernel_ok
-            and ((hkv * dh) % 128 == 0 or on_cpu)
-        )
-        if use_kernel:
-            if m.use_attn_scale_by_layer:
-                q_kernel = qh * (sm_scale / base_scale)
-            else:
-                q_kernel = qh
-            kernel_kwargs = dict(attn_kwargs)
-            kernel_kwargs.pop("use_rope")
-            attn_out, stats, new_k, new_v = fused_decode_attention(
-                q_kernel, layer_cache.k, layer_cache.v,
-                kh, vh, lengths_l + s,
-                sm_scale=base_scale,
-                interpret=on_cpu,
-                importance_in=(imp if (track_importance
-                                       and p.cascade_accumulate) else None),
-                quantize_queries=q.quantize_queries,
-                track_importance=track_importance,
-                importance_ema=p.importance_ema,
-                **kernel_kwargs,
-            )
-            layer_cache = LayerKVCache(k=new_k, v=new_v)
-            if track_importance:
-                # fused path: importance_delta already holds the updated
-                # accumulator (or the bare delta if not accumulating)
-                imp = stats.importance_delta
-        else:
-            layer_cache = append_tokens(layer_cache, kh, vh, lengths_l)
-            if s > 1:
-                # streaming-blocks prefill: O(S + C) memory, exact semantics
-                attn_out, stats = prefill_attention(
-                    qh, layer_cache.k, layer_cache.v, cos, sin,
-                    lengths_l + s, pos_l, sm_scale=sm_scale,
-                    **attn_kwargs,
-                )
-            else:
-                attn_out, stats = spatten_attention_reference(
-                    qh, layer_cache.k, layer_cache.v, cos, sin,
-                    lengths_l + s, pos_l, sm_scale=sm_scale,
-                    **attn_kwargs,
-                )
-            if track_importance:
-                # reset the incoming tokens' accumulator slots, then add
-                # (shared by both non-kernel branches: chunked prefill must
-                # accumulate importance exactly like s=1 stepping)
-                slot = jnp.arange(cap)[None, None, :]
-                is_new = ((slot >= lengths_l[:, None, None])
-                          & (slot < (lengths_l + s)[:, None, None]))
-                if p.cascade_accumulate:
-                    ema = p.importance_ema
-                    imp = jnp.where(is_new, 0.0, imp)
-                    imp = ema * imp + stats.importance_delta
-                else:
-                    imp = stats.importance_delta
-
+    def out_mlp(x, lp, attn_out):
+        """Shared epilogue: o_proj (+psum), MLP (+psum), residuals."""
         o = attn_out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
             b, s, hq * dh)
         o_proj = _mm(o, lp["wo"])
@@ -331,14 +280,116 @@ def run_layers(
         mlp_out = _mlp(h2, lp, m.activation)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
-        x = x + mlp_out + lp.get("b_down", 0)
+        return x + mlp_out + lp.get("b_down", 0)
 
+    def attn_kwargs(hmask_l):
+        return dict(
+            requant_threshold=(q.requant_threshold
+                               if (q.enabled and q.enable_requant) else 0.0),
+            quant_enabled=q.enabled,
+            v_keep=v_keep,
+            v_block_size=p.v_block_size,
+            head_mask=hmask_l if p.enable_head_pruning else None,
+            importance_kind=p.importance_kind,
+        )
+
+    layer_ids = jnp.arange(m.num_layers, dtype=jnp.int32)
+
+    if use_kernel:
+        # Decode path: the stacked cache planes + importance RIDE THE SCAN
+        # CARRY and the kernel updates one layer in place per iteration.
+        # Scanning the planes as xs/ys instead would make XLA round-trip
+        # the entire multi-layer cache through fresh ys buffers every
+        # decode step (~GBs/step at serving shapes).
+        accum = track_importance and p.cascade_accumulate
+
+        def layer_fn(carry, scanned):
+            x, k_all, v_all, imp_all, layer_lengths = carry
+            lp, hmask_l, layer_idx = scanned
+            lengths_l = jnp.take(layer_lengths, layer_idx, axis=0)  # [B]
+
+            qh, kh, vh, _, sm_scale = qkv(x, lp, lengths_l, layer_idx)
+            if m.use_attn_scale_by_layer:
+                q_kernel = qh * (sm_scale / base_scale)
+            else:
+                q_kernel = qh
+            attn_out, stats, k_all, v_all = fused_decode_attention(
+                q_kernel, k_all, v_all, kh, vh, lengths_l + s,
+                sm_scale=base_scale,
+                interpret=on_cpu,
+                importance_in=imp_all if accum else None,
+                layer=layer_idx,
+                quantize_queries=q.quantize_queries,
+                track_importance=track_importance,
+                importance_ema=p.importance_ema,
+                **attn_kwargs(hmask_l),
+            )
+            if track_importance:
+                if accum:
+                    # stacked accumulator updated in place by the kernel
+                    imp_all = stats.importance_delta
+                else:
+                    imp_all = jax.lax.dynamic_update_slice(
+                        imp_all,
+                        stats.importance_delta[None].astype(imp_all.dtype),
+                        (layer_idx, 0, 0, 0))
+            layer_lengths = jax.lax.dynamic_update_slice(
+                layer_lengths, (lengths_l + s)[None],
+                (layer_idx, jnp.int32(0)))
+
+            x = out_mlp(x, lp, attn_out)
+            layer_out = (stats.need_requant.sum().astype(jnp.int32),
+                         stats.max_prob)
+            return (x, k_all, v_all, imp_all, layer_lengths), layer_out
+
+        carry0 = (x, state.cache.k, state.cache.v, state.importance,
+                  state.layer_lengths)
+        (x, k_all, v_all, new_imp, new_lengths), (requants, max_probs) = \
+            jax.lax.scan(layer_fn, carry0,
+                         (layer_params, state.head_mask, layer_ids))
+        new_cache = LayerKVCache(k=k_all, v=v_all)
+        return x, new_cache, new_imp, new_lengths, requants, max_probs
+
+    # Prefill / jnp fallback path: per-layer slices scan as xs/ys (the
+    # copies this implies are amortized over the whole prefill chunk).
+    def layer_fn(x, scanned):
+        lp, layer_cache, imp, hmask_l, lengths_l, layer_idx = scanned
+
+        qh, kh, vh, pos_l, sm_scale = qkv(x, lp, lengths_l, layer_idx)
+        kwargs = attn_kwargs(hmask_l)
+        kwargs["use_rope"] = (not m.use_abs_pos_emb) and \
+            e.rope_mode == "read"
+
+        layer_cache = append_tokens(layer_cache, kh, vh, lengths_l)
+        if s > 1:
+            # streaming-blocks prefill: O(S + C) memory, exact semantics
+            attn_out, stats = prefill_attention(
+                qh, layer_cache.k, layer_cache.v, cos, sin,
+                lengths_l + s, pos_l, sm_scale=sm_scale, **kwargs)
+        else:
+            attn_out, stats = spatten_attention_reference(
+                qh, layer_cache.k, layer_cache.v, cos, sin,
+                lengths_l + s, pos_l, sm_scale=sm_scale, **kwargs)
+        if track_importance:
+            # reset the incoming tokens' accumulator slots, then add
+            # (shared by both non-kernel branches: chunked prefill must
+            # accumulate importance exactly like s=1 stepping)
+            slot = jnp.arange(cap)[None, None, :]
+            is_new = ((slot >= lengths_l[:, None, None])
+                      & (slot < (lengths_l + s)[:, None, None]))
+            if p.cascade_accumulate:
+                ema = p.importance_ema
+                imp = jnp.where(is_new, 0.0, imp)
+                imp = ema * imp + stats.importance_delta
+            else:
+                imp = stats.importance_delta
+
+        x = out_mlp(x, lp, attn_out)
         layer_out = (layer_cache, imp, lengths_l + s,
                      stats.need_requant.sum().astype(jnp.int32),
                      stats.max_prob)
         return x, layer_out
 
-    layer_ids = jnp.arange(m.num_layers, dtype=jnp.int32)
     x, (new_cache, new_imp, new_lengths, requants, max_probs) = jax.lax.scan(
         layer_fn,
         x,
@@ -354,6 +405,7 @@ def forward(
     state: DecodeState,
     tokens: jax.Array,          # int32 [B, S]
     tp_axis: str | None = None,
+    rope_tables: Tuple[jax.Array, jax.Array] | None = None,
 ) -> Tuple[jax.Array, DecodeState, StepAux]:
     """Run S tokens through the model, appending them to the cache.
 
@@ -369,7 +421,8 @@ def forward(
     s = tokens.shape[1]
     x, positions = embed_tokens(params, cfg, state, tokens)
     x, new_cache, new_imp, new_lengths, requants, max_probs = run_layers(
-        params["layers"], cfg, state, x, positions, tp_axis=tp_axis)
+        params["layers"], cfg, state, x, positions, tp_axis=tp_axis,
+        rope_tables=rope_tables)
     logits = lm_head(params, cfg, x)
 
     new_state = DecodeState(

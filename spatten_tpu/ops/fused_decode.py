@@ -82,7 +82,7 @@ def _heads_per_program(hkv: int, cap: int, head_dim: int, group: int = 1
     The K/V planes stream through NSLOTS rotating [blk, slab] buffers, so
     the plane scratch is cap-independent; what scales with cap is the
     [rows, cap] score/prob planes."""
-    budget = 10 * 1024 * 1024
+    budget = 11 * 1024 * 1024
     best = None
     for h in range(1, hkv + 1):
         if hkv % h:
@@ -95,7 +95,8 @@ def _heads_per_program(hkv: int, cap: int, head_dim: int, group: int = 1
         pblk = _even_blocks(half, 1024)[0]
         stream = slab * pblk * NSLOTS * 3          # msb + kfull + v slots
         planes = rows * cap * 4 * 3                # scores/probs/scores2
-        if stream + planes <= budget:
+        scales = h * cap * 4 * 3                   # ksc + vsc + imp slices
+        if stream + planes + scales <= budget:
             best = h
     if best is None:
         raise ValueError(
@@ -165,39 +166,49 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     fblk = _fetch_block(cap, v_block) if do_vprune else pblk
     nfb = cap // fblk
     vpf = fblk // v_block if do_vprune else 1
-    # rotating-slot stream depths (VMEM is cap-independent)
-    ps = min(num_pblk, NSLOTS)
-    ts = min(num_tblk, NSLOTS)
-    vs = min(nfb, NSLOTS)
+    # rotating-slot stream depths: deep enough to overlap, capped so each
+    # stream's VMEM stays ~2 MB even at huge caps (where fetch blocks grow)
+    def _slots(nblk, blk):
+        if nblk <= 1:
+            return 1
+        return max(2, min(nblk, NSLOTS, (2 * 1024 * 1024) // (blk * slab)))
+
+    ps = _slots(num_pblk, pblk)
+    ts = _slots(num_tblk, pblk)
+    vs = _slots(nfb, fblk)
 
     def kernel(*refs):
         it = iter(refs)
         lengths_ref = next(it)             # SMEM int32 [B]
+        layer_ref = next(it)               # SMEM int32 [1] — layer index
         qbd_ref = next(it)                 # [1, rows, slab] f32 block-diag
         knew_ref = next(it)                # [1, 1, slab] f32 raw new row
         vnew_ref = next(it)
-        kscale_ref = next(it)              # [1, hpp, C] f32 (aliased)
-        vscale_ref = next(it)
+        kscale_in = next(it)               # [L, B, Hkv, C] f32 (ANY)
+        vscale_in = next(it)
         hmask_ref = next(it)               # [1, hpp, G] f32
-        imp_in_ref = next(it)              # [1, hpp, C or 128] f32
-        kmsb_hbm = next(it)                # [B, C//2, Hkv*D] uint8 (ANY)
-        kfull_hbm = next(it)               # [B, C, Hkv*D] int8 (ANY)
+        imp_in = next(it)                  # [L, B, Hkv, C] f32 (ANY)
+        kmsb_hbm = next(it)                # [L, B, C//2, Hkv*D] u8 (ANY)
+        kfull_hbm = next(it)               # [L, B, C, Hkv*D] int8 (ANY)
         vmsb_hbm = next(it)
         vfull_hbm = next(it)
         out_ref = next(it)                 # [1, rows, d] f32
         maxp_ref = next(it)                # [1, hpp, 128] f32
         need_ref = next(it)                # [1, hpp, 128] int32
-        imp_ref = next(it)                 # [1, hpp, C or 128] f32
-        kscale_out = next(it)              # aliased with kscale_ref
+        imp_out = next(it)                 # ANY (aliased when accumulating)
+        kscale_out = next(it)              # ANY, aliased with kscale_in
         vscale_out = next(it)
-        kmsb_out = next(it)                # aliased planes (ANY)
-        kfull_out = next(it)
-        vmsb_out = next(it)
-        vfull_out = next(it)
+        kmsb_out = next(it)                # aliased STACKED planes (ANY):
+        kfull_out = next(it)               #   the kernel reads/writes only
+        vmsb_out = next(it)                #   layer `layer_ref[0]`, all
+        vfull_out = next(it)               #   other layers stay in place
         kapp_scr = next(it)                # (8, slab) int8
         vapp_scr = next(it)
         kmapp_scr = next(it)               # (8, slab) uint8
         vmapp_scr = next(it)
+        ksc_scr = next(it)                 # (hpp, C) f32 scale slices
+        vsc_scr = next(it)
+        imp_scr = next(it)                 # (hpp, C or 128) f32
         if quant_enabled:
             kmsb_scr = next(it)            # [ps, pblk, slab] uint8 slots
         if (not quant_enabled) or do_requant:
@@ -206,15 +217,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         probs_scr = next(it)               # [rows, C] f32
         if do_requant:
             scores2_scr = next(it)         # [rows, C] f32 (full-plane pass)
+        if do_vprune:
+            mass_scr = next(it)            # [rows, nvb] f32 block masses
         v_scr = next(it)                   # [vs, fblk, slab] int8 slots
         pvacc_scr = next(it)               # [rows, slab] f32
         app_sem = next(it)                 # DMA (4,)
         kmsb_sem = next(it)                # DMA (ps, ngate)
         kfull_sem = next(it)               # DMA (ts, ngate)
         v_sem = next(it)                   # DMA (vs,)
+        sc_sem = next(it)                  # DMA (6,) scale/importance IO
 
         b = pl.program_id(0)
         j = pl.program_id(1)
+        lv = layer_ref[0]                  # layer of the stacked planes
         lane0 = j * slab
         length = lengths_ref[b]            # includes the new token
         idx = length - 1                   # slot of the appended row
@@ -276,7 +291,24 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         pstart = (prow // 8) * 8           # packed-plane RMW block start
 
         def app_slice(ref, start):
-            return ref.at[b, pl.ds(start, 8), pl.ds(lane0, slab)]
+            return ref.at[lv, b, pl.ds(start, 8), pl.ds(lane0, slab)]
+
+        # scale / importance slices stream through plain scratch (single
+        # buffered) instead of VMEM-blocked operands: at serving caps the
+        # blocked+double-buffered versions alone exceed scoped VMEM
+        def sc_slice(ref):
+            return ref.at[lv, b, pl.ds(j * hpp, hpp), :]
+
+        ksc_read = pltpu.make_async_copy(sc_slice(kscale_in), ksc_scr,
+                                         sc_sem.at[0])
+        vsc_read = pltpu.make_async_copy(sc_slice(vscale_in), vsc_scr,
+                                         sc_sem.at[1])
+        ksc_read.start()
+        vsc_read.start()
+        if accumulate_importance:
+            imp_read = pltpu.make_async_copy(sc_slice(imp_in), imp_scr,
+                                             sc_sem.at[2])
+            imp_read.start()
 
         if not skip_append:
             pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
@@ -306,11 +338,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             def cp(g=None):
                 if g is None:
                     return pltpu.make_async_copy(
-                        plane.at[b, pl.ds(i * pblk, pblk),
+                        plane.at[lv, b, pl.ds(i * pblk, pblk),
                                  pl.ds(lane0, slab)],
                         scr.at[slot], sem.at[slot, 0])
                 return pltpu.make_async_copy(
-                    plane.at[b, pl.ds(i * pblk, pblk),
+                    plane.at[lv, b, pl.ds(i * pblk, pblk),
                              pl.ds(lane0 + g * glanes, glanes)],
                     scr.at[slot, :, pl.ds(g * glanes, glanes)],
                     sem.at[slot, g])
@@ -350,7 +382,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             @pl.when(cond)
             def _():
                 cp = pltpu.make_async_copy(
-                    vfull_out.at[b, pl.ds(f * fblk, fblk),
+                    vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
                                  pl.ds(lane0, slab)],
                     v_scr.at[slot], v_sem.at[slot])
                 cp.wait() if do_wait else cp.start()
@@ -395,8 +427,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         kq8, ksc_lane, ksc_col = quant_row(knew)
         vq8, vsc_lane, vsc_col = quant_row(vnew)
         is_new_col = (col1 == idx).astype(jnp.float32)  # [1, C]
-        kscale_out[0] = jnp.where(col_h == idx, ksc_col, kscale_ref[0])
-        vscale_out[0] = jnp.where(col_h == idx, vsc_col, vscale_ref[0])
+        ksc_read.wait()
+        vsc_read.wait()
+        ksc_scr[...] = jnp.where(col_h == idx, ksc_col, ksc_scr[...])
+        vsc_scr[...] = jnp.where(col_h == idx, vsc_col, vsc_scr[...])
+        ksc_wb = pltpu.make_async_copy(ksc_scr, sc_slice(kscale_out),
+                                       sc_sem.at[3])
+        vsc_wb = pltpu.make_async_copy(vsc_scr, sc_slice(vscale_out),
+                                       sc_sem.at[4])
+        ksc_wb.start()
+        vsc_wb.start()
 
         # ------------------------------------------------------------------
         # Queries: block-diagonal [rows, slab]; optional int8 quant for
@@ -420,10 +460,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             acc = jnp.float32
 
         # per-row K scale columns (row r uses its head's scales)
-        kscale_hpp = kscale_out[0]                      # [hpp, C] updated
+        kscale_hpp = ksc_scr[...]                       # [hpp, C] updated
         kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
                        if group > 1 else kscale_hpp)    # [rows, C]
-        vscale_hpp = vscale_out[0]
+        vscale_hpp = vsc_scr[...]
         vscale_rows = (jnp.repeat(vscale_hpp, group, axis=0)
                        if group > 1 else vscale_hpp)
 
@@ -443,7 +483,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         def kblk_msb(i, hi):
             """Unsigned-nibble unpack n = k4 + 8 (one xor, no sign
-            extension); the +8 bias folds into the score offset:
+            extension; int32 vectors — Mosaic lacks int16 shifts); the +8
+            bias folds into the score offset:
             k8 ~ k4*16 + MID == n*16 + (MID - 128)."""
             rows_k = kmsb_scr[i % ps]
             nib = rows_k.astype(jnp.int32)
@@ -582,46 +623,52 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             else:
                 delta = delta_rows
             if accumulate_importance:
-                prev = jnp.where(col_h == idx, 0.0, imp_in_ref[0])
+                imp_read.wait()
+                old_imp = imp_scr[...]
+                prev = jnp.where(col_h == idx, 0.0, old_imp)
                 if importance_ema != 1.0:
                     prev = prev * importance_ema
-                imp_ref[0] = jnp.where(
-                    alive_hpp > 0.0, prev + delta, imp_in_ref[0])
+                imp_scr[...] = jnp.where(
+                    alive_hpp > 0.0, prev + delta, old_imp)
             else:
-                imp_ref[0] = delta
+                imp_scr[...] = delta
         else:
-            imp_ref[0] = jnp.zeros((hpp, 128), jnp.float32)
+            imp_scr[...] = jnp.zeros((hpp, 128), jnp.float32)
+        if accumulate_importance:
+            imp_wb = pltpu.make_async_copy(imp_scr, sc_slice(imp_out),
+                                           sc_sem.at[5])
+        else:
+            imp_wb = pltpu.make_async_copy(
+                imp_scr, imp_out.at[0, b, pl.ds(j * hpp, hpp), :],
+                sc_sem.at[5])
+        imp_wb.start()
 
         # --- local V pruning: exact per-row block keep mask + gated
         # coarse-grained fetch ---------------------------------------------
         if do_vprune:
             # block mass per pblk tile: the 0/1 token->v-block pattern is
             # identical in every tile, so one tiny [pblk, pblk//v_block]
-            # constant serves all of them (a full [C, nvb] map would be
-            # 1-4 MB of VMEM at serving caps)
+            # constant serves all of them; dead tiles (past `length`)
+            # skip their matmul and zero their mass slice
             vpt = pblk // v_block
             trow = jax.lax.broadcasted_iota(
                 jnp.int32, (pblk, vpt), 0) // v_block
             tcol = jax.lax.broadcasted_iota(jnp.int32, (pblk, vpt), 1)
             agg_t = (trow == tcol).astype(jnp.float32)  # [pblk, vpt]
-            mass = jnp.concatenate([
-                jax.lax.dot_general(
-                    probs_all[:, t * pblk:(t + 1) * pblk], agg_t,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                for t in range(num_tblk)], axis=-1)     # [rows, nvb]
+            mass_scr[...] = jnp.zeros((rows, num_vblk), jnp.float32)
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    mass_scr[:, pl.ds(t * vpt, vpt)] = jax.lax.dot_general(
+                        probs_all[:, t * pblk:(t + 1) * pblk], agg_t,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            mass = mass_scr[...]                        # [rows, nvb]
             kth = _kth_largest(mass, keep_blocks)       # [rows]
             keep_gb = ((mass >= kth[..., None]) & (mass > 0.0)
                        ).astype(jnp.float32)            # [rows, nvb]
-            keep_cols = jnp.concatenate([
-                jax.lax.dot_general(
-                    keep_gb[:, t * vpt:(t + 1) * vpt], agg_t,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                for t in range(num_tblk)], axis=-1)     # [rows, C]
-            probs_pv = probs_all * keep_cols
-            # fetch block f iff any row keeps a v-block inside it (kept ⊂
-            # fetched, so unfetched scratch only ever multiplies zeros).
+            # fetch block f iff any row keeps a v-block inside it (the
+            # keep mask is applied per fired block inside the P·V loop).
             # The nfb gates are packed into ONE scalar bitmask (a single
             # vector->scalar transfer); per-block tests are then scalar
             # bit ops instead of nfb vector reductions.
@@ -637,12 +684,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             gbits = jnp.sum(
                 jnp.where(cnt > 0.0, pow2, 0.0)
             ).astype(jnp.int32)                          # scalar bitmask
+            # the appended token's own keep decision (for the register
+            # patch below): its v-block's keep bit, per row
+            nvb_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, num_vblk), 1)
+            kept_new = jnp.sum(
+                jnp.where(nvb_iota == idx // v_block, keep_gb, 0.0),
+                axis=-1, keepdims=True)                  # [rows, 1]
             for f in range(vs):
                 v_io(f, do_wait=False, extra_cond=(gbits & (1 << f)) > 0)
         else:
-            probs_pv = probs_all
             keep_gb = None
             gbits = None
+            kept_new = 1.0
 
         # ------------------------------------------------------------------
         # Append modify + write start (RMW reads landed during phase A).
@@ -691,9 +745,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # ------------------------------------------------------------------
         # zero the appended token's (possibly stale) column; its true
         # contribution is patched from registers below
-        p_idx = jnp.sum(probs_pv * is_new_col, axis=-1,
-                        keepdims=True)                  # [rows, 1]
-        pvmat = (probs_pv * (1.0 - is_new_col)) * vscale_rows
+        p_idx = jnp.sum(probs_all * is_new_col, axis=-1,
+                        keepdims=True) * kept_new       # [rows, 1]
+        pvmat = (probs_all * (1.0 - is_new_col)) * vscale_rows
+        if do_vprune:
+            # keep-mask lane expansion constant for one fetch block:
+            # [vpf, fblk] 0/1, applied per fired block (replaces a whole
+            # [rows, C] keep_cols pass)
+            erow = jax.lax.broadcasted_iota(jnp.int32, (vpf, fblk), 0)
+            ecol = jax.lax.broadcasted_iota(jnp.int32, (vpf, fblk), 1)
+            expand_f = (erow == ecol // v_block).astype(jnp.float32)
         pvacc_scr[...] = jnp.zeros((rows, slab), jnp.float32)
         for f in range(nfb):
             if do_vprune:
@@ -704,13 +765,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             @pl.when(gate_f)
             def _(f=f):
                 pltpu.make_async_copy(
-                    vfull_out.at[b, pl.ds(f * fblk, fblk),
+                    vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
                                  pl.ds(lane0, slab)],
                     v_scr.at[f % vs], v_sem.at[f % vs]).wait()
                 vb = v_scr[f % vs].astype(jnp.float32)
+                pb = pvmat[:, f * fblk:(f + 1) * fblk]
+                if do_vprune:
+                    keep_exp = jax.lax.dot_general(
+                        keep_gb[:, f * vpf:(f + 1) * vpf], expand_f,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    pb = pb * keep_exp
                 pvacc_scr[...] += jax.lax.dot_general(
-                    pvmat[:, f * fblk:(f + 1) * fblk], vb,
-                    (((1,), (0,)), ((), ())),
+                    pb, vb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             if f + vs < nfb:
                 if do_vprune:
@@ -733,6 +800,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             preferred_element_type=jnp.float32)         # [rows, d]
         out_ref[0] = out_rows + p_idx * vnew_rows
 
+        ksc_wb.wait()
+        vsc_wb.wait()
+        imp_wb.wait()
         if not skip_append:
             # append writes drain last (latency hidden behind P·V)
             pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
@@ -750,7 +820,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
 def fused_decode_attention(
     q: jax.Array,                  # [B, Hq, 1, D] (rotated queries)
-    k_quant: qz.QuantizedKV,       # planes [B, C(/2), Hkv*D] — ALIASED
+    k_quant: qz.QuantizedKV,       # planes [(L,) B, C(/2), Hkv*D] — ALIASED
     v_quant: qz.QuantizedKV,       # (donate via jit for in-place update)
     k_new: jax.Array,              # [B, Hkv, 1, D] raw new K row (already
                                    #   rotated iff rope_mode == "cached")
@@ -765,10 +835,12 @@ def fused_decode_attention(
     head_mask: Optional[jax.Array] = None,
     importance_kind: str = "prob",
     quantize_queries: bool = False,
-    importance_in: Optional[jax.Array] = None,   # [B, Hkv, C]
+    importance_in: Optional[jax.Array] = None,   # [(L,) B, Hkv, C]
     track_importance: bool = True,
     importance_ema: float = 1.0,    # imp <- ema * imp + delta (CSV col 15
                                     #   `if_rescale_previous_importance`)
+    layer: Optional[jax.Array] = None,   # int32 [] — which layer of the
+                                   #   STACKED planes to read/update
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
@@ -777,12 +849,29 @@ def fused_decode_attention(
     k_quant', v_quant') where the primed caches contain the appended row
     (planes aliased in-place when the caller donates them).
 
+    **Stacked mode** (`layer` given): the cache planes (and the importance
+    accumulator, when accumulating) carry a leading layer axis [L, ...];
+    the kernel reads and updates only layer `layer` IN PLACE and every
+    other layer's bytes never move.  This is how the engine's layer scan
+    avoids copying the whole multi-layer cache every step: the stacked planes
+    ride the scan carry and this call is their only writer.  Without
+    `layer` the planes are single-layer (tests / direct use); the call is
+    then identical to stacked mode with L == 1.
+
     Queries must arrive fully rotated/scaled; the kernel computes no RoPE
     (rope_mode "cached" or absolute-position models — "read" mode uses
     the jnp reference path).
     """
     b, hq, q_len, d = q.shape
     assert q_len == 1
+    stacked = layer is not None
+    if not stacked:
+        layer = jnp.zeros((), jnp.int32)
+        k_quant = jax.tree.map(lambda x: x[None], k_quant)
+        v_quant = jax.tree.map(lambda x: x[None], v_quant)
+        if importance_in is not None:
+            importance_in = importance_in[None]
+    num_layers = k_quant.full.shape[0]
     hkv = k_quant.heads
     cap = k_quant.tokens
     group = hq // hkv
@@ -822,14 +911,16 @@ def fused_decode_attention(
 
     imp_cols = cap if track_importance else 128
     if accumulate:
-        imp_in = importance_in.astype(jnp.float32)
+        imp_in = importance_in.astype(jnp.float32)   # [L, B, Hkv, C]
+        imp_shape = imp_in.shape
     else:
-        imp_in = jnp.zeros((b, hkv, imp_cols), jnp.float32)
+        imp_in = jnp.zeros((1, b, hkv, imp_cols), jnp.float32)
+        imp_shape = (1, b, hkv, imp_cols)
 
     quant_on = quant_enabled
     do_requant = quant_enabled and requant_threshold > 0.0
-    keep_blocks = (max(1, -(-v_keep // v_block_size)) if v_keep > 0 else 0)
-    do_vprune = 0 < v_keep and keep_blocks < cap // v_block_size
+    do_vprune = 0 < v_keep and \
+        (max(1, -(-v_keep // v_block_size)) < cap // v_block_size)
     slab = hpp * d
 
     in_specs = [
@@ -840,17 +931,14 @@ def fused_decode_attention(
                      memory_space=pltpu.VMEM),          # k_new
         pl.BlockSpec((1, 1, slab), lambda i, j, *_: (i, 0, j),
                      memory_space=pltpu.VMEM),          # v_new
-        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
-                     memory_space=pltpu.VMEM),          # kscale
-        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
-                     memory_space=pltpu.VMEM),          # vscale
+        pl.BlockSpec(memory_space=pl.ANY),              # kscale [L,B,H,C]
+        pl.BlockSpec(memory_space=pl.ANY),              # vscale
         pl.BlockSpec((1, hpp, group), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # hmask
-        pl.BlockSpec((1, hpp, imp_cols), lambda i, j, *_: (i, j, 0),
-                     memory_space=pltpu.VMEM),          # imp_in
+        pl.BlockSpec(memory_space=pl.ANY),              # imp_in
     ]
     in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),           # kmsb
+        pl.BlockSpec(memory_space=pl.ANY),           # kmsb [L, ...]
         pl.BlockSpec(memory_space=pl.ANY),           # kfull
         pl.BlockSpec(memory_space=pl.ANY),           # vmsb
         pl.BlockSpec(memory_space=pl.ANY),           # vfull
@@ -862,12 +950,9 @@ def fused_decode_attention(
                      memory_space=pltpu.VMEM),          # maxp
         pl.BlockSpec((1, hpp, 128), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # need
-        pl.BlockSpec((1, hpp, imp_cols), lambda i, j, *_: (i, j, 0),
-                     memory_space=pltpu.VMEM),          # imp
-        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
-                     memory_space=pltpu.VMEM),          # kscale'
-        pl.BlockSpec((1, hpp, cap), lambda i, j, *_: (i, j, 0),
-                     memory_space=pltpu.VMEM),          # vscale'
+        pl.BlockSpec(memory_space=pl.ANY),           # imp
+        pl.BlockSpec(memory_space=pl.ANY),           # kscale'
+        pl.BlockSpec(memory_space=pl.ANY),           # vscale'
         pl.BlockSpec(memory_space=pl.ANY),           # kmsb'
         pl.BlockSpec(memory_space=pl.ANY),           # kfull'
         pl.BlockSpec(memory_space=pl.ANY),           # vmsb'
@@ -877,7 +962,7 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct((b, rows_total, d), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.int32),
-        jax.ShapeDtypeStruct((b, hkv, imp_cols), jnp.float32),
+        jax.ShapeDtypeStruct(imp_shape, jnp.float32),
         jax.ShapeDtypeStruct(k_quant.scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(v_quant.scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(k_quant.msb.shape, jnp.uint8),
@@ -885,16 +970,20 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct(v_quant.msb.shape, jnp.uint8),
         jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
     ]
-    # operand index -> output index (operand 0 is the scalar prefetch)
-    aliases = {4: 4, 5: 5, 8: 6, 9: 7, 10: 8, 11: 9}
+    # operand index -> output index (operands 0-1 are the scalar prefetch:
+    # lengths, layer)
+    aliases = {5: 4, 6: 5, 9: 6, 10: 7, 11: 8, 12: 9}
     if accumulate:
-        aliases[7] = 3
+        aliases[8] = 3
 
     scratch = [
         pltpu.VMEM((8, slab), jnp.int8),     # kapp
         pltpu.VMEM((8, slab), jnp.int8),     # vapp
         pltpu.VMEM((8, slab), jnp.uint8),    # kmapp
         pltpu.VMEM((8, slab), jnp.uint8),    # vmapp
+        pltpu.VMEM((hpp, cap), jnp.float32),        # ksc slice
+        pltpu.VMEM((hpp, cap), jnp.float32),        # vsc slice
+        pltpu.VMEM((hpp, imp_cols), jnp.float32),   # imp slice
     ]
     if quant_on:
         scratch.append(pltpu.VMEM((ps, pblk, slab), jnp.uint8))
@@ -906,6 +995,9 @@ def fused_decode_attention(
     ]
     if do_requant:
         scratch.append(pltpu.VMEM((rows_p, cap), jnp.float32))
+    if do_vprune:
+        scratch.append(pltpu.VMEM((rows_p, cap // v_block_size),
+                                  jnp.float32))
     scratch += [
         pltpu.VMEM((vs, fblk, slab), jnp.int8),    # v slots
         pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
@@ -913,10 +1005,11 @@ def fused_decode_attention(
         pltpu.SemaphoreType.DMA((ps, ngate)),
         pltpu.SemaphoreType.DMA((ts, ngate)),
         pltpu.SemaphoreType.DMA((vs,)),
+        pltpu.SemaphoreType.DMA((6,)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -931,6 +1024,7 @@ def fused_decode_attention(
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
         qbd,
         k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         v_new.astype(jnp.float32).reshape(b, 1, hkv * d),
@@ -942,6 +1036,13 @@ def fused_decode_attention(
 
     k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2, scale=kscale2)
     v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2, scale=vscale2)
+    if not stacked:
+        k2 = jax.tree.map(lambda x: x[0], k2)
+        v2 = jax.tree.map(lambda x: x[0], v2)
+        if accumulate:
+            imp = imp[0]
+    if not accumulate:
+        imp = imp[0]          # drop the dummy layer axis of the delta
     stats = AttentionStats(
         max_prob=maxp[..., 0],
         need_requant=need[..., 0].astype(bool),

@@ -278,3 +278,62 @@ def test_fused_tiny_length():
     lengths = jnp.array([1, 2], jnp.int32)
     r, k = run_both(jax.random.PRNGKey(11), length=np.array([1, 2]))
     assert_match(r, k, lengths=lengths)
+
+
+def test_stacked_layer_mode_matches_per_layer_calls():
+    """Stacked mode (layer scalar + [L, ...] planes updated in place) must
+    equal independent per-layer calls, and must not touch other layers."""
+    L = 3
+    keys = jax.random.split(jax.random.PRNGKey(11), L)
+    per_layer = [make_inputs(k, b=2, hq=4, hkv=2, cap=64, d=32,
+                             length=[40, 50]) for k in keys]
+
+    stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+    kq_all = stack([p[1] for p in per_layer])     # leaves [L, ...]
+    vq_all = stack([p[2] for p in per_layer])
+    imp_all = jnp.zeros((L, 2, 2, 64), jnp.float32)
+
+    kwargs = dict(sm_scale=0.18, requant_threshold=0.3,
+                  quant_enabled=True, v_keep=24, v_block_size=16,
+                  quantize_queries=True, track_importance=True,
+                  interpret=True)
+
+    # reference: unstacked per-layer calls
+    refs = []
+    for li, (q, kq, vq, k_new, v_new, _, _, lengths) in enumerate(per_layer):
+        refs.append(fused_decode_attention(
+            q, kq, vq, k_new, v_new, lengths,
+            importance_in=imp_all[li], **kwargs))
+
+    # stacked: only layer 1 updated
+    li = 1
+    q, _, _, k_new, v_new, _, _, lengths = per_layer[li]
+    out, stats, k2, v2 = fused_decode_attention(
+        q, kq_all, vq_all, k_new, v_new, lengths,
+        importance_in=imp_all, layer=jnp.int32(li), **kwargs)
+
+    ref_out, ref_stats, ref_k2, ref_v2 = refs[li]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats.max_prob),
+                               np.asarray(ref_stats.max_prob),
+                               atol=2e-5, rtol=1e-4)
+    # layer li's planes match the per-layer call; other layers untouched
+    for name in ("full", "msb", "scale"):
+        got_k = np.asarray(getattr(k2, name))
+        got_v = np.asarray(getattr(v2, name))
+        np.testing.assert_array_equal(
+            got_k[li], np.asarray(getattr(ref_k2, name)))
+        np.testing.assert_array_equal(
+            got_v[li], np.asarray(getattr(ref_v2, name)))
+        for other in (0, 2):
+            np.testing.assert_array_equal(
+                got_k[other], np.asarray(getattr(kq_all, name))[other])
+            np.testing.assert_array_equal(
+                got_v[other], np.asarray(getattr(vq_all, name))[other])
+    # importance: layer li updated, others untouched
+    imp = np.asarray(stats.importance_delta)
+    np.testing.assert_allclose(imp[li],
+                               np.asarray(refs[li][1].importance_delta),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(imp[0], np.zeros_like(imp[0]))
