@@ -117,6 +117,15 @@ class QuantConfig:
     requant_threshold: float = 0.08
     enable_requant: bool = True
     scale_dtype: str = "float32"
+    # Per-layer pass-1 bit widths (the reference's per-request
+    # QuantProfile, SpAtten.scala:71-74 + MatrixFetcher.scala:48-51 —
+    # profiles (4,1), (6,2-fused), (8,1)): each entry is 4, 6, or 8;
+    # shorter tuples pad with their last value; None = all layers 4-bit.
+    # 6-bit layers read the msb + lsb2 planes (0.75 B/elem); 8-bit layers
+    # read the full plane directly and never requantize.  The resolved
+    # array lives in DecodeState.quant_bits — policy is data, so a
+    # serving layer may override it per request.
+    layer_bits: Optional[Tuple[int, ...]] = None
     # Quantize queries to int8 per head row inside the decode kernel and
     # run QK^T as integer MXU dots (the reference hardware computes on
     # 12-bit fixed-point queries, SpAtten.scala:94-120 — fp queries are
@@ -127,6 +136,20 @@ class QuantConfig:
     @property
     def disabled(self) -> "QuantConfig":
         return dataclasses.replace(self, enabled=False, enable_requant=False)
+
+    def resolved_layer_bits(self, num_layers: int) -> Tuple[int, ...]:
+        """Per-layer pass-1 bits, padded to num_layers."""
+        if not self.enabled:
+            return (8,) * num_layers
+        if not self.layer_bits:
+            return (4,) * num_layers
+        bits = tuple(self.layer_bits)[:num_layers]
+        return bits + (bits[-1],) * (num_layers - len(bits))
+
+    @property
+    def needs_lsb2(self) -> bool:
+        return self.enabled and bool(self.layer_bits) and \
+            any(b == 6 for b in self.layer_bits)
 
 
 @dataclass(frozen=True)
@@ -258,4 +281,13 @@ class SpAttenConfig:
             raise ValueError("head_keep exceeds num_heads")
         if e.cache_capacity % p.v_block_size != 0:
             raise ValueError("cache_capacity must be a multiple of v_block_size")
+        if self.quant.layer_bits is not None and \
+                any(b not in (4, 6, 8) for b in self.quant.layer_bits):
+            raise ValueError(
+                f"layer_bits entries must be 4, 6, or 8 "
+                f"(got {self.quant.layer_bits})")
+        if self.quant.needs_lsb2 and e.cache_capacity % 4 != 0:
+            raise ValueError(
+                "a 6-bit quant profile packs 4 tokens per lsb2 byte; "
+                "cache_capacity must be a multiple of 4")
         return self

@@ -55,9 +55,13 @@ def restore(path: str) -> Tuple[Any, Optional[DecodeState]]:
             layer_lengths = _jnp.broadcast_to(
                 _jnp.asarray(d["lengths"])[None], (num_layers,)
                 + d["lengths"].shape).astype(_jnp.int32)
+        quant_bits = d.get("quant_bits")
+        if quant_bits is None:          # pre-profile checkpoints: 4-bit
+            quant_bits = _jnp.full((num_layers,), 4, _jnp.int32)
         state = DecodeState(
             cache=cache, importance=d["importance"], lengths=d["lengths"],
             layer_lengths=layer_lengths,
             head_mask=d["head_mask"], requant_events=d["requant_events"],
+            quant_bits=quant_bits,
         )
     return params, state

@@ -66,47 +66,69 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
             p.start_size, budgets, p.important_size, p.recent_size,
             num_coming=0,
         )                       # [L, B, Hkv, keep_max], [L, B]
-        pruned_cache = kvc.prune_layer(st.cache, keep_idx)
-        if cfg.engine.rope_mode == "cached" and \
-                not cfg.model.use_abs_pos_emb:
-            # cached-rotated K: a survivor moved from slot keep_idx[i] to
-            # slot i must be re-rotated by the (non-positive) delta
+        cached_rope = (cfg.engine.rope_mode == "cached"
+                       and not cfg.model.use_abs_pos_emb)
+        if cached_rope:
             from spatten_tpu.ops import rope as rope_ops
             cos_t, sin_t = rope_ops.rope_table(
                 cap, cfg.model.head_dim, cfg.model.rope_theta)
-            new_slot = jnp.arange(keep_max, dtype=jnp.int32)
-            pad = jnp.zeros((cap - keep_max,), jnp.int32)
-            delta = jnp.concatenate(
-                [new_slot, pad], axis=0) - jnp.concatenate(
-                [keep_idx, jnp.zeros(
-                    keep_idx.shape[:-1] + (cap - keep_max,),
-                    jnp.int32)], axis=-1)                # [L,B,Hkv,C] <= 0
-            # slots past a layer's keep_count are dead (masked by length);
-            # clamping their delta to 0 keeps the re-rotation a no-op there
-            delta = jnp.minimum(delta, 0)
-            pruned_cache = pruned_cache._replace(
-                k=qz.rotate_rows_by_delta(pruned_cache.k, delta,
-                                          cos_t, sin_t))
-        (pruned_imp,) = token_pruning.prune_arrays(keep_idx, st.importance)
-        pad = jnp.zeros(
-            pruned_imp.shape[:-1] + (cap - keep_max,), pruned_imp.dtype
-        )
-        pruned_imp = jnp.concatenate([pruned_imp, pad], axis=-1)
 
         def sel_batch(new, old):
-            # leaves are [L, B, ...]; select along batch (axis 1)
-            t = trigger.reshape((1, -1) + (1,) * (new.ndim - 2))
-            return jnp.where(t, new, old)
+            # per-layer leaves are [B, ...]; select along batch (axis 0)
+            t = trigger.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(t, new, old).astype(old.dtype)
 
-        cache = jax.tree.map(sel_batch, pruned_cache, st.cache)
-        imp = sel_batch(pruned_imp, st.importance)
+        def one_layer(l, carry):
+            """Prune layer l in place (dynamic_update on the carried
+            stacked planes).  Layer-at-a-time keeps the transient
+            footprint at one layer's planes — the whole-stack gather (and
+            especially the cached-K f32 re-rotation) would otherwise
+            materialize multi-GB intermediates at serving capacities."""
+            cache, imp = carry
+            take = lambda x: jax.lax.dynamic_index_in_dim(
+                x, l, 0, keepdims=False)
+            layer_cache = jax.tree.map(take, cache)
+            kidx_l = take(keep_idx)                  # [B, Hkv, keep_max]
+            pruned = kvc.prune_layer(layer_cache, kidx_l)
+            if cached_rope:
+                # cached-rotated K: a survivor moved from slot kidx[i] to
+                # slot i must be re-rotated by the (non-positive) delta
+                new_slot = jnp.arange(keep_max, dtype=jnp.int32)
+                zpad = jnp.zeros((cap - keep_max,), jnp.int32)
+                delta = jnp.concatenate(
+                    [new_slot, zpad], axis=0) - jnp.concatenate(
+                    [kidx_l, jnp.zeros(
+                        kidx_l.shape[:-1] + (cap - keep_max,),
+                        jnp.int32)], axis=-1)            # [B, Hkv, C] <= 0
+                # slots past keep_count are dead (masked by length);
+                # clamping keeps the re-rotation a no-op there
+                delta = jnp.minimum(delta, 0)
+                pruned = pruned._replace(
+                    k=qz.rotate_rows_by_delta(pruned.k, delta,
+                                              cos_t, sin_t))
+            imp_l = take(imp)
+            (pruned_imp,) = token_pruning.prune_arrays(kidx_l, imp_l)
+            zpad = jnp.zeros(pruned_imp.shape[:-1] + (cap - keep_max,),
+                             pruned_imp.dtype)
+            pruned_imp = jnp.concatenate([pruned_imp, zpad], axis=-1)
+
+            merged_cache = jax.tree.map(sel_batch, pruned, layer_cache)
+            merged_imp = sel_batch(pruned_imp, imp_l)
+            cache = jax.tree.map(
+                lambda big, small: jax.lax.dynamic_update_index_in_dim(
+                    big, small.astype(big.dtype), l, 0),
+                cache, merged_cache)
+            imp = jax.lax.dynamic_update_index_in_dim(imp, merged_imp,
+                                                      l, 0)
+            return (cache, imp)
+
+        cache, imp = jax.lax.fori_loop(0, num_layers, one_layer,
+                                       (st.cache, st.importance))
         layer_lengths = jnp.where(trigger[None, :], keep_count,
                                   st.layer_lengths)
         lengths = jnp.where(trigger, keep_count.max(axis=0), st.lengths)
-        return DecodeState(cache=cache, importance=imp, lengths=lengths,
-                           layer_lengths=layer_lengths,
-                           head_mask=st.head_mask,
-                           requant_events=st.requant_events)
+        return st._replace(cache=cache, importance=imp, lengths=lengths,
+                           layer_lengths=layer_lengths)
 
     new_state = jax.lax.cond(jnp.any(trigger), do_prune, lambda st: st, state)
     return new_state, trigger

@@ -38,23 +38,28 @@ class LayerKVCache(NamedTuple):
 
 
 def init_layer_cache(batch: int, kv_heads: int, capacity: int,
-                     head_dim: int) -> LayerKVCache:
+                     head_dim: int, with_msb: bool = True,
+                     with_lsb2: bool = False) -> LayerKVCache:
     def zeros() -> qz.QuantizedKV:
         return qz.QuantizedKV(
             full=jnp.zeros((batch, capacity, kv_heads * head_dim),
                            jnp.int8),
             msb=jnp.zeros((batch, capacity // 2, kv_heads * head_dim),
-                          jnp.uint8),
+                          jnp.uint8) if with_msb else None,
             scale=jnp.ones((batch, kv_heads, capacity), jnp.float32),
+            lsb2=jnp.zeros((batch, capacity // 4, kv_heads * head_dim),
+                           jnp.uint8) if with_lsb2 else None,
         )
 
     return LayerKVCache(k=zeros(), v=zeros())
 
 
 def init_stacked_cache(num_layers: int, batch: int, kv_heads: int,
-                       capacity: int, head_dim: int) -> LayerKVCache:
+                       capacity: int, head_dim: int, with_msb: bool = True,
+                       with_lsb2: bool = False) -> LayerKVCache:
     """Layer-stacked cache (leading [L, B]) for lax.scan over layers."""
-    one = init_layer_cache(batch, kv_heads, capacity, head_dim)
+    one = init_layer_cache(batch, kv_heads, capacity, head_dim, with_msb,
+                           with_lsb2)
     return jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (num_layers,) + a.shape), one
     )
@@ -81,7 +86,11 @@ def _append_rows(q: qz.QuantizedKV, x_new: jax.Array, start: jax.Array
                                         (start, jnp.int32(0)))
     scale = jax.lax.dynamic_update_slice(q.scale, scale_new,
                                          (jnp.int32(0), start))
-    return qz.QuantizedKV(full=full, msb=qz.pack_msb(full), scale=scale)
+    return qz.QuantizedKV(
+        full=full,
+        msb=qz.pack_msb(full) if q.msb is not None else None,
+        scale=scale,
+        lsb2=qz.pack_lsb2(full) if q.lsb2 is not None else None)
 
 
 def append_tokens(cache: LayerKVCache, k_new: jax.Array, v_new: jax.Array,

@@ -47,16 +47,21 @@ def update_head_mask(cfg: SpAttenConfig, state: DecodeState) -> DecodeState:
 
 
 def quant_profile(cfg: SpAttenConfig) -> dict:
-    """The static quantization profile as data (the reference carries it in
-    per-request metadata, SpAtten.scala:94-111): plane bit widths and the
-    requant threshold the kernels will apply."""
+    """The quantization profile as data (the reference carries it in
+    per-request metadata, SpAtten.scala:94-111 with per-request
+    QuantProfile bit counts, SpAtten.scala:71-74): per-layer pass-1 plane
+    widths and the requant threshold the kernels will apply.  The live
+    copy rides DecodeState.quant_bits so a serving layer can override it
+    per request."""
     q = cfg.quant
     if not q.enabled:
         return {"key_bits": -1, "value_bits": -1, "requant": False,
                 "threshold": -1.0}
+    layer_bits = q.resolved_layer_bits(cfg.model.num_layers)
     return {
-        "key_bits": 4,                 # pass-1 msb plane
-        "key_bits_requant": 8,         # full plane on low confidence
+        "key_bits": layer_bits[0],         # pass-1 plane of layer 0
+        "key_bits_per_layer": layer_bits,  # full per-layer profile
+        "key_bits_requant": 8,             # full plane on low confidence
         "value_bits": 8,
         "requant": q.enable_requant,
         "threshold": q.requant_threshold,

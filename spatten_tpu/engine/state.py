@@ -28,6 +28,9 @@ class DecodeState(NamedTuple):
                                #   layers keep fewer (key_fetch_num decay)
     head_mask: jax.Array       # bool [L, Hq] — False = pruned head
     requant_events: jax.Array  # int32 [] cumulative low-confidence recomputes
+    quant_bits: jax.Array      # int32 [L] pass-1 bits per layer (4/6/8) —
+                               #   the reference's per-request QuantProfile
+                               #   as data (SpAtten.scala:71-74)
 
     @property
     def capacity(self) -> int:
@@ -78,11 +81,15 @@ def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
     cap = e.cache_capacity
     return DecodeState(
         cache=init_stacked_cache(m.num_layers, b, m.num_kv_heads, cap,
-                                 m.head_dim),
+                                 m.head_dim,
+                                 with_msb=cfg.quant.enabled,
+                                 with_lsb2=cfg.quant.needs_lsb2),
         importance=jnp.zeros((m.num_layers, b, m.num_kv_heads, cap),
                              jnp.float32),
         lengths=jnp.zeros((b,), jnp.int32),
         layer_lengths=jnp.zeros((m.num_layers, b), jnp.int32),
         head_mask=jnp.ones((m.num_layers, m.num_heads), bool),
         requant_events=jnp.zeros((), jnp.int32),
+        quant_bits=jnp.asarray(
+            cfg.quant.resolved_layer_bits(m.num_layers), jnp.int32),
     )

@@ -143,7 +143,9 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
 
     token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
     rows: List[TraceRow] = []
-    kbit = 4 if q.enabled else -1     # pass-1 plane width
+    # pass-1 plane widths per layer (the per-layer QuantProfile as data)
+    layer_kbits = (q.resolved_layer_bits(m.num_layers) if q.enabled
+                   else (-1,) * m.num_layers)
     vbit = 8 if q.enabled else -1
 
     cap = cfg.engine.cache_capacity
@@ -172,6 +174,7 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
                 if not alive:
                     continue          # pruned head: no request (no CSV row)
                 vf = min(v_keep, kf) if v_keep > 0 else kf
+                kbit = layer_kbits[layer]
                 rows.append(TraceRow(
                     iteration_id=it, layer_id=layer, head_id=h,
                     embedding_length_D=float(m.head_dim),
@@ -180,8 +183,9 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
                     quant_key_bit=kbit, quant_query_bit=16,
                     auto_requant_thres=(q.requant_threshold
                                         if q.enabled else -1.0),
-                    if_requant=bool(need[layer, sequence, h]),
-                    auto_requant_incre=4 if q.enabled else -1,
+                    if_requant=bool(need[layer, sequence, h])
+                    and kbit not in (8, -1),
+                    auto_requant_incre=(8 - kbit) if q.enabled else -1,
                     value_fetch_num=vf, quant_value_bit=vbit,
                     if_accumulate_importance=p.cascade_accumulate,
                     if_rescale_previous_importance=bool(

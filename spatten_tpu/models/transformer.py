@@ -228,6 +228,9 @@ def run_layers(
     use_kernel = (
         e.use_pallas and s == 1 and rope_in_kernel_ok
         and ((hkv * dh) % 128 == 0 or on_cpu)
+        # mixed per-layer quant profiles run the jnp path until the fused
+        # kernel learns runtime plane selection
+        and q.layer_bits is None
     )
 
     def qkv(x, lp, lengths_l, layer_idx):
@@ -353,12 +356,15 @@ def run_layers(
     # Prefill / jnp fallback path: per-layer slices scan as xs/ys (the
     # copies this implies are amortized over the whole prefill chunk).
     def layer_fn(x, scanned):
-        lp, layer_cache, imp, hmask_l, lengths_l, layer_idx = scanned
+        lp, layer_cache, imp, hmask_l, lengths_l, layer_idx, qbits_l = \
+            scanned
 
         qh, kh, vh, pos_l, sm_scale = qkv(x, lp, lengths_l, layer_idx)
         kwargs = attn_kwargs(hmask_l)
         kwargs["use_rope"] = (not m.use_abs_pos_emb) and \
             e.rope_mode == "read"
+        if q.enabled and q.layer_bits is not None:
+            kwargs["pass1_bits"] = qbits_l
 
         layer_cache = append_tokens(layer_cache, kh, vh, lengths_l)
         if s > 1:
@@ -394,7 +400,7 @@ def run_layers(
         layer_fn,
         x,
         (layer_params, state.cache, state.importance, state.head_mask,
-         state.layer_lengths, layer_ids),
+         state.layer_lengths, layer_ids, state.quant_bits),
     )
     return x, new_cache, new_imp, new_lengths, requants, max_probs
 
@@ -425,12 +431,11 @@ def forward(
         rope_tables=rope_tables)
     logits = lm_head(params, cfg, x)
 
-    new_state = DecodeState(
+    new_state = state._replace(
         cache=new_cache,
         importance=new_imp,
         lengths=state.lengths + s,
         layer_lengths=new_lengths,
-        head_mask=state.head_mask,
         requant_events=state.requant_events + requants.sum(),
     )
     aux = StepAux(requant_events=requants.sum(), max_probs=max_probs)

@@ -92,6 +92,10 @@ def spatten_attention_reference(
     head_mask: Optional[jax.Array] = None,   # [Hq] or [B, Hq] bool
     importance_kind: str = "prob",
     use_rope: bool = True,   # False for abs-pos models (GPT-2 family)
+    pass1_bits: Optional[jax.Array] = None,  # traced scalar 4/6/8: this
+                                   # layer's QuantProfile (policy-as-data,
+                                   # SpAtten.scala:71-74); None = static
+                                   # 4-bit msb profile
 ) -> tuple[jax.Array, AttentionStats]:
     """Returns (output [B, Hq, q_len, D], stats)."""
     b, hq, q_len, d = q.shape
@@ -132,7 +136,19 @@ def spatten_attention_reference(
         denom = jnp.sum(e, axis=-1, keepdims=True)
         return e / jnp.maximum(denom, 1e-30)
 
-    if quant_enabled:
+    if quant_enabled and pass1_bits is not None:
+        # per-layer quant profile: select the pass-1 plane set at runtime
+        # (bits 4 -> msb, 6 -> msb+lsb2, 8 -> full, MatrixFetcher.scala:48-51)
+        deq6 = (qz.dequantize_6bit if k_quant.lsb2 is not None
+                else qz.dequantize_msb)   # no lsb2 plane: 6 degrades to 4
+        branches = [
+            lambda: rotated_keys(qz.dequantize_msb),
+            lambda: rotated_keys(deq6),
+            lambda: rotated_keys(qz.dequantize_full),
+        ]
+        idx = jnp.clip((jnp.asarray(pass1_bits, jnp.int32) - 4) // 2, 0, 2)
+        scores_msb = scores_for(jax.lax.switch(idx, branches))
+    elif quant_enabled:
         scores_msb = scores_for(rotated_keys(qz.dequantize_msb))
     else:
         scores_msb = scores_for(rotated_keys(qz.dequantize_full))
@@ -147,6 +163,10 @@ def spatten_attention_reference(
     do_requant = quant_enabled and requant_threshold > 0.0
     if do_requant:
         need_requant = max_prob < requant_threshold
+        if pass1_bits is not None:
+            # an 8-bit pass-1 already read the full plane: nothing to refine
+            need_requant = need_requant & (
+                jnp.asarray(pass1_bits, jnp.int32) < 8)
         scores_full = scores_for(rotated_keys(qz.dequantize_full))
         probs_full = softmax_masked(scores_full)
         sel = _repeat_kv(need_requant[..., None, None], group)  # [B,Hq,1,1]

@@ -161,8 +161,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     if hpp % gate_hpg:
         gate_hpg = hpp
     ngate = hpp // gate_hpg
-    # V fetch granularity: fine blocks when pruning (gated on the keep
-    # mask), coarse pblk blocks when dense
+    # V fetch granularity: fine gated blocks when pruning (coarser
+    # granularity over-fetches more than the saved branch cost — measured
+    # on v5e), coarse pblk blocks when dense
     fblk = _fetch_block(cap, v_block) if do_vprune else pblk
     nfb = cap // fblk
     vpf = fblk // v_block if do_vprune else 1
@@ -188,24 +189,29 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         vscale_in = next(it)
         hmask_ref = next(it)               # [1, hpp, G] f32
         imp_in = next(it)                  # [L, B, Hkv, C] f32 (ANY)
-        kmsb_hbm = next(it)                # [L, B, C//2, Hkv*D] u8 (ANY)
-        kfull_hbm = next(it)               # [L, B, C, Hkv*D] int8 (ANY)
-        vmsb_hbm = next(it)
-        vfull_hbm = next(it)
+        if quant_enabled:                  # dense mode carries no nibble
+            kmsb_hbm = next(it)            #   planes at all — neither as
+        kfull_hbm = next(it)               #   operands nor in HBM
+        if quant_enabled:                  # [L, B, C//2, Hkv*D] u8 (ANY)
+            vmsb_hbm = next(it)
+        vfull_hbm = next(it)               # [L, B, C, Hkv*D] int8 (ANY)
         out_ref = next(it)                 # [1, rows, d] f32
         maxp_ref = next(it)                # [1, hpp, 128] f32
         need_ref = next(it)                # [1, hpp, 128] int32
         imp_out = next(it)                 # ANY (aliased when accumulating)
         kscale_out = next(it)              # ANY, aliased with kscale_in
         vscale_out = next(it)
-        kmsb_out = next(it)                # aliased STACKED planes (ANY):
+        if quant_enabled:
+            kmsb_out = next(it)            # aliased STACKED planes (ANY):
         kfull_out = next(it)               #   the kernel reads/writes only
-        vmsb_out = next(it)                #   layer `layer_ref[0]`, all
-        vfull_out = next(it)               #   other layers stay in place
+        if quant_enabled:                  #   layer `layer_ref[0]`, all
+            vmsb_out = next(it)            #   other layers stay in place
+        vfull_out = next(it)
         kapp_scr = next(it)                # (8, slab) int8
         vapp_scr = next(it)
-        kmapp_scr = next(it)               # (8, slab) uint8
-        vmapp_scr = next(it)
+        if quant_enabled:
+            kmapp_scr = next(it)           # (8, slab) uint8
+            vmapp_scr = next(it)
         ksc_scr = next(it)                 # (hpp, C) f32 scale slices
         vsc_scr = next(it)
         imp_scr = next(it)                 # (hpp, C or 128) f32
@@ -222,7 +228,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         v_scr = next(it)                   # [vs, fblk, slab] int8 slots
         pvacc_scr = next(it)               # [rows, slab] f32
         app_sem = next(it)                 # DMA (4,)
-        kmsb_sem = next(it)                # DMA (ps, ngate)
+        if quant_enabled:
+            kmsb_sem = next(it)            # DMA (ps, ngate)
         kfull_sem = next(it)               # DMA (ts, ngate)
         v_sem = next(it)                   # DMA (vs,)
         sc_sem = next(it)                  # DMA (6,) scale/importance IO
@@ -937,12 +944,10 @@ def fused_decode_attention(
                      memory_space=pltpu.VMEM),          # hmask
         pl.BlockSpec(memory_space=pl.ANY),              # imp_in
     ]
-    in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),           # kmsb [L, ...]
-        pl.BlockSpec(memory_space=pl.ANY),           # kfull
-        pl.BlockSpec(memory_space=pl.ANY),           # vmsb
-        pl.BlockSpec(memory_space=pl.ANY),           # vfull
-    ]
+    # plane operands: nibble planes exist only when quantization is on —
+    # the dense engine neither stores nor moves them
+    n_planes = 4 if quant_on else 2
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     out_specs = [
         pl.BlockSpec((1, rows_p, d), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # out
@@ -953,11 +958,8 @@ def fused_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),           # imp
         pl.BlockSpec(memory_space=pl.ANY),           # kscale'
         pl.BlockSpec(memory_space=pl.ANY),           # vscale'
-        pl.BlockSpec(memory_space=pl.ANY),           # kmsb'
-        pl.BlockSpec(memory_space=pl.ANY),           # kfull'
-        pl.BlockSpec(memory_space=pl.ANY),           # vmsb'
-        pl.BlockSpec(memory_space=pl.ANY),           # vfull'
     ]
+    out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     out_shape = [
         jax.ShapeDtypeStruct((b, rows_total, d), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.float32),
@@ -965,22 +967,37 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct(imp_shape, jnp.float32),
         jax.ShapeDtypeStruct(k_quant.scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(v_quant.scale.shape, jnp.float32),
-        jax.ShapeDtypeStruct(k_quant.msb.shape, jnp.uint8),
-        jax.ShapeDtypeStruct(k_quant.full.shape, jnp.int8),
-        jax.ShapeDtypeStruct(v_quant.msb.shape, jnp.uint8),
-        jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
     ]
+    if quant_on:
+        out_shape += [
+            jax.ShapeDtypeStruct(k_quant.msb.shape, jnp.uint8),
+            jax.ShapeDtypeStruct(k_quant.full.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_quant.msb.shape, jnp.uint8),
+            jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
+        ]
+    else:
+        out_shape += [
+            jax.ShapeDtypeStruct(k_quant.full.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
+        ]
     # operand index -> output index (operands 0-1 are the scalar prefetch:
-    # lengths, layer)
-    aliases = {5: 4, 6: 5, 9: 6, 10: 7, 11: 8, 12: 9}
+    # lengths, layer): scales then the plane operands in order
+    aliases = {5: 4, 6: 5}
+    for p in range(n_planes):
+        aliases[9 + p] = 6 + p
     if accumulate:
         aliases[8] = 3
 
     scratch = [
         pltpu.VMEM((8, slab), jnp.int8),     # kapp
         pltpu.VMEM((8, slab), jnp.int8),     # vapp
-        pltpu.VMEM((8, slab), jnp.uint8),    # kmapp
-        pltpu.VMEM((8, slab), jnp.uint8),    # vmapp
+    ]
+    if quant_on:
+        scratch += [
+            pltpu.VMEM((8, slab), jnp.uint8),    # kmapp
+            pltpu.VMEM((8, slab), jnp.uint8),    # vmapp
+        ]
+    scratch += [
         pltpu.VMEM((hpp, cap), jnp.float32),        # ksc slice
         pltpu.VMEM((hpp, cap), jnp.float32),        # vsc slice
         pltpu.VMEM((hpp, imp_cols), jnp.float32),   # imp slice
@@ -1002,7 +1019,10 @@ def fused_decode_attention(
         pltpu.VMEM((vs, fblk, slab), jnp.int8),    # v slots
         pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
         pltpu.SemaphoreType.DMA((4,)),
-        pltpu.SemaphoreType.DMA((ps, ngate)),
+    ]
+    if quant_on:
+        scratch.append(pltpu.SemaphoreType.DMA((ps, ngate)))  # kmsb
+    scratch += [
         pltpu.SemaphoreType.DMA((ts, ngate)),
         pltpu.SemaphoreType.DMA((vs,)),
         pltpu.SemaphoreType.DMA((6,)),
@@ -1029,10 +1049,18 @@ def fused_decode_attention(
         k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         v_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         k_quant.scale, v_quant.scale, hm, imp_in,
-        k_quant.msb, k_quant.full, v_quant.msb, v_quant.full,
+        *((k_quant.msb, k_quant.full, v_quant.msb, v_quant.full)
+          if quant_on else (k_quant.full, v_quant.full)),
     )
-    (out, maxp, need, imp, kscale2, vscale2,
-     kmsb2, kfull2, vmsb2, vfull2) = outs
+    if quant_on:
+        (out, maxp, need, imp, kscale2, vscale2,
+         kmsb2, kfull2, vmsb2, vfull2) = outs
+    else:
+        (out, maxp, need, imp, kscale2, vscale2, kfull2, vfull2) = outs
+        # a dense call never touches nibble planes; pass any the caller
+        # holds through untouched (pytree structure must match the input
+        # when the planes ride a scan carry)
+        kmsb2, vmsb2 = k_quant.msb, v_quant.msb
 
     k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2, scale=kscale2)
     v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2, scale=vscale2)

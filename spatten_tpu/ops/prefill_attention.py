@@ -60,6 +60,8 @@ def prefill_attention(
     importance_kind: str = "prob",
     use_rope: bool = True,
     block_size: int = 512,
+    pass1_bits: Optional[jax.Array] = None,   # traced scalar 4/6/8 — this
+                                   # layer's QuantProfile (policy-as-data)
 ) -> Tuple[jax.Array, AttentionStats]:
     """Streaming-blocks equivalent of `spatten_attention_reference`."""
     b, hq, s, d = q.shape
@@ -90,15 +92,20 @@ def prefill_attention(
             jnp.broadcast_to(head_mask[None], (b, hq))
 
     half_blocks = max(1, nblk // 2)
+    quarter_blocks = max(1, nblk // 4)
+    p1_idx = None
+    if quant_enabled and pass1_bits is not None:
+        p1_idx = jnp.clip((jnp.asarray(pass1_bits, jnp.int32) - 4) // 2,
+                          0, 2)
 
     def _head_major(fused):
         """Token-major block [B, blk, Hkv*D] -> [B, Hkv, blk, D]."""
         blk = fused.shape[1]
         return fused.reshape(b, blk, hkv, d).transpose(0, 2, 1, 3)
 
-    def k_block(i, plane):
-        """Dequantized (+rotated) K block [B, Hkv, blk, D]."""
-        if quant_enabled and plane == "msb" and nblk >= 2:
+    def _msb_values(i):
+        """Signed 4-bit values of token block i, as f32 [B, blk, Hkv*D]."""
+        if nblk >= 2:
             # split-token packing: token block i < nblk/2 is the hi nibble
             # of packed block i, else the lo nibble of block i - nblk/2 —
             # only one packed block is ever sliced (0.5 B/elem moved)
@@ -107,12 +114,36 @@ def prefill_attention(
                 axis=1).astype(jnp.int32)
             is_hi = i < half_blocks
             nib = jnp.where(is_hi, pk >> 4, pk & 0xF)
-            kb = (((nib ^ 8) - 8).astype(jnp.float32)
-                  * 16.0 + qz.MSB_MIDPOINT)
+            return ((nib ^ 8) - 8).astype(jnp.float32)
+        return _block(qz.unpack_msb(k_quant.msb), i, block_size, 1
+                      ).astype(jnp.float32)           # tiny caps only
+
+    def _lsb2_values(i):
+        """Unsigned 2-bit values of token block i, f32 [B, blk, Hkv*D]."""
+        if nblk >= 4:
+            pk2 = jax.lax.dynamic_slice_in_dim(
+                k_quant.lsb2, (i % quarter_blocks) * block_size,
+                block_size, axis=1).astype(jnp.int32)
+            shift = 6 - 2 * (i // quarter_blocks)
+            return ((pk2 >> shift) & 0x3).astype(jnp.float32)
+        return _block(qz.unpack_lsb2(k_quant.lsb2), i, block_size, 1
+                      ).astype(jnp.float32)
+
+    def k_block(i, plane):
+        """Dequantized (+rotated) K block [B, Hkv, blk, D]."""
+        if quant_enabled and plane == "msb" and p1_idx is not None:
+            # per-layer profile: runtime plane-set selection
+            deq6 = ((lambda: _msb_values(i) * 16.0 + _lsb2_values(i) * 4.0
+                     + qz.MIDPOINT6) if k_quant.lsb2 is not None
+                    else lambda: _msb_values(i) * 16.0 + qz.MSB_MIDPOINT)
+            kb = jax.lax.switch(p1_idx, [
+                lambda: _msb_values(i) * 16.0 + qz.MSB_MIDPOINT,
+                deq6,
+                lambda: _block(k_quant.full, i, block_size, 1
+                               ).astype(jnp.float32),
+            ])
         elif quant_enabled and plane == "msb":
-            kb4 = qz.unpack_msb(k_quant.msb)          # tiny caps only
-            kb = _block(kb4, i, block_size, 1).astype(jnp.float32)
-            kb = kb * 16.0 + qz.MSB_MIDPOINT
+            kb = _msb_values(i) * 16.0 + qz.MSB_MIDPOINT
         else:
             kb = _block(k_quant.full, i, block_size, 1).astype(jnp.float32)
         kb = _head_major(kb)                          # [B, Hkv, blk, D]
@@ -225,6 +256,9 @@ def prefill_attention(
     max_prob = _group_reduce(maxp1_raw, hkv, lambda x, a: x.max(axis=a))
     if do_requant:
         need = max_prob < requant_threshold            # [B, Hkv]
+        if pass1_bits is not None:
+            # an 8-bit pass-1 already read the full plane
+            need = need & (jnp.asarray(pass1_bits, jnp.int32) < 8)
         m2, den2 = stats_pass("full")
         maxp2, imp2, mass2 = reduce_pass("full", m2, den2)
         sel_q = _repeat_kv(need[..., None], group)     # [B, Hq, 1]

@@ -31,7 +31,7 @@ token-major planes directly.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,19 +41,34 @@ import jax.numpy as jnp
 # bias (the RTL instead left-aligns MSBs into its 12-bit fixed point,
 # MatrixFetcher.scala:352-358 — same idea, different number system).
 MSB_MIDPOINT = 7.5
+# Same for a 6-bit pass-1 value: int8 in [k6*4, k6*4 + 3].
+MIDPOINT6 = 1.5
 
 
 class QuantizedKV(NamedTuple):
-    """A quantized K or V tensor with both planes (token-major).
+    """A quantized K or V tensor with its bit-sliced planes (token-major).
 
     full:  int8  [..., T, H*D]
-    msb:   uint8 [..., T//2, H*D]   packed nibble plane
+    msb:   uint8 [..., T//2, H*D]   packed nibble plane, or None when
+                                    progressive quantization is off (a
+                                    dense engine never reads MSBs, so it
+                                    never pays their HBM footprint)
     scale: f32   [..., H, T]        per-(token, head) scale
+    lsb2:  uint8 [..., T//4, H*D]   packed 2-bit plane (bits 3:2 of the
+                                    int8), or None.  Present only when a
+                                    6-bit pass-1 profile is in use:
+                                    k6 == (msb << 2) | lsb2 == full >> 2,
+                                    so a 6-bit fetch moves 0.75 B/elem.
+                                    The RTL's 6-bit profile packs two
+                                    fused matrices instead
+                                    (MatrixFetcher.scala:48-51) — same
+                                    bandwidth, different packing.
     """
 
     full: jax.Array
-    msb: jax.Array
+    msb: Optional[jax.Array]
     scale: jax.Array
+    lsb2: Optional[jax.Array] = None
 
     @property
     def tokens(self) -> int:
@@ -93,6 +108,29 @@ def unpack_msb(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([hi, lo], axis=-2).astype(jnp.int8)
 
 
+def pack_lsb2(q8: jax.Array) -> jax.Array:
+    """Pack the 2-bit field (bits 3:2) of int8 [..., T, F] into uint8
+    [..., T//4, F] — four tokens per byte, split-token quarters: packed
+    row ``t`` holds token ``t + q*T//4`` in bits ``[7-2q : 6-2q]``."""
+    t = q8.shape[-2]
+    assert t % 4 == 0, "token dim must be a multiple of 4 for 2-bit packing"
+    quarter = t // 4
+    f2 = (q8.astype(jnp.int32) >> 2) & 0x3
+    out = jnp.zeros(q8.shape[:-2] + (quarter,) + q8.shape[-1:], jnp.int32)
+    for qi in range(4):
+        out = out | (f2[..., qi * quarter:(qi + 1) * quarter, :]
+                     << (6 - 2 * qi))
+    return out.astype(jnp.uint8)
+
+
+def unpack_lsb2(packed: jax.Array) -> jax.Array:
+    """Unpack uint8 [..., T//4, F] to the unsigned 2-bit values
+    (in [0, 3]) as int8 [..., T, F]."""
+    p = packed.astype(jnp.int32)
+    parts = [((p >> (6 - 2 * qi)) & 0x3) for qi in range(4)]
+    return jnp.concatenate(parts, axis=-2).astype(jnp.int8)
+
+
 def _to_token_major(x_hm: jax.Array) -> jax.Array:
     """[..., H, T, D] -> [..., T, H*D]."""
     h, t, d = x_hm.shape[-3:]
@@ -108,7 +146,8 @@ def _to_head_major(fused: jax.Array, heads: int) -> jax.Array:
     return jnp.moveaxis(split, -2, -3)                 # [..., H, T, D]
 
 
-def quantize(x: jax.Array) -> QuantizedKV:
+def quantize(x: jax.Array, with_msb: bool = True, with_lsb2: bool = False
+             ) -> QuantizedKV:
     """Symmetric int8 quantization of head-major input [..., H, T, D]."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)   # [..., H, T]
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
@@ -116,7 +155,10 @@ def quantize(x: jax.Array) -> QuantizedKV:
         jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
     ).astype(jnp.int8)
     fused = _to_token_major(q8)
-    return QuantizedKV(full=fused, msb=pack_msb(fused), scale=scale)
+    return QuantizedKV(full=fused,
+                       msb=pack_msb(fused) if with_msb else None,
+                       scale=scale,
+                       lsb2=pack_lsb2(fused) if with_lsb2 else None)
 
 
 def dequantize_full(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
@@ -132,6 +174,29 @@ def dequantize_msb(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
     """
     v4 = _to_head_major(unpack_msb(q.msb), q.heads).astype(jnp.float32)
     return ((v4 * 16.0 + MSB_MIDPOINT) * q.scale[..., None]).astype(dtype)
+
+
+def dequantize_6bit(q: QuantizedKV, dtype=jnp.float32) -> jax.Array:
+    """Dequantize the 6-bit value k6 = (msb << 2) | lsb2 == full >> 2
+    (pass-1 at a 6-bit profile; 0.75 B/elem moved).
+
+    -> head-major [..., H, T, D].
+    """
+    assert q.lsb2 is not None, "6-bit profile requires the lsb2 plane"
+    v4 = _to_head_major(unpack_msb(q.msb), q.heads).astype(jnp.float32)
+    l2 = _to_head_major(unpack_lsb2(q.lsb2), q.heads).astype(jnp.float32)
+    v6 = v4 * 4.0 + l2
+    return ((v6 * 4.0 + MIDPOINT6) * q.scale[..., None]).astype(dtype)
+
+
+def pass1_reference_values(q8: jax.Array, bits: int) -> jax.Array:
+    """int8 -> the float a `bits`-wide pass-1 sees (tests, no packing)."""
+    if bits >= 8:
+        return q8.astype(jnp.float32)
+    if bits == 6:
+        return (q8.astype(jnp.int32) >> 2).astype(jnp.float32) * 4.0 \
+            + MIDPOINT6
+    return msb_reference_values(q8)
 
 
 def msb_reference_values(q8: jax.Array) -> jax.Array:
@@ -160,6 +225,8 @@ def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
 
     full = _dus(q.full, fused_row[..., None, :], index, axis=-2)
     scale = _dus(q.scale, scale_new[..., None], index, axis=-1)
+    if q.msb is None:
+        return QuantizedKV(full=full, msb=None, scale=scale, lsb2=q.lsb2)
 
     half = t // 2
     row = index % half
@@ -173,7 +240,21 @@ def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
         (old & jnp.uint8(0xF0)) | nib,
     )
     msb = _dus(q.msb, new_byte[..., None, :], row, axis=-2)
-    return QuantizedKV(full=full, msb=msb, scale=scale)
+
+    lsb2 = q.lsb2
+    if lsb2 is not None:
+        quarter = t // 4
+        qrow = index % quarter
+        qi = index // quarter                  # which 2-bit lane pair
+        old2 = jax.lax.dynamic_index_in_dim(
+            lsb2, qrow, axis=lsb2.ndim - 2, keepdims=False).astype(jnp.int32)
+        f2 = (fused_row.astype(jnp.int32) >> 2) & 0x3
+        shift = (6 - 2 * qi).astype(jnp.int32)
+        mask = jnp.int32(0x3) << shift
+        new2 = (old2 & ~mask) | (f2 << shift)
+        lsb2 = _dus(lsb2, new2.astype(jnp.uint8)[..., None, :], qrow,
+                    axis=-2)
+    return QuantizedKV(full=full, msb=msb, scale=scale, lsb2=lsb2)
 
 
 def gather_tokens(q: QuantizedKV, indices: jax.Array) -> QuantizedKV:
@@ -190,7 +271,11 @@ def gather_tokens(q: QuantizedKV, indices: jax.Array) -> QuantizedKV:
     full_g = jnp.take_along_axis(full_hm, indices[..., None], axis=-2)
     scale = jnp.take_along_axis(q.scale, indices, axis=-1)
     fused = _to_token_major(full_g)
-    return QuantizedKV(full=fused, msb=pack_msb(fused), scale=scale)
+    return QuantizedKV(
+        full=fused,
+        msb=pack_msb(fused) if q.msb is not None else None,
+        scale=scale,
+        lsb2=pack_lsb2(fused) if q.lsb2 is not None else None)
 
 
 def rotate_rows_by_delta(q: QuantizedKV, delta: jax.Array, cos: jax.Array,
@@ -211,7 +296,8 @@ def rotate_rows_by_delta(q: QuantizedKV, delta: jax.Array, cos: jax.Array,
     s = -jnp.take(sin, mag, axis=0)
     half = x.shape[-1] // 2
     rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
-    return quantize(x * c + rot * s)
+    return quantize(x * c + rot * s, with_msb=q.msb is not None,
+                    with_lsb2=q.lsb2 is not None)
 
 
 def _dus(arr: jax.Array, update: jax.Array, index: jax.Array, axis: int

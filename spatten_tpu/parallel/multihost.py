@@ -43,12 +43,17 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def health_check(timeout_s: float = 60.0) -> bool:
-    """All-device heartbeat: returns True if every device participated.
+    """All-device heartbeat: returns True if every device participated
+    within `timeout_s` seconds.
 
     Runs a psum of ones over all devices via pmap-free jit on a 1-element
-    per-device array; a missing/hung host turns into a collective timeout
-    (raised by the runtime), which callers catch to trigger recovery.
+    per-device array.  The collective runs in a worker thread joined with
+    the timeout: a missing/hung host either raises inside the runtime or
+    never completes — both report False so the caller can trigger
+    recovery (restart from checkpoint, engine/checkpoint.py).
     """
+    import threading
+
     n = jax.device_count()
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     mesh = Mesh(np.asarray(jax.devices()).reshape(n), ("all",))
@@ -56,9 +61,21 @@ def health_check(timeout_s: float = 60.0) -> bool:
         (n,), NamedSharding(mesh, P("all")),
         lambda idx: np.ones((1,), np.float32))
 
-    summed = jax.jit(
-        jax.shard_map(lambda v: jax.lax.psum(v, "all"), mesh=mesh,
-                      in_specs=P("all"), out_specs=P("all"),
-                      check_vma=False)
-    )(x)
-    return float(np.asarray(jax.device_get(summed))[0]) == float(n)
+    result: list = []
+
+    def run():
+        try:
+            summed = jax.jit(
+                jax.shard_map(lambda v: jax.lax.psum(v, "all"), mesh=mesh,
+                              in_specs=P("all"), out_specs=P("all"),
+                              check_vma=False)
+            )(x)
+            result.append(
+                float(np.asarray(jax.device_get(summed))[0]) == float(n))
+        except Exception:                     # collective/runtime failure
+            result.append(False)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(result and result[0])

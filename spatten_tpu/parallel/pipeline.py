@@ -68,6 +68,7 @@ def pipeline_state_pspecs(state: DecodeState) -> DecodeState:
         layer_lengths=P("pipe", None),
         head_mask=P("pipe", None),
         requant_events=P(),
+        quant_bits=P("pipe"),      # [L] layer axis rides the stage shard
     )
 
 
@@ -157,11 +158,10 @@ class PipelineEngine:
         global_req = jax.lax.psum(requants.sum(), "pipe")
 
         s = tokens.shape[1]
-        new_state = DecodeState(
+        new_state = state._replace(
             cache=cache, importance=imp,
             lengths=state.lengths + s,
             layer_lengths=layer_lengths,
-            head_mask=state.head_mask,
             requant_events=state.requant_events + global_req,
         )
         return logits, new_state

@@ -100,6 +100,7 @@ def state_pspecs(state: DecodeState) -> DecodeState:
         layer_lengths=P(None, "data"),
         head_mask=P(None, "model"),
         requant_events=P(),
+        quant_bits=P(),            # per-layer policy array, replicated
     )
 
 

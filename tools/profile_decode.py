@@ -1,235 +1,235 @@
-"""Bisect the decode-step cost on real TPU.
+#!/usr/bin/env python
+"""Capture a jax.profiler trace + timed phase breakdown of one decode step.
 
-Times, per configuration, a scanned window of decode steps (exactly like
-bench.py) and reports ms/step for:
+Usage:  python tools/profile_decode.py [spatten|dense] [cache] [batch]
 
-  * full spatten engine / full dense engine (the bench points)
-  * non-attention skeleton (projections + MLP + lm_head only)
-  * kernel-only (a scan of fused_decode_attention calls with bench shapes)
-  * dense length sweep (cache length 512..3686) -> slope vs intercept
-
-Run: python tools/profile_decode.py [--quick]
+Produces:
+* a phase-bisection table on stderr (each phase timed by running a jitted
+  window with later phases disabled — subtraction gives the marginal cost);
+* optionally a profiler trace under /tmp/spatten_trace (inspect with
+  tensorboard or xprof) when SPATTEN_PROFILE_TRACE=1.
 """
 
 from __future__ import annotations
 
-import argparse
 import functools
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
-import bench  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/spatten_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-log = bench.log
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
-def time_window(fn, carry, steps):
-    """fn(carry) -> carry; carry is donated, so rebind between calls."""
-    t0 = time.perf_counter()
-    carry = fn(carry)
-    jax.device_get(jax.tree.leaves(carry)[-1])
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    carry = fn(carry)
-    jax.device_get(jax.tree.leaves(carry)[-1])
-    dt = time.perf_counter() - t0
-    return dt / steps * 1e3, compile_s
-
-
-def measure_full(cfg, params, steps):
+def timed_window(cfg, params, steps=64, repeats=3, **forward_overrides):
+    import bench
+    from spatten_tpu.engine import generate as gen
     from spatten_tpu.engine.state import init_state
     from spatten_tpu.models import transformer
+    from spatten_tpu.ops import rope as rope_ops
 
     b = cfg.engine.max_batch_size
-    state = init_state(cfg, batch=b)
-    state = bench.warm_state(cfg, state)
+    state = bench.warm_cache_content(cfg, bench.warm_state(
+        cfg, init_state(cfg, batch=b)))
     token = jnp.zeros((b,), jnp.int32)
+    tables = rope_ops.rope_table(cfg.engine.cache_capacity,
+                                 cfg.model.head_dim, cfg.model.rope_theta)
 
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
     def window(params, carry, n):
+        state, token = carry
+
         def body(carry, _):
             state, token = carry
             logits, state, _ = transformer.forward(
-                params, cfg, state, token[:, None])
+                params, cfg, state, token[:, None], rope_tables=tables)
             token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (state, token), ()
-        carry, _ = jax.lax.scan(body, carry, None, length=n)
+        carry, _ = jax.lax.scan(body, (state, token), None, length=n)
         return carry
 
-    return time_window(lambda c: window(params, c, steps), (state, token),
-                       steps=steps)
+    carry = window(params, (state, token), steps)
+    jax.device_get(carry[1])
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        carry = window(params, carry, steps)
+        jax.device_get(carry[1])
+        best = min(best, time.perf_counter() - t0)
+    del carry
+    return best / steps * 1e3          # ms/step
 
 
-def measure_skeleton(cfg, params, steps):
-    """Forward pass with the attention core replaced by zeros: measures
-    projections + MLP + norms + lm_head (weight streaming cost)."""
-    from spatten_tpu.models import transformer
-    from spatten_tpu.models.weight_quant import matmul as _mm
-
-    m = cfg.model
-    b = cfg.engine.max_batch_size
-    token = jnp.zeros((b,), jnp.int32)
-
-    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
-    def window(params, token, n):
-        def body(token, _):
-            x = jnp.take(params["embed"]["qw"], token, axis=0
-                         ).astype(jnp.bfloat16)[:, None]
-
-            def layer_fn(x, lp):
-                h = transformer._norm(x, lp["attn_norm_w"], None,
-                                      m.layernorm_kind, m.norm_eps)
-                qh = _mm(h, lp["wq"])
-                kh = _mm(h, lp["wk"])
-                vh = _mm(h, lp["wv"])
-                o = (qh * 0 + kh.sum() * 0 + vh.sum() * 0)
-                x = x + _mm(o, lp["wo"])
-                h2 = transformer._norm(x, lp["mlp_norm_w"], None,
-                                       m.layernorm_kind, m.norm_eps)
-                x = x + transformer._mlp(h2, lp, m.activation)
-                return x, ()
-            x, _ = jax.lax.scan(layer_fn, x, params["layers"])
-            logits = transformer.lm_head(params, cfg, x)
-            token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            return token, ()
-        token, _ = jax.lax.scan(body, token, None, length=n)
-        return token
-
-    return time_window(lambda t: window(params, t, steps), token,
-                       steps=steps)
-
-
-def measure_kernel_only(cfg, steps, *, spatten: bool):
-    """A scan of L fused kernel calls per step (bench shapes), nothing
-    else: isolates the attention kernel cost."""
-    from spatten_tpu.engine.kv_cache import init_stacked_cache
+def timed_kernel_only(cfg, steps=64, repeats=3):
+    """Time ONLY the fused decode kernel: a [steps x layers] scan of
+    fused_decode_attention over warm stacked planes — no projections, no
+    MLP, no lm_head.  Isolates kernel cost from the model around it."""
+    import bench
+    from spatten_tpu.engine.state import init_state
     from spatten_tpu.ops.fused_decode import fused_decode_attention
-    from spatten_tpu.pruning import token_pruning
 
-    m, p, q, e = cfg.model, cfg.pruning, cfg.quant, cfg.engine
-    b, cap = e.max_batch_size, e.cache_capacity
+    m, e, p, q = cfg.model, cfg.engine, cfg.pruning, cfg.quant
+    b = e.max_batch_size
+    state = bench.warm_cache_content(cfg, bench.warm_state(
+        cfg, init_state(cfg, batch=b)))
     hq, hkv, dh = m.num_heads, m.num_kv_heads, m.head_dim
-    L = m.num_layers
-    key = jax.random.PRNGKey(0)
-
-    stacked = init_stacked_cache(L, b, hkv, cap, dh)
-    caches = (stacked.k, stacked.v)
-    if spatten and p.enable_token_pruning:
-        budgets = token_pruning.layer_budgets(p, L)
-        per_layer = p.start_size + budgets + p.recent_size
-    else:
-        per_layer = jnp.full((L,), int(cap * 0.9), jnp.int32)
-    lengths = jnp.broadcast_to(per_layer[:, None], (L, b)).astype(jnp.int32)
-    imp = jnp.zeros((L, b, hkv, cap), jnp.float32)
-    qv = jax.random.normal(key, (L, b, hq, 1, dh), jnp.float32)
-    knew = jax.random.normal(key, (L, b, hkv, 1, dh), jnp.float32)
-
+    cap = e.cache_capacity
     v_keep = 0
-    if spatten and p.enable_v_pruning:
+    if p.enable_v_pruning:
         key_budget = p.cache_size if p.enable_token_pruning else cap
         v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
 
-    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
-    def window(carry, lengths, qv, n):
-        def body(carry, _):
-            caches, imp = carry
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def window(carry, n):
+        def step(carry, _):
+            k_all, v_all, imp_all, layer_lengths = carry
 
-            def layer_fn(_, scanned):
-                (kq, vq), len_l, imp_l, q_l, kn = scanned
-                out, stats, k2, v2 = fused_decode_attention(
-                    q_l, kq, vq, kn, kn, len_l + 1,
+            def layer_fn(inner, layer_idx):
+                k_all, v_all, imp_all = inner
+                lengths_l = layer_lengths[layer_idx]
+                qh = jnp.ones((b, hq, 1, dh), jnp.float32)
+                kh = jnp.ones((b, hkv, 1, dh), jnp.float32)
+                out, stats, k_all, v_all = fused_decode_attention(
+                    qh, k_all, v_all, kh, kh, lengths_l + 1,
                     sm_scale=0.088,
-                    requant_threshold=(q.requant_threshold if spatten
-                                       and q.enable_requant else 0.0),
-                    quant_enabled=spatten and q.enabled,
+                    quant_enabled=q.enabled,
+                    requant_threshold=(q.requant_threshold if
+                                       (q.enabled and q.enable_requant)
+                                       else 0.0),
                     v_keep=v_keep, v_block_size=p.v_block_size,
-                    importance_in=imp_l if spatten else None,
+                    importance_in=imp_all,
+                    layer=layer_idx,
                     quantize_queries=q.quantize_queries,
-                    track_importance=spatten,
                 )
-                return 0.0, ((k2, v2), stats.importance_delta
-                             if spatten else imp_l, out.sum())
-            _, (caches, imp, outs) = jax.lax.scan(
-                layer_fn, 0.0, (caches, lengths, imp, qv, knew))
-            return (caches, imp), outs.sum()
-        carry, outs = jax.lax.scan(body, carry, None, length=n)
-        return carry[0], carry[1], outs.sum()
+                return (k_all, v_all, stats.importance_delta), out.sum()
 
-    def run(carry):
-        caches, imp = carry[0], carry[1]
-        c2, i2, o = window((caches, imp), lengths, qv, steps)
-        return (c2, i2, o)
+            (k_all, v_all, imp_all), outs = jax.lax.scan(
+                layer_fn, (k_all, v_all, imp_all),
+                jnp.arange(m.num_layers))
+            return (k_all, v_all, imp_all, layer_lengths), outs.sum()
 
-    return time_window(run, (caches, imp, jnp.zeros(())), steps=steps)
+        carry, sums = jax.lax.scan(step, carry, None, length=n)
+        return carry, sums.sum()
+
+    carry = (state.cache.k, state.cache.v, state.importance,
+             state.layer_lengths)
+    carry, s = window(carry, steps)
+    jax.device_get(s)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        carry, s = window(carry, steps)
+        jax.device_get(s)
+        best = min(best, time.perf_counter() - t0)
+    return best / steps * 1e3
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=16)
-    ap.add_argument("--cache", type=int, default=4096)
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--sweep", action="store_true")
-    args = ap.parse_args()
+    import dataclasses
 
-    cfg_sp = bench.build_cfg(True, args.cache, args.batch)
-    cfg_dn = bench.build_cfg(False, args.cache, args.batch)
+    import bench
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "spatten"
+    cache = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 64))
 
     from spatten_tpu.models import transformer
     from spatten_tpu.models.weight_quant import quantize_params
-    params = transformer.init_params(cfg_sp.model, jax.random.PRNGKey(0))
+    params = transformer.init_params(bench.shard_model_cfg(),
+                                     jax.random.PRNGKey(0))
     params = jax.device_put(jax.device_get(quantize_params(params)))
 
-    results = {}
+    cfg = bench.build_cfg(mode == "spatten", cache, batch)
+    if mode == "spatten":
+        thr = bench.calibrate_requant(cfg, params)
+        cfg = dataclasses.replace(
+            cfg, quant=dataclasses.replace(cfg.quant,
+                                           requant_threshold=thr))
 
-    ms, cs = measure_full(cfg_dn, params, args.steps)
-    results["full_dense"] = ms
-    log(f"full dense: {ms:.2f} ms/step (compile {cs:.1f}s)")
+    # --- ablation ladder: each row disables one more stage -------------
+    rows = []
 
-    ms, cs = measure_full(cfg_sp, params, args.steps)
-    results["full_spatten"] = ms
-    log(f"full spatten: {ms:.2f} ms/step (compile {cs:.1f}s)")
+    def point(name, c):
+        ms = timed_window(c, params, steps)
+        rows.append((name, ms))
+        log(f"{name:40s} {ms:8.3f} ms/step")
 
-    ms, cs = measure_skeleton(cfg_dn, params, args.steps)
-    results["skeleton"] = ms
-    log(f"skeleton (no attention): {ms:.2f} ms/step (compile {cs:.1f}s)")
+    if mode in ("kernel", "kernel-dense"):
+        cfg = bench.build_cfg(mode == "kernel", cache, batch)
+        if mode == "kernel":
+            thr = bench.calibrate_requant(cfg, params)
+            cfg = dataclasses.replace(
+                cfg, quant=dataclasses.replace(cfg.quant,
+                                               requant_threshold=thr))
+        ms = timed_kernel_only(cfg, steps)
+        print(f"kernel-only ({mode}): {ms:.3f} ms/step")
+        return
 
-    ms, cs = measure_kernel_only(cfg_dn, args.steps, spatten=False)
-    results["kernel_dense"] = ms
-    log(f"kernel-only dense: {ms:.2f} ms/step (compile {cs:.1f}s)")
+    point(f"{mode} full", cfg)
+    if mode == "spatten":
+        p, q = cfg.pruning, cfg.quant
+        c = dataclasses.replace(cfg, quant=dataclasses.replace(
+            q, requant_threshold=0.0, enable_requant=False))
+        point("- requant (threshold=0)", c)
+        c2 = dataclasses.replace(c, pruning=dataclasses.replace(
+            p, enable_v_pruning=False))
+        point("- requant - vprune", c2)
+        c3 = dataclasses.replace(c2, pruning=dataclasses.replace(
+            c2.pruning, enable_head_pruning=False, head_keep=0,
+            head_update_interval=0))
+        point("- requant - vprune - headprune", c3)
+        c4 = dataclasses.replace(c3, pruning=dataclasses.replace(
+            c3.pruning, enable_token_pruning=False))
+        # token pruning off => steady lengths = 0.9 cap (dense lengths)
+        point("- all pruning (quant only, full len)", c4)
 
-    ms, cs = measure_kernel_only(cfg_sp, args.steps, spatten=True)
-    results["kernel_spatten"] = ms
-    log(f"kernel-only spatten: {ms:.2f} ms/step (compile {cs:.1f}s)")
+    if os.environ.get("SPATTEN_PROFILE_TRACE"):
+        log("capturing profiler trace to /tmp/spatten_trace ...")
+        from spatten_tpu.engine.state import init_state
+        b = cfg.engine.max_batch_size
+        state = bench.warm_cache_content(cfg, bench.warm_state(
+            cfg, init_state(cfg, batch=b)))
+        token = jnp.zeros((b,), jnp.int32)
+        from spatten_tpu.ops import rope as rope_ops
+        tables = rope_ops.rope_table(cfg.engine.cache_capacity,
+                                     cfg.model.head_dim,
+                                     cfg.model.rope_theta)
 
-    if args.sweep:
-        import dataclasses
-        for warm in (512, 1024, 2048, 3686):
-            cfg = dataclasses.replace(cfg_dn)
-            orig = bench.warm_state
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def window(params, carry, n):
+            state, token = carry
 
-            def warm_state(cfg_, state, _w=warm):
-                import jax.numpy as jnp
-                b = state.lengths.shape[0]
-                L = cfg_.model.num_layers
-                return state._replace(
-                    lengths=jnp.full((b,), _w, jnp.int32),
-                    layer_lengths=jnp.full((L, b), _w, jnp.int32))
-            bench.warm_state = warm_state
-            try:
-                ms, _ = measure_full(cfg, params, args.steps)
-                log(f"dense len={warm}: {ms:.2f} ms/step")
-                results[f"dense_len_{warm}"] = ms
-            finally:
-                bench.warm_state = orig
+            def body(carry, _):
+                state, token = carry
+                logits, state, _ = transformer.forward(
+                    params, cfg, state, token[:, None], rope_tables=tables)
+                token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (state, token), ()
+            return jax.lax.scan(body, (state, token), None, length=n)[0]
 
-    print(results)
+        from spatten_tpu.models import transformer
+        carry = window(params, (state, token), 8)
+        jax.device_get(carry[1])
+        with jax.profiler.trace("/tmp/spatten_trace"):
+            carry = window(params, carry, 8)
+            jax.device_get(carry[1])
+
+    print("phase ladder (ms/step):")
+    prev = None
+    for name, ms in rows:
+        delta = "" if prev is None else f"   (marginal {prev - ms:+.3f})"
+        print(f"  {name:42s} {ms:8.3f}{delta}")
+        prev = ms
 
 
 if __name__ == "__main__":
