@@ -174,7 +174,7 @@ def warm_cache_content(cfg, state):
         vscale = jnp.full((L, bsz, m.num_kv_heads, cap), 1.0 / 127,
                           jnp.float32)
         k = qz.QuantizedKV(full=full, msb=msb, scale=kscale)
-        v = qz.QuantizedKV(full=full, msb=msb, scale=vscale)
+        v = qz.QuantizedKV(full=full, msb=None, scale=vscale)
         return kvc.LayerKVCache(k=k, v=v)
 
     return state._replace(cache=fill(state.cache, state.layer_lengths))

@@ -43,8 +43,10 @@ def restore(path: str) -> Tuple[Any, Optional[DecodeState]]:
         from spatten_tpu.ops.quantize import QuantizedKV
 
         def as_kv(x):
-            return LayerKVCache(k=QuantizedKV(**x["k"]),
-                                v=QuantizedKV(**x["v"]))
+            def kv(t):
+                return QuantizedKV(full=t["full"], msb=t.get("msb"),
+                                   scale=t["scale"], lsb2=t.get("lsb2"))
+            return LayerKVCache(k=kv(x["k"]), v=kv(x["v"]))
         cache = d["cache"]
         if not isinstance(cache, LayerKVCache):
             cache = as_kv(cache)

@@ -40,18 +40,23 @@ class LayerKVCache(NamedTuple):
 def init_layer_cache(batch: int, kv_heads: int, capacity: int,
                      head_dim: int, with_msb: bool = True,
                      with_lsb2: bool = False) -> LayerKVCache:
-    def zeros() -> qz.QuantizedKV:
+    """K carries the progressive-quantization planes (4-bit msb and,
+    under a 6-bit profile, the 2-bit lsb2); V carries only the full int8
+    plane — the P·V pass reads full precision (value_bits=8 policy), so
+    a V nibble plane would be pure storage + append-RMW overhead."""
+    def zeros(msb: bool, lsb2: bool) -> qz.QuantizedKV:
         return qz.QuantizedKV(
             full=jnp.zeros((batch, capacity, kv_heads * head_dim),
                            jnp.int8),
             msb=jnp.zeros((batch, capacity // 2, kv_heads * head_dim),
-                          jnp.uint8) if with_msb else None,
+                          jnp.uint8) if msb else None,
             scale=jnp.ones((batch, kv_heads, capacity), jnp.float32),
             lsb2=jnp.zeros((batch, capacity // 4, kv_heads * head_dim),
-                           jnp.uint8) if with_lsb2 else None,
+                           jnp.uint8) if lsb2 else None,
         )
 
-    return LayerKVCache(k=zeros(), v=zeros())
+    return LayerKVCache(k=zeros(with_msb, with_lsb2),
+                        v=zeros(False, False))
 
 
 def init_stacked_cache(num_layers: int, batch: int, kv_heads: int,

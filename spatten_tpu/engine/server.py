@@ -3,10 +3,17 @@
 The TPU analog of the reference's BufferManager ring allocator
 (BufferManager.scala:33-187 — alloc at tail, out-of-order release,
 recycle): the decode state's batch dimension is an arena of `max_batch_size`
-slots.  Requests are admitted into free slots (prefilled in a private
-batch-1 state, then scattered in with `write_slot`), decode steps advance
-every occupied slot in lockstep (one jitted program, static shapes), and
-finished slots are released out-of-order and recycled.
+slots.  Requests are admitted into free slots, decode steps advance every
+occupied slot in lockstep (one jitted program, static shapes), and finished
+slots are released out-of-order and recycled.
+
+Admission is **overlapped**: a new request's prompt prefills one chunk per
+scheduler step, interleaved with the arena's decode steps, so a long
+prompt never stalls running decodes — the per-step decode latency is
+bounded by one prefill chunk (the chunked-prefill co-scheduling that
+continuous batching exists for; the reference's BufferManager likewise
+overlaps new-buffer fills with in-flight compute, BufferManager.scala:96-184).
+When nothing is decoding, all pending chunks run back-to-back.
 
 All XLA programs involved are the same two compiled steps the plain
 `generate` path uses — admission and release are host-side bookkeeping
@@ -39,6 +46,17 @@ class Request:
     done: bool = False
 
 
+@dataclass
+class _Admission:
+    """A request whose prompt is being prefilled, one chunk per step."""
+
+    req: Request
+    slot: int                          # reserved arena slot
+    sub: DecodeState                   # private batch-1 state
+    pos: int = 0
+    last_logits: Optional[jax.Array] = None
+
+
 class SpAttenServer:
     """Host-side scheduler over the jitted prefill/decode steps."""
 
@@ -52,6 +70,7 @@ class SpAttenServer:
         self.state = init_state(cfg, batch=self.batch)
         self.free_slots = list(range(self.batch))
         self.active: Dict[int, Request] = {}     # slot -> request
+        self.admitting: List[_Admission] = []    # slot reserved, prefilling
         self.pending: List[Request] = []
         self.finished: List[Request] = []
         self._ids = itertools.count()
@@ -68,10 +87,17 @@ class SpAttenServer:
         return req.request_id
 
     def step(self) -> List[Request]:
-        """Admit what fits, run one decode step, release finished.
+        """One scheduler tick: start admissions, advance each in-flight
+        prefill by ONE chunk, run one arena decode step over the active
+        slots, release finished.  Returns requests completed this tick.
 
-        Returns requests completed during this step."""
-        self._admit()
+        Decode never waits for a whole prompt: a long admission costs each
+        tick one chunk of prefill alongside the decode step.  With no
+        active decodes the tick still advances admissions, so pure-prefill
+        phases make full progress."""
+        self._start_admissions()
+        self._advance_admissions()
+
         if not self.active:
             return self._drain_finished()
 
@@ -104,34 +130,43 @@ class SpAttenServer:
         out: List[Request] = []
         for _ in range(max_steps):
             out.extend(self.step())
-            if not self.active and not self.pending:
+            if not self.active and not self.pending and not self.admitting:
                 break
         return out
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self) -> None:
+    def _start_admissions(self) -> None:
+        """Reserve slots for pending requests (no prefill work here)."""
         while self.pending and self.free_slots:
             req = self.pending.pop(0)
             slot = self.free_slots.pop(0)
-            # private batch-1 prefill, then scatter into the arena slot
-            sub = init_state(self.cfg, batch=1)
-            prompt = jnp.asarray(req.prompt[None])
-            chunk = self.cfg.engine.prefill_chunk
-            pos, n_total = 0, prompt.shape[1]
-            last_logits = None
-            while pos < n_total:
-                n = min(chunk, n_total - pos)
-                last_logits, sub, _ = gen.prefill_chunk(
-                    self.params, self.cfg, sub, prompt[:, pos:pos + n])
-                pos += n
+            self.admitting.append(_Admission(
+                req=req, slot=slot, sub=init_state(self.cfg, batch=1)))
+
+    def _advance_admissions(self) -> None:
+        """Run ONE prefill chunk for every in-flight admission; scatter
+        completed prefills into their reserved arena slots."""
+        chunk = self.cfg.engine.prefill_chunk
+        still: List[_Admission] = []
+        for adm in self.admitting:
+            prompt = adm.req.prompt
+            n = min(chunk, len(prompt) - adm.pos)
+            ids = jnp.asarray(prompt[None, adm.pos:adm.pos + n])
+            adm.last_logits, adm.sub, _ = gen.prefill_chunk(
+                self.params, self.cfg, adm.sub, ids)
+            adm.pos += n
+            if adm.pos < len(prompt):
+                still.append(adm)
+                continue
             first = int(np.asarray(jax.device_get(
-                jnp.argmax(last_logits, axis=-1)))[0])
-            self.state = self._write_slot(self.state, sub,
-                                          jnp.int32(slot))
-            req.slot = slot
-            req.next_token = first
-            self.active[slot] = req
+                jnp.argmax(adm.last_logits, axis=-1)))[0])
+            self.state = self._write_slot(self.state, adm.sub,
+                                          jnp.int32(adm.slot))
+            adm.req.slot = adm.slot
+            adm.req.next_token = first
+            self.active[adm.slot] = adm.req
+        self.admitting = still
 
     def _drain_finished(self) -> List[Request]:
         out, self.finished = self.finished, []

@@ -68,6 +68,7 @@ def _even_blocks(total: int, target: int) -> Tuple[int, int]:
     return total // nb, nb
 
 
+PBLK_TARGET = 1024   # packed-K fetch rows per DMA (must match qz.pack_unit)
 NSLOTS = 4      # rotating VMEM slots per DMA stream (depth of the
                 # manual prefetch pipeline; K/V planes stream through
                 # these instead of residing whole in VMEM)
@@ -92,8 +93,10 @@ def _heads_per_program(hkv: int, cap: int, head_dim: int, group: int = 1
         slab = h * head_dim
         rows = h * group
         half = cap // 2
-        pblk = _even_blocks(half, 1024)[0]
-        stream = slab * pblk * NSLOTS * 3          # msb + kfull + v slots
+        pblk = _even_blocks(half, PBLK_TARGET)[0]
+        # per-stream slots are capped at ~2 MB (mirrors _slots below)
+        slots = max(2, min(NSLOTS, (2 * 1024 * 1024) // (pblk * slab)))
+        stream = slab * pblk * slots * 3           # msb + kfull + v slots
         planes = rows * cap * 4 * 3                # scores/probs/scores2
         scales = h * cap * 4 * 3                   # ksc + vsc + imp slices
         if stream + planes + scales <= budget:
@@ -143,9 +146,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  importance_kind: str, accumulate_importance: bool,
                  quantize_queries: bool, track_importance: bool,
                  importance_ema: float = 1.0, skip_append: bool = False,
-                 head_gating: bool = False):
+                 head_gating: bool = False, npj: int = 1, batch: int = 1,
+                 vmsb_on: bool = True):
     half = cap // 2
-    pblk, num_pblk = _even_blocks(half, 1024)
+    pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
     num_vblk = cap // v_block
     keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else 0
@@ -182,6 +186,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         it = iter(refs)
         lengths_ref = next(it)             # SMEM int32 [B]
         layer_ref = next(it)               # SMEM int32 [1] — layer index
+        alive_ref = next(it)               # SMEM int32 [B] packed per-gate
+                                           #   head-liveness bits
         qbd_ref = next(it)                 # [1, rows, slab] f32 block-diag
         knew_ref = next(it)                # [1, 1, slab] f32 raw new row
         vnew_ref = next(it)
@@ -192,9 +198,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if quant_enabled:                  # dense mode carries no nibble
             kmsb_hbm = next(it)            #   planes at all — neither as
         kfull_hbm = next(it)               #   operands nor in HBM
-        if quant_enabled:                  # [L, B, C//2, Hkv*D] u8 (ANY)
-            vmsb_hbm = next(it)
-        vfull_hbm = next(it)               # [L, B, C, Hkv*D] int8 (ANY)
+        if vmsb_on:                        # [L, B, C//2, Hkv*D] u8 (ANY);
+            vmsb_hbm = next(it)            #   V's nibble plane is optional
+        vfull_hbm = next(it)               #   [L, B, C, Hkv*D] int8 (ANY)
         out_ref = next(it)                 # [1, rows, d] f32
         maxp_ref = next(it)                # [1, hpp, 128] f32
         need_ref = next(it)                # [1, hpp, 128] int32
@@ -204,13 +210,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if quant_enabled:
             kmsb_out = next(it)            # aliased STACKED planes (ANY):
         kfull_out = next(it)               #   the kernel reads/writes only
-        if quant_enabled:                  #   layer `layer_ref[0]`, all
+        if vmsb_on:                        #   layer `layer_ref[0]`, all
             vmsb_out = next(it)            #   other layers stay in place
         vfull_out = next(it)
         kapp_scr = next(it)                # (8, slab) int8
         vapp_scr = next(it)
         if quant_enabled:
             kmapp_scr = next(it)           # (8, slab) uint8
+        if vmsb_on:
             vmapp_scr = next(it)
         ksc_scr = next(it)                 # (hpp, C) f32 scale slices
         vsc_scr = next(it)
@@ -240,9 +247,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         lane0 = j * slab
         length = lengths_ref[b]            # includes the new token
         idx = length - 1                   # slot of the appended row
-        packed_limit = jnp.minimum(length, half)
-        is_hi = idx < half
-        prow = jnp.where(is_hi, idx, idx - half)
+        # block-local split-token nibble layout (qz.pack_unit): packed
+        # fetch block i holds the hi nibbles of tokens [2i*pblk, +pblk)
+        # and the lo nibbles of [(2i+1)*pblk, +pblk) — a length-prefix
+        # fetch moves 0.5 B per LIVE token at any live length
+        r_u = idx % (2 * pblk)
+        is_hi = r_u < pblk
+        prow = (idx // (2 * pblk)) * pblk + \
+            jnp.where(is_hi, r_u, r_u - pblk)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 1)
         valid = col < length               # [rows, C]
@@ -258,26 +270,23 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         hmask_h = hmask_ref[0]             # [hpp, G]
         alive_h = jnp.max(hmask_h, axis=1, keepdims=True) > 0.0  # [hpp,1]
-        if head_gating:
-            # pack per-head-group alive counts into one scalar; pruned
-            # head groups then skip their K/V DMA lane chunks entirely
-            # (the reference's head pruning: missing heads never issue
-            # fetches, SURVEY.md §2.8)
-            stride_a = max(1, gate_hpg).bit_length()
-            apow = jnp.exp2(
-                ((hpp_iota // gate_hpg) * stride_a).astype(jnp.float32))
-            abits = jnp.sum(jnp.where(alive_h, apow, 0.0)).astype(jnp.int32)
-            any_alive = abits > 0
-            full_bits = sum(gate_hpg << (g * stride_a)
-                            for g in range(ngate))
-            all_alive = abits == full_bits
-            amask_b = (1 << stride_a) - 1
-            alive_gate = [((abits >> (g * stride_a)) & amask_b) > 0
-                          for g in range(ngate)]
-        else:
-            any_alive = jnp.max(hmask_h) > 0.0
-            all_alive = None
-            alive_gate = None
+
+        # per-gate head-liveness from the scalar-prefetched bitmask (bit
+        # j*ngate+g = any head alive in gate group g of lane chunk j):
+        # pruned head groups skip their K/V DMA lane chunks entirely (the
+        # reference's head pruning: missing heads never issue fetches,
+        # SURVEY.md §2.8).  Scalar-prefetched so one instance can also
+        # issue its SUCCESSOR's gated prologue fetches (cross-instance
+        # pipelining).
+        gmask_all = (1 << ngate) - 1
+
+        def gates_of(bb, jj):
+            """(any, [per-gate bool]) liveness gates of instance (bb, jj)."""
+            bits = (alive_ref[bb] >> (jj * ngate)) & gmask_all
+            return bits > 0, [((bits >> g) & 1) > 0 for g in range(ngate)]
+
+        any_alive, agates = gates_of(b, j)
+        alive_gate = agates if head_gating else None
         alive_hpp = alive_h.astype(jnp.float32)                 # [hpp, 1]
         # per-row head mask ([rows,1]) via a tiny 0/1 matmul (no reshape
         # of the [hpp, G] lane layout)
@@ -327,6 +336,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 # their append RMW is skipped entirely
                 pltpu.make_async_copy(app_slice(kmsb_out, pstart),
                                       kmapp_scr, app_sem.at[2]).start()
+            if vmsb_on:
                 pltpu.make_async_copy(app_slice(vmsb_out, pstart),
                                       vmapp_scr, app_sem.at[3]).start()
 
@@ -338,19 +348,36 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # reference's head pruning: pruned heads never issue fetches).
         glanes = gate_hpg * d
 
-        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates):
+        # cross-instance pipelining: grid instances run sequentially on
+        # the core, so each instance issues its SUCCESSOR's prologue
+        # fetches as soon as its own stream slots fall idle — the next
+        # instance starts with its pipeline already filling (the per-
+        # instance DMA fill latency otherwise multiplies by B x J x L).
+        # Targets are (batch row, lane chunk, length, liveness gates)
+        # tuples; `self_tgt` is this instance, `succ_tgt` the next one.
+        flat = b * npj + j
+        is_first = flat == 0
+        has_succ = flat + 1 < batch * npj
+        nb = jnp.minimum((flat + 1) // npj, batch - 1)
+        nj_ = (flat + 1) % npj
+        any_succ, gates_succ = gates_of(nb, nj_)
+        self_tgt = (b, lane0, length, any_alive, alive_gate)
+        succ_tgt = (nb, nj_ * slab, lengths_ref[nb], any_succ,
+                    gates_succ if head_gating else None)
+
+        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates, bb, ll):
             """Fetch block i of `plane` into slot i%|scr| (or wait it)."""
             slot = i % scr.shape[0]
 
             def cp(g=None):
                 if g is None:
                     return pltpu.make_async_copy(
-                        plane.at[lv, b, pl.ds(i * pblk, pblk),
-                                 pl.ds(lane0, slab)],
+                        plane.at[lv, bb, pl.ds(i * pblk, pblk),
+                                 pl.ds(ll, slab)],
                         scr.at[slot], sem.at[slot, 0])
                 return pltpu.make_async_copy(
-                    plane.at[lv, b, pl.ds(i * pblk, pblk),
-                             pl.ds(lane0 + g * glanes, glanes)],
+                    plane.at[lv, bb, pl.ds(i * pblk, pblk),
+                             pl.ds(ll + g * glanes, glanes)],
                     scr.at[slot, :, pl.ds(g * glanes, glanes)],
                     sem.at[slot, g])
 
@@ -365,48 +392,57 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         c = cp(g)
                         c.wait() if do_wait else c.start()
 
-        def msb_io(i, do_wait):
-            gates = alive_gate if head_gating else None
-            cond = (i * pblk < packed_limit)
+        def msb_io(i, do_wait, tgt=None):
+            bb, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
+            cond = (2 * i * pblk < len_t)
             if not head_gating:
-                cond = cond & any_alive
+                cond = cond & any_t
+                gates = None
             k_stream_io(kmsb_out, kmsb_scr, kmsb_sem, i, do_wait, cond,
-                        gates)
+                        gates, bb, ll)
 
-        def kfull_io(i, do_wait, gates):
-            cond = (i * pblk < length)
+        def kfull_io(i, do_wait, gates, tgt=None):
+            bb, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
+            cond = (i * pblk < len_t)
             if gates is None and head_gating is False:
-                cond = cond & any_alive
+                cond = cond & any_t
             k_stream_io(kfull_out, kfull_scr, kfull_sem, i, do_wait, cond,
-                        gates)
+                        gates, bb, ll)
 
-        def v_io(f, do_wait, extra_cond=None):
+        def v_io(f, do_wait, extra_cond=None, tgt=None):
+            bb, ll, len_t, _, _ = self_tgt if tgt is None else tgt
             slot = f % vs
-            cond = (f * fblk < length)
+            cond = (f * fblk < len_t)
             if extra_cond is not None:
                 cond = cond & extra_cond
 
             @pl.when(cond)
             def _():
                 cp = pltpu.make_async_copy(
-                    vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
-                                 pl.ds(lane0, slab)],
+                    vfull_out.at[lv, bb, pl.ds(f * fblk, fblk),
+                                 pl.ds(ll, slab)],
                     v_scr.at[slot], v_sem.at[slot])
                 cp.wait() if do_wait else cp.start()
 
-        # prologue: fill the K pipeline (and V when its gating is static)
-        if quant_enabled:
-            for i in range(ps):
-                msb_io(i, do_wait=False)
-        else:
-            gates0 = alive_gate if head_gating else None
-            for i in range(ts):
-                kfull_io(i, do_wait=False, gates=gates0)
-        if not do_vprune:
-            @pl.when(any_alive)
-            def _():
+        def prologue(tgt):
+            """Issue instance `tgt`'s pipeline-fill DMAs (K stream, and
+            the V stream when its gating is static)."""
+            _, _, _, any_t, gates_t = tgt
+            if quant_enabled:
+                for i in range(ps):
+                    msb_io(i, do_wait=False, tgt=tgt)
+            else:
+                for i in range(ts):
+                    kfull_io(i, do_wait=False, gates=gates_t, tgt=tgt)
+            if not do_vprune:
                 for f in range(vs):
-                    v_io(f, do_wait=False)
+                    v_io(f, do_wait=False, extra_cond=any_t, tgt=tgt)
+
+        # the first instance fills its own pipeline; every other
+        # instance's prologue was issued by its predecessor
+        @pl.when(is_first)
+        def _():
+            prologue(self_tgt)
 
         # ------------------------------------------------------------------
         # Quantize the new K/V rows in registers (all heads in one lane
@@ -438,10 +474,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         vsc_read.wait()
         ksc_scr[...] = jnp.where(col_h == idx, ksc_col, ksc_scr[...])
         vsc_scr[...] = jnp.where(col_h == idx, vsc_col, vsc_scr[...])
-        ksc_wb = pltpu.make_async_copy(ksc_scr, sc_slice(kscale_out),
-                                       sc_sem.at[3])
-        vsc_wb = pltpu.make_async_copy(vsc_scr, sc_slice(vscale_out),
-                                       sc_sem.at[4])
+        # the scale planes are aliased in place, so HBM already holds every
+        # unchanged column — write back only the (lane-aligned) window
+        # holding the appended column, not the whole [hpp, C] plane
+        scwin = min(128, cap)
+        cstart = (idx // scwin) * scwin
+
+        def sc_win(ref):
+            return ref.at[lv, b, pl.ds(j * hpp, hpp), pl.ds(cstart, scwin)]
+
+        ksc_wb = pltpu.make_async_copy(ksc_scr.at[:, pl.ds(cstart, scwin)],
+                                       sc_win(kscale_out), sc_sem.at[3])
+        vsc_wb = pltpu.make_async_copy(vsc_scr.at[:, pl.ds(cstart, scwin)],
+                                       sc_win(vscale_out), sc_sem.at[4])
         ksc_wb.start()
         vsc_wb.start()
 
@@ -505,21 +550,21 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             return rows_k if int_dots else rows_k.astype(jnp.float32)
 
         def msb_scores_pipeline():
-            """Streamed pass-1 scoring: each packed block i carries the
-            hi nibbles of tokens [i*pblk, (i+1)*pblk) and the lo nibbles
-            of [half + i*pblk, ...); both halves score as soon as the
-            block lands, then the freed slot prefetches block i + ps."""
+            """Streamed pass-1 scoring: packed block i carries the hi
+            nibbles of tokens [2i*pblk, +pblk) and the lo nibbles of
+            [(2i+1)*pblk, +pblk); both halves score as soon as the block
+            lands, then the freed slot prefetches block i + ps."""
             for i in range(num_pblk):
                 msb_io(i, do_wait=True)
 
-                @pl.when(i * pblk < packed_limit)
+                @pl.when(2 * i * pblk < length)
                 def _(i=i):
-                    score_block(kblk_msb(i, True), scores_scr, i)
+                    score_block(kblk_msb(i, True), scores_scr, 2 * i)
 
-                @pl.when(half + i * pblk < length)
+                @pl.when((2 * i + 1) * pblk < length)
                 def _(i=i):
                     score_block(kblk_msb(i, False), scores_scr,
-                                i + num_pblk)
+                                2 * i + 1)
                 if i + ps < num_pblk:
                     msb_io(i + ps, do_wait=False)
 
@@ -556,6 +601,20 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             p1_scale = kscale_rows * sm_scale
             p1_offset = 0.0
             patch = patch_full
+
+        # pass-1 K slots are idle from here on (requant uses its own
+        # stream in quant mode): fill the successor's K pipeline so it
+        # starts computing immediately — this overlaps the remainder of
+        # this instance (softmax, requant, P·V) with the next one's fill
+        @pl.when(has_succ)
+        def _():
+            if quant_enabled:
+                for i in range(ps):
+                    msb_io(i, do_wait=False, tgt=succ_tgt)
+            else:
+                for i in range(ts):
+                    kfull_io(i, do_wait=False,
+                             gates=succ_tgt[4], tgt=succ_tgt)
 
         s_all = jnp.where(col == idx, patch, scores_scr[:])
         s_all, probs_all = softmax_rows(s_all, p1_scale, p1_offset)
@@ -720,21 +779,26 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if quant_enabled:
                 pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
                                       app_sem.at[2]).wait()
+            if vmsb_on:
                 pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
                                       app_sem.at[3]).wait()
             for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
                 scr[...] = jnp.where(
                     fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
                 ).astype(jnp.int8)
+            nib_pairs = []
             if quant_enabled:
-                for scr, q8row in ((kmapp_scr, kq8), (vmapp_scr, vq8)):
-                    old = scr[...].astype(jnp.int32)
-                    nib = jnp.broadcast_to(
-                        (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
-                    newb = jnp.where(is_hi,
-                                     (nib << 4) | (old & 0x0F),
-                                     (old & jnp.int32(0xF0)) | nib)
-                    scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
+                nib_pairs.append((kmapp_scr, kq8))
+            if vmsb_on:
+                nib_pairs.append((vmapp_scr, vq8))
+            for scr, q8row in nib_pairs:
+                old = scr[...].astype(jnp.int32)
+                nib = jnp.broadcast_to(
+                    (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
+                newb = jnp.where(is_hi,
+                                 (nib << 4) | (old & 0x0F),
+                                 (old & jnp.int32(0xF0)) | nib)
+                scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
             pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
                                   app_sem.at[0]).start()
             pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
@@ -742,6 +806,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if quant_enabled:
                 pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
                                       app_sem.at[2]).start()
+            if vmsb_on:
                 pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
                                       app_sem.at[3]).start()
 
@@ -792,6 +857,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                          extra_cond=(gbits & (1 << (f + vs))) > 0)
                 else:
                     v_io(f + vs, do_wait=False, extra_cond=any_alive)
+        # V slots idle: fill the successor's V pipeline (static gating
+        # only — with V pruning the successor's keep mask doesn't exist
+        # yet, so its V fetches are issued mid-instance by itself)
+        if not do_vprune:
+            @pl.when(has_succ)
+            def _():
+                for f in range(vs):
+                    v_io(f, do_wait=False, extra_cond=succ_tgt[3],
+                         tgt=succ_tgt)
+
         out_full = pvacc_scr[...]                       # [rows, slab]
         # block-diag extract: mask off-head chunks, fold chunks onto D
         # with a constant tiled-identity matmul (no lane reshapes)
@@ -819,6 +894,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if quant_enabled:
                 pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
                                       app_sem.at[2]).wait()
+            if vmsb_on:
                 pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
                                       app_sem.at[3]).wait()
 
@@ -890,6 +966,11 @@ def fused_decode_attention(
 
     accumulate = importance_in is not None
     head_gating = head_mask is not None
+    npj = hkv // hpp
+    # V's nibble plane is optional: the P·V pass always reads the full
+    # int8 plane (value_bits=8 policy), so an engine that never fetches
+    # 4-bit V simply doesn't carry the plane — no storage, no append RMW
+    vmsb_on = quant_enabled and v_quant.msb is not None
     kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
@@ -899,7 +980,7 @@ def fused_decode_attention(
         quantize_queries=quantize_queries,
         track_importance=track_importance,
         importance_ema=importance_ema, skip_append=_skip_append,
-        head_gating=head_gating)
+        head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -944,9 +1025,16 @@ def fused_decode_attention(
                      memory_space=pltpu.VMEM),          # hmask
         pl.BlockSpec(memory_space=pl.ANY),              # imp_in
     ]
-    # plane operands: nibble planes exist only when quantization is on —
-    # the dense engine neither stores nor moves them
-    n_planes = 4 if quant_on else 2
+    # plane operands: nibble planes ride along only where they exist —
+    # the dense engine carries none, and V may omit its nibble plane
+    plane_ops = []                     # (array, dtype) in kernel order
+    if quant_on:
+        plane_ops.append((k_quant.msb, jnp.uint8))
+    plane_ops.append((k_quant.full, jnp.int8))
+    if vmsb_on:
+        plane_ops.append((v_quant.msb, jnp.uint8))
+    plane_ops.append((v_quant.full, jnp.int8))
+    n_planes = len(plane_ops)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     out_specs = [
         pl.BlockSpec((1, rows_p, d), lambda i, j, *_: (i, j, 0),
@@ -968,35 +1056,37 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct(k_quant.scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(v_quant.scale.shape, jnp.float32),
     ]
-    if quant_on:
-        out_shape += [
-            jax.ShapeDtypeStruct(k_quant.msb.shape, jnp.uint8),
-            jax.ShapeDtypeStruct(k_quant.full.shape, jnp.int8),
-            jax.ShapeDtypeStruct(v_quant.msb.shape, jnp.uint8),
-            jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
-        ]
-    else:
-        out_shape += [
-            jax.ShapeDtypeStruct(k_quant.full.shape, jnp.int8),
-            jax.ShapeDtypeStruct(v_quant.full.shape, jnp.int8),
-        ]
-    # operand index -> output index (operands 0-1 are the scalar prefetch:
-    # lengths, layer): scales then the plane operands in order
-    aliases = {5: 4, 6: 5}
+    out_shape += [jax.ShapeDtypeStruct(arr.shape, dt)
+                  for arr, dt in plane_ops]
+    # operand index -> output index (operands 0-2 are the scalar prefetch:
+    # lengths, layer, alive bits): scales then the plane operands in order
+    aliases = {6: 4, 7: 5}
     for p in range(n_planes):
-        aliases[9 + p] = 6 + p
+        aliases[10 + p] = 6 + p
     if accumulate:
-        aliases[8] = 3
+        aliases[9] = 3
+
+    # packed per-(batch, gate-group) head-liveness bits for the kernel's
+    # scalar gate tests (bit j*ngate+g = any head alive in gate group g of
+    # lane chunk j); scalar-prefetched so an instance can also gate its
+    # successor's prologue fetches
+    gate_hpg = hpp // ngate
+    alive5 = hm.reshape(b, npj, ngate, gate_hpg, group)
+    gate_alive = (jnp.max(alive5, axis=(3, 4)) > 0).reshape(
+        b, npj * ngate)
+    alive_bits = jnp.sum(
+        gate_alive.astype(jnp.int32)
+        * (1 << jnp.arange(npj * ngate, dtype=jnp.int32))[None, :],
+        axis=1).astype(jnp.int32)
 
     scratch = [
         pltpu.VMEM((8, slab), jnp.int8),     # kapp
         pltpu.VMEM((8, slab), jnp.int8),     # vapp
     ]
     if quant_on:
-        scratch += [
-            pltpu.VMEM((8, slab), jnp.uint8),    # kmapp
-            pltpu.VMEM((8, slab), jnp.uint8),    # vmapp
-        ]
+        scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # kmapp
+    if vmsb_on:
+        scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # vmapp
     scratch += [
         pltpu.VMEM((hpp, cap), jnp.float32),        # ksc slice
         pltpu.VMEM((hpp, cap), jnp.float32),        # vsc slice
@@ -1029,7 +1119,7 @@ def fused_decode_attention(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1045,25 +1135,26 @@ def fused_decode_attention(
     )(
         lengths.astype(jnp.int32),
         jnp.asarray(layer, jnp.int32).reshape(1),
+        alive_bits,
         qbd,
         k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         v_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         k_quant.scale, v_quant.scale, hm, imp_in,
-        *((k_quant.msb, k_quant.full, v_quant.msb, v_quant.full)
-          if quant_on else (k_quant.full, v_quant.full)),
+        *(arr for arr, _ in plane_ops),
     )
-    if quant_on:
-        (out, maxp, need, imp, kscale2, vscale2,
-         kmsb2, kfull2, vmsb2, vfull2) = outs
-    else:
-        (out, maxp, need, imp, kscale2, vscale2, kfull2, vfull2) = outs
-        # a dense call never touches nibble planes; pass any the caller
-        # holds through untouched (pytree structure must match the input
-        # when the planes ride a scan carry)
-        kmsb2, vmsb2 = k_quant.msb, v_quant.msb
+    (out, maxp, need, imp, kscale2, vscale2), planes2 = \
+        outs[:6], list(outs[6:])
+    # planes the kernel doesn't carry pass through untouched (pytree
+    # structure must match the input when planes ride a scan carry)
+    kmsb2 = planes2.pop(0) if quant_on else k_quant.msb
+    kfull2 = planes2.pop(0)
+    vmsb2 = planes2.pop(0) if vmsb_on else v_quant.msb
+    vfull2 = planes2.pop(0)
 
-    k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2, scale=kscale2)
-    v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2, scale=vscale2)
+    k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2, scale=kscale2,
+                        lsb2=k_quant.lsb2)
+    v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2, scale=vscale2,
+                        lsb2=v_quant.lsb2)
     if not stacked:
         k2 = jax.tree.map(lambda x: x[0], k2)
         v2 = jax.tree.map(lambda x: x[0], v2)

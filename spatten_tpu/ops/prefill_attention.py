@@ -103,16 +103,21 @@ def prefill_attention(
         blk = fused.shape[1]
         return fused.reshape(b, blk, hkv, d).transpose(0, 2, 1, 3)
 
+    pblk_q = qz.pack_unit(cap) // 2   # packed rows per nibble half-unit
+
     def _msb_values(i):
         """Signed 4-bit values of token block i, as f32 [B, blk, Hkv*D]."""
-        if nblk >= 2:
-            # split-token packing: token block i < nblk/2 is the hi nibble
-            # of packed block i, else the lo nibble of block i - nblk/2 —
-            # only one packed block is ever sliced (0.5 B/elem moved)
+        if nblk >= 2 and block_size <= pblk_q and pblk_q % block_size == 0:
+            # block-local split-token packing (qz.pack_unit): a token
+            # block lies entirely in one unit's hi or lo nibbles — only
+            # one packed slice is ever fetched (0.5 B/elem moved)
+            start_tok = i * block_size
+            r = start_tok % (2 * pblk_q)
+            is_hi = r < pblk_q
+            row0 = (start_tok // (2 * pblk_q)) * pblk_q + \
+                jnp.where(is_hi, r, r - pblk_q)
             pk = jax.lax.dynamic_slice_in_dim(
-                k_quant.msb, (i % half_blocks) * block_size, block_size,
-                axis=1).astype(jnp.int32)
-            is_hi = i < half_blocks
+                k_quant.msb, row0, block_size, axis=1).astype(jnp.int32)
             nib = jnp.where(is_hi, pk >> 4, pk & 0xF)
             return ((nib ^ 8) - 8).astype(jnp.float32)
         return _block(qz.unpack_msb(k_quant.msb), i, block_size, 1

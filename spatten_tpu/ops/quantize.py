@@ -13,10 +13,17 @@ bit-plane alignment; SpAttenController.scala:214-232 masked LSB writes):
   it moves 0.5 bytes/element over HBM, the true 4-bit bandwidth.
 * ``scale``: f32 ``[..., H, T]`` symmetric per-(token, head) scale.
 
-Packing layout ("split-token"): packed row ``t`` holds the MSB nibble of
-token ``t`` in its high bits and of token ``t + T//2`` in its low bits.
-Unpacking therefore produces tokens in natural order with a cheap
-sublane concat — no lane shuffles on TPU.
+Packing layout ("block-local split-token"): tokens pack in units of
+``U = pack_unit(T)`` consecutive tokens — packed row ``u*U/2 + r`` holds
+the MSB nibble of token ``u*U + r`` in its high bits and of token
+``u*U + U/2 + r`` in its low bits.  Unpacking stays a cheap sublane
+concat per unit (no lane shuffles), and — the point of the unit split —
+a *length-prefix* fetch of the packed plane moves ~0.5 B per live token
+at ANY live length: with a single global split (unit = T) every fetched
+byte pairs a live hi nibble with a dead lo nibble whenever
+``length < T/2``, silently doubling pass-1 traffic at exactly the pruned
+steady state the engine lives in.  ``U`` matches the decode kernel's
+packed fetch block (2 x ~1024 rows).
 
 The planes compose exactly: ``int8 == (msb << 4) | lsb`` so a
 requantization pass that fetches the full plane refines, never
@@ -88,13 +95,27 @@ def _nibble(q8: jax.Array) -> jax.Array:
     return (q8.astype(jnp.int32) >> 4).astype(jnp.uint8) & jnp.uint8(0xF)
 
 
+def pack_unit(tokens: int, target: int = 1024) -> int:
+    """Token span of one nibble-split unit (== 2 x the decode kernel's
+    packed fetch-block rows, fused_decode._even_blocks(T//2, 1024))."""
+    half = tokens // 2
+    nb = max(1, -(-half // target))
+    while half % nb:
+        nb += 1
+    return 2 * (half // nb)
+
+
 def pack_msb(q8: jax.Array) -> jax.Array:
-    """Pack MSB nibbles of int8 [..., T, F] into uint8 [..., T//2, F]."""
-    t = q8.shape[-2]
+    """Pack MSB nibbles of int8 [..., T, F] into uint8 [..., T//2, F]
+    (block-local split-token layout, see module docstring)."""
+    t, f = q8.shape[-2:]
     assert t % 2 == 0, "token dim must be even for nibble packing"
-    hi = _nibble(q8[..., : t // 2, :])
-    lo = _nibble(q8[..., t // 2 :, :])
-    return (hi << 4) | lo
+    u = pack_unit(t)
+    units = q8.reshape(q8.shape[:-2] + (t // u, u, f))
+    hi = _nibble(units[..., : u // 2, :])
+    lo = _nibble(units[..., u // 2:, :])
+    packed = (hi << 4) | lo                 # [..., T//U, U//2, F]
+    return packed.reshape(q8.shape[:-2] + (t // 2, f))
 
 
 def unpack_msb(packed: jax.Array) -> jax.Array:
@@ -102,10 +123,14 @@ def unpack_msb(packed: jax.Array) -> jax.Array:
 
     Values are in [-8, 7]: the arithmetic high nibble of the original int8.
     """
-    p = packed.astype(jnp.int32)
+    h, f = packed.shape[-2:]
+    u = pack_unit(2 * h)
+    p = packed.reshape(packed.shape[:-2] + (2 * h // u, u // 2, f)
+                       ).astype(jnp.int32)
     hi = ((p >> 4) ^ 8) - 8          # sign-extend 4-bit
     lo = ((p & 0xF) ^ 8) - 8
-    return jnp.concatenate([hi, lo], axis=-2).astype(jnp.int8)
+    out = jnp.concatenate([hi, lo], axis=-2)     # [..., T//U, U, F]
+    return out.reshape(packed.shape[:-2] + (2 * h, f)).astype(jnp.int8)
 
 
 def pack_lsb2(q8: jax.Array) -> jax.Array:
@@ -228,9 +253,10 @@ def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
     if q.msb is None:
         return QuantizedKV(full=full, msb=None, scale=scale, lsb2=q.lsb2)
 
-    half = t // 2
-    row = index % half
-    is_hi = index < half
+    u = pack_unit(t)
+    r_u = index % u
+    is_hi = r_u < u // 2
+    row = (index // u) * (u // 2) + (r_u % (u // 2))
     old = jax.lax.dynamic_index_in_dim(q.msb, row, axis=q.msb.ndim - 2,
                                        keepdims=False)        # [..., H*D]
     nib = _nibble(fused_row)

@@ -44,20 +44,55 @@ def pipeline_local_config(cfg: SpAttenConfig, stages: int) -> SpAttenConfig:
             m, num_layers=m.num_layers // stages))
 
 
-def pipeline_param_pspecs(params: Any) -> Any:
-    """Layer stacks shard over "pipe"; everything else replicated."""
+def pipeline_param_pspecs(params: Any, tp: bool = False) -> Any:
+    """Layer stacks shard over "pipe"; with `tp`, each layer's weights
+    additionally column/row-shard over "model" (the composed PP x TP
+    layout); everything else replicated."""
     specs = {
         k: P(*([None] * v.ndim)) for k, v in params.items()
         if k != "layers"
     }
-    specs["layers"] = {
-        k: P("pipe", *([None] * (v.ndim - 1)))
-        for k, v in params["layers"].items()
-    }
+    if tp:
+        from spatten_tpu.parallel.sharded import param_pspecs
+        base = param_pspecs(params)["layers"]
+        specs["layers"] = {k: P("pipe", *tuple(v)[1:])
+                           for k, v in base.items()}
+    else:
+        specs["layers"] = {
+            k: P("pipe", *([None] * (v.ndim - 1)))
+            for k, v in params["layers"].items()
+        }
     return specs
 
 
-def pipeline_state_pspecs(state: DecodeState) -> DecodeState:
+def pipeline_state_pspecs(state: DecodeState, tp: bool = False
+                          ) -> DecodeState:
+    from spatten_tpu.engine.kv_cache import LayerKVCache
+    from spatten_tpu.ops.quantize import QuantizedKV
+
+    if tp:
+        # [L, B, C, Hkv*D] planes: layers over "pipe", fused head-lane
+        # axis over "model" (sharded.py's TP layout with a pipe layer axis)
+        plane = P("pipe", None, None, "model")
+        scale = P("pipe", None, "model", None)
+
+        def kv_spec(t):
+            return QuantizedKV(
+                full=plane, msb=plane if t.msb is not None else None,
+                scale=scale,
+                lsb2=plane if t.lsb2 is not None else None)
+
+        return DecodeState(
+            cache=LayerKVCache(k=kv_spec(state.cache.k),
+                               v=kv_spec(state.cache.v)),
+            importance=P("pipe", None, "model", None),
+            lengths=P(),
+            layer_lengths=P("pipe", None),
+            head_mask=P("pipe", "model"),
+            requant_events=P(),
+            quant_bits=P("pipe"),
+        )
+
     def layer_leaf(leaf):
         return P("pipe", *([None] * (leaf.ndim - 1)))
 
@@ -73,19 +108,39 @@ def pipeline_state_pspecs(state: DecodeState) -> DecodeState:
 
 
 class PipelineEngine:
-    """P-stage pipelined decode over a Mesh with axis ("pipe",)."""
+    """P-stage pipelined decode over a Mesh with axis ("pipe",).
 
-    def __init__(self, cfg: SpAttenConfig, mesh: Mesh):
+    `microbatches` M > 1 interleaves M batch slices through the stages
+    (GPipe-style schedule over M + P - 1 ticks): while microbatch m is in
+    stage p, microbatch m+1 occupies stage p-1, so the bubble fraction is
+    (P-1)/(M+P-1) instead of the single-microbatch (P-1)/P.  The per-stage
+    program is unchanged — scheduling slices the batch axis.
+    """
+
+    def __init__(self, cfg: SpAttenConfig, mesh: Mesh,
+                 microbatches: int = 1):
         cfg.validate()
-        if tuple(mesh.axis_names) != ("pipe",):
-            raise ValueError("PipelineEngine expects a ('pipe',) mesh")
+        if tuple(mesh.axis_names) not in (("pipe",), ("pipe", "model")):
+            raise ValueError(
+                "PipelineEngine expects a ('pipe',) or ('pipe','model') "
+                "mesh")
+        if cfg.engine.max_batch_size % microbatches:
+            raise ValueError("microbatches must divide max_batch_size")
+        self.microbatches = microbatches
         self.cfg = cfg
         self.mesh = mesh
         self.stages = mesh.shape["pipe"]
-        self.lcfg = pipeline_local_config(cfg, self.stages)
+        self.tp = mesh.shape.get("model", 1)
+        self.tp_axis = "model" if self.tp > 1 else None
+        lcfg = pipeline_local_config(cfg, self.stages)
+        if self.tp_axis is not None:
+            from spatten_tpu.parallel.sharded import local_config
+            lcfg = local_config(lcfg, mesh)
+        self.lcfg = lcfg
         template = jax.eval_shape(
             lambda: init_state(cfg, cfg.engine.max_batch_size))
-        self._state_specs = pipeline_state_pspecs(template)
+        self._state_specs = pipeline_state_pspecs(
+            template, tp=self.tp_axis is not None)
         self._param_specs: Optional[Any] = None
         self._jit_cache: dict = {}
 
@@ -94,7 +149,8 @@ class PipelineEngine:
 
     def shard_params(self, params: Any) -> Any:
         import numpy as np
-        self._param_specs = pipeline_param_pspecs(params)
+        self._param_specs = pipeline_param_pspecs(
+            params, tp=self.tp_axis is not None)
 
         def put(a, spec):
             a = np.asarray(a)
@@ -129,7 +185,7 @@ class PipelineEngine:
             x, _cache, _imp, _ll, _req, _maxp = carry
             out, cache, imp, ll, req, maxp = transformer.run_layers(
                 params["layers"], lcfg, state, x, positions,
-                layer_offset=stage * layers_local)
+                layer_offset=stage * layers_local, tp_axis=self.tp_axis)
             return out, cache, imp, ll, req, maxp
 
         def skip(carry):
@@ -155,7 +211,8 @@ class PipelineEngine:
         # only the final stage holds real logits; broadcast via masked psum
         logits = jax.lax.psum(
             jnp.where(stage == stages - 1, logits, 0.0), "pipe")
-        global_req = jax.lax.psum(requants.sum(), "pipe")
+        req_axes = ("pipe",) if self.tp_axis is None else ("pipe", "model")
+        global_req = jax.lax.psum(requants.sum(), req_axes)
 
         s = tokens.shape[1]
         new_state = state._replace(
@@ -166,12 +223,122 @@ class PipelineEngine:
         )
         return logits, new_state
 
+    def _local_step_micro(self, params, state, tokens):
+        """Microbatch-interleaved shard_map body (GPipe decode schedule).
+
+        tokens [B, S] (replicated); the batch splits into M slices that
+        flow through the P stages over M + P - 1 ticks; each tick every
+        stage runs its local layers on its current slice and ppermutes the
+        activations onward.  Output logits [B, V] (last query position)."""
+        import spatten_tpu.engine.generate as gen
+        stages, M = self.stages, self.microbatches
+        lcfg = self.lcfg
+        layers_local = lcfg.model.num_layers
+        stage = jax.lax.axis_index("pipe")
+        b, s = tokens.shape
+        if b % M:
+            raise ValueError(f"batch {b} must divide microbatches {M}")
+        bm = b // M
+        hidden = lcfg.model.hidden_size
+
+        state, _ = gen.maybe_prune(lcfg, state, s)
+        x_all, positions = transformer.embed_tokens(params, lcfg, state,
+                                                    tokens)   # [B, S, D]
+
+        def slice_b(leaf, m, axis):
+            return jax.lax.dynamic_slice_in_dim(leaf, m * bm, bm, axis)
+
+        def state_slice(st, m):
+            return st._replace(
+                cache=jax.tree.map(lambda a: slice_b(a, m, 1), st.cache),
+                importance=slice_b(st.importance, m, 1),
+                lengths=slice_b(st.lengths, m, 0),
+                layer_lengths=slice_b(st.layer_lengths, m, 1),
+            )
+
+        def state_merge(st, sub, m, active):
+            def wr(big, small):
+                start = [jnp.int32(0)] * big.ndim
+                start[1] = m * bm
+                cur = jax.lax.dynamic_slice(
+                    big, start, small.shape)
+                upd = jnp.where(active, small.astype(big.dtype), cur)
+                return jax.lax.dynamic_update_slice(big, upd, start)
+
+            cache = jax.tree.map(wr, st.cache, sub.cache)
+            imp = wr(st.importance, sub.importance)
+            ll = wr(st.layer_lengths[:, :, None],
+                    sub.layer_lengths[:, :, None])[:, :, 0]
+            return st._replace(cache=cache, importance=imp,
+                               layer_lengths=ll)
+
+        logits_all = jnp.zeros((b, lcfg.model.vocab_size), jnp.float32)
+        requants = jnp.zeros((), jnp.int32)
+        x_inflight = jnp.zeros((bm, s, hidden),
+                               x_all.dtype)
+
+        for t in range(M + stages - 1):
+            my_m = t - stage                 # this stage's microbatch id
+            active = (my_m >= 0) & (my_m < M)
+            mc = jnp.clip(my_m, 0, M - 1)
+            # stage 0 reads the embedded slice; later stages consume the
+            # activations ppermuted from their predecessor
+            x_in = jnp.where(stage == 0,
+                             slice_b(x_all, mc, 0), x_inflight)
+            sub = state_slice(state, mc)
+            pos_m = slice_b(positions, mc, 0)
+
+            def run(carry):
+                x_in, sub = carry
+                out, cache, imp, ll, req, _ = transformer.run_layers(
+                    params["layers"], lcfg, sub, x_in, pos_m,
+                    layer_offset=stage * layers_local,
+                    tp_axis=self.tp_axis)
+                return out, sub._replace(cache=cache, importance=imp,
+                                         layer_lengths=ll), req.sum()
+
+            def skip(carry):
+                x_in, sub = carry
+                return x_in, sub, jnp.zeros((), jnp.int32)
+
+            x_out, sub2, req = jax.lax.cond(active, run, skip,
+                                            (x_in, sub))
+            state = state_merge(state, sub2, mc, active)
+            requants = requants + jnp.where(active, req, 0)
+
+            # the final stage emits this microbatch's logits
+            lg = transformer.lm_head(params, lcfg, x_out[:, -1:])[:, 0]
+            emit = active & (stage == stages - 1)
+            cur = jax.lax.dynamic_slice_in_dim(logits_all, mc * bm, bm, 0)
+            logits_all = jax.lax.dynamic_update_slice_in_dim(
+                logits_all, jnp.where(emit, lg.astype(jnp.float32), cur),
+                mc * bm, 0)
+
+            if t < M + stages - 2:
+                x_inflight = jax.lax.ppermute(
+                    x_out, "pipe",
+                    [(i, (i + 1) % stages) for i in range(stages)])
+
+        # every stage holds its own layers' updated state; logits live on
+        # the last stage — broadcast via masked psum
+        logits_all = jax.lax.psum(
+            jnp.where(stage == stages - 1, logits_all, 0.0), "pipe")
+        req_axes = ("pipe",) if self.tp_axis is None else ("pipe", "model")
+        global_req = jax.lax.psum(requants, req_axes)
+        new_state = state._replace(
+            lengths=state.lengths + s,
+            requant_events=state.requant_events + global_req,
+        )
+        return logits_all, new_state
+
     def step_fn(self, seq_len: int):
         key = ("step", seq_len)
         if key not in self._jit_cache:
             assert self._param_specs is not None, "call shard_params first"
+            body = (self._local_step if self.microbatches == 1
+                    else self._local_step_micro)
             mapped = jax.shard_map(
-                self._local_step,
+                body,
                 mesh=self.mesh,
                 in_specs=(self._param_specs, self._state_specs, P()),
                 out_specs=(P(), self._state_specs),

@@ -87,11 +87,20 @@ def state_pspecs(state: DecodeState) -> DecodeState:
     from spatten_tpu.engine.kv_cache import LayerKVCache
     from spatten_tpu.ops.quantize import QuantizedKV
     # token-major planes [L, B, C, Hkv*D]: heads live in the fused lane
-    # axis -> shard the last axis over "model"; scales are [L, B, Hkv, C]
+    # axis -> shard the last axis over "model"; scales are [L, B, Hkv, C].
+    # Optional nibble planes mirror whatever the template state carries.
     plane = P(None, "data", None, "model")
     scale = P(None, "data", "model", None)
-    kv = QuantizedKV(full=plane, msb=plane, scale=scale)
-    cache_specs = LayerKVCache(k=kv, v=kv)
+
+    def kv_spec(t: QuantizedKV) -> QuantizedKV:
+        return QuantizedKV(
+            full=plane,
+            msb=plane if t.msb is not None else None,
+            scale=scale,
+            lsb2=plane if t.lsb2 is not None else None)
+
+    cache_specs = LayerKVCache(k=kv_spec(state.cache.k),
+                               v=kv_spec(state.cache.v))
 
     return DecodeState(
         cache=cache_specs,

@@ -75,3 +75,54 @@ def test_server_eos_release():
     srv.submit(np.array([1, 2, 3], np.int32), max_new_tokens=5)
     done = srv.run_to_completion()[0]
     assert done.generated == full[:2]
+
+
+def test_decode_progresses_during_long_admission():
+    """Overlapped continuous batching: while a long prompt prefills
+    chunk-by-chunk, already-running requests keep decoding every tick."""
+    cfg = cfg_batch(2)   # prefill_chunk=8
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(2))
+    srv = SpAttenServer(params, cfg)
+
+    # request A: short prompt, starts decoding immediately
+    srv.submit(np.arange(4) % 255, max_new_tokens=10)
+    srv.step()                      # A admitted (1 chunk) + first decode
+    a = next(iter(srv.active.values()))
+    tokens_before = len(a.generated)
+
+    # request B: long prompt = 3 chunks of prefill
+    srv.submit(np.arange(20) % 255, max_new_tokens=2)
+    progressed = []
+    while srv.admitting or len(progressed) < 3:
+        srv.step()
+        progressed.append(len(a.generated))
+        if len(progressed) > 20:
+            break
+    # A decoded on every tick of B's admission (no stall)
+    assert progressed[0] == tokens_before + 1
+    assert progressed[1] == tokens_before + 2
+    assert progressed[2] == tokens_before + 3
+    done = srv.run_to_completion()
+    assert {len(r.generated) for r in done} == {10, 2}
+
+
+def test_admission_parity_with_blocking_prefill():
+    """Chunk-interleaved admission produces the same tokens as the plain
+    generate path (the scatter happens only when prefill completes)."""
+    cfg = cfg_batch(2)
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(3))
+    long_prompt = (np.arange(19) * 7) % 255
+
+    ref = gen.generate(params, cfg_batch(1),
+                       jnp.asarray(long_prompt[None]), max_new_tokens=5)
+    ref_tokens = np.asarray(ref.tokens)[0]
+
+    srv = SpAttenServer(params, cfg)
+    # keep slot 0 busy so the admission truly interleaves with decode
+    srv.submit(np.arange(3) % 255, max_new_tokens=12)
+    srv.step()
+    rid = srv.submit(long_prompt, max_new_tokens=5)
+    done = srv.run_to_completion()
+    by_id = {r.request_id: r for r in done}
+    np.testing.assert_array_equal(np.array(by_id[rid].generated),
+                                  ref_tokens)

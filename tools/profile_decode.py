@@ -69,7 +69,8 @@ def timed_window(cfg, params, steps=64, repeats=3, **forward_overrides):
     return best / steps * 1e3          # ms/step
 
 
-def timed_kernel_only(cfg, steps=64, repeats=3):
+def timed_kernel_only(cfg, steps=64, repeats=3, skip_append=False,
+                      no_importance=False):
     """Time ONLY the fused decode kernel: a [steps x layers] scan of
     fused_decode_attention over warm stacked planes — no projections, no
     MLP, no lm_head.  Isolates kernel cost from the model around it."""
@@ -106,11 +107,15 @@ def timed_kernel_only(cfg, steps=64, repeats=3):
                                        (q.enabled and q.enable_requant)
                                        else 0.0),
                     v_keep=v_keep, v_block_size=p.v_block_size,
-                    importance_in=imp_all,
+                    importance_in=None if no_importance else imp_all,
+                    track_importance=not no_importance,
                     layer=layer_idx,
                     quantize_queries=q.quantize_queries,
+                    _skip_append=skip_append,
                 )
-                return (k_all, v_all, stats.importance_delta), out.sum()
+                imp_next = (imp_all if no_importance
+                            else stats.importance_delta)
+                return (k_all, v_all, imp_next), out.sum()
 
             (k_all, v_all, imp_all), outs = jax.lax.scan(
                 layer_fn, (k_all, v_all, imp_all),
@@ -173,6 +178,36 @@ def main():
                                                requant_threshold=thr))
         ms = timed_kernel_only(cfg, steps)
         print(f"kernel-only ({mode}): {ms:.3f} ms/step")
+        return
+
+    if mode == "kernel-ladder":
+        cfg = bench.build_cfg(True, cache, batch)
+        thr = bench.calibrate_requant(cfg, params)
+        cfg = dataclasses.replace(
+            cfg, quant=dataclasses.replace(cfg.quant,
+                                           requant_threshold=thr))
+        for name, kw, c in [
+            ("baseline", {}, cfg),
+            ("skip_append", dict(skip_append=True), cfg),
+            ("no_importance", dict(no_importance=True), cfg),
+            ("no requant", {}, dataclasses.replace(
+                cfg, quant=dataclasses.replace(
+                    cfg.quant, requant_threshold=0.0,
+                    enable_requant=False))),
+            ("no vprune", {}, dataclasses.replace(
+                cfg, pruning=dataclasses.replace(
+                    cfg.pruning, enable_v_pruning=False))),
+            ("bare (all off)", dict(skip_append=True, no_importance=True),
+             dataclasses.replace(
+                 cfg,
+                 quant=dataclasses.replace(
+                     cfg.quant, requant_threshold=0.0,
+                     enable_requant=False),
+                 pruning=dataclasses.replace(
+                     cfg.pruning, enable_v_pruning=False))),
+        ]:
+            ms = timed_kernel_only(c, steps, **kw)
+            print(f"  kernel {name:24s} {ms:8.3f} ms/step", flush=True)
         return
 
     point(f"{mode} full", cfg)
