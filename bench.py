@@ -46,12 +46,29 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-BENCH_LAYERS = 8     # per-layer cost is depth-independent; tokens/s is
-FULL_LAYERS = 32     # reported scaled to the full 32-layer model
+import os
+
+BENCH_MODEL = os.environ.get("SPATTEN_BENCH_MODEL", "llama2-7b-tp8")
+if BENCH_MODEL == "gpt2-small":
+    # the reference's native model family (every published workload CSV is
+    # GPT-2, d=64 heads — SpAtten.scala:10-35 sizeD=64): full 12-layer
+    # model on one chip, fused kernel via head-pair lane packing
+    BENCH_LAYERS = 12
+    FULL_LAYERS = 12
+else:
+    BENCH_LAYERS = 8     # per-layer cost is depth-independent; tokens/s is
+    FULL_LAYERS = 32     # reported scaled to the full 32-layer model
 
 
 def shard_model_cfg():
     from spatten_tpu.config import ModelConfig
+    if BENCH_MODEL == "gpt2-small":
+        import dataclasses
+        return dataclasses.replace(
+            ModelConfig.gpt2_small(),
+            vocab_size=8192,     # bench vocabulary (serving shards the
+                                 # 50k lm_head over TP anyway)
+            max_position_embeddings=2048)
     return ModelConfig(
         vocab_size=4000,         # 32000 / TP8: lm_head+embedding are
                                  # column/row-sharded in TP serving too
@@ -70,24 +87,32 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         EngineConfig, PruningConfig, QuantConfig, SpAttenConfig,
     )
     if spatten:
+        if BENCH_MODEL == "gpt2-small":
+            # the reference GPT-2-small trace's normalized per-layer
+            # key_fetch profile (summary-gpt2-small-wikitext2-per8.csv)
+            ratios = (1.0, 0.93, 0.72, 0.52, 0.39, 0.31,
+                      0.25, 0.21, 0.18, 0.16, 0.14, 0.14)
+            head_keep = 10       # hp traces keep 10-13/16 late-layer heads
+        else:
+            # the same decay stretched to the measured llama depth
+            ratios = (1.0, 0.78, 0.25, 0.25, 0.25, 0.14, 0.14, 0.14)
+            head_keep = 3        # 3 of the 4 per-chip kv-head groups
         pruning = PruningConfig(
             start_size=4,
             important_size=int(cache * 0.55),
             recent_size=int(cache * 0.10),
             # per-layer cascade schedule shaped like the reference
-            # GPT-2-small trace's stepped key_fetch_num decay
-            # (1.0, 0.78, 0.25 x4, 0.14 x6 normalized), stretched to the
-            # bench depth; deeper layers keep far fewer tokens
-            cascade_layer_ratios=(1.0, 0.78, 0.25, 0.25, 0.25,
-                                  0.14, 0.14, 0.14),
+            # GPT-2-small trace's stepped key_fetch_num decay; deeper
+            # layers keep far fewer tokens
+            cascade_layer_ratios=ratios,
             # v_block scales with capacity so the in-kernel block top-k
             # stays O(128^2) per row
             enable_v_pruning=True, v_keep_ratio=0.25,
             v_block_size=max(64, cache // 128),
-            # on-the-fly head pruning: keep 3 of the 4 per-chip kv-head
-            # groups (the reference's hp traces keep 10-13/16), mask
-            # re-derived from live importance every 32 decode steps
-            enable_head_pruning=True, head_keep=3, head_update_interval=32,
+            # on-the-fly head pruning (mask re-derived from live
+            # importance every 32 decode steps)
+            enable_head_pruning=True, head_keep=head_keep,
+            head_update_interval=32,
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True)
@@ -123,7 +148,14 @@ def warm_state(cfg, state):
         ).astype(jnp.int32)
         warm = int(per_layer.max())
     else:
-        warm = int(cfg.engine.cache_capacity * 0.9)
+        # leave room for every timed window: the dense engine never
+        # prunes, so warm + total decoded steps must stay inside the
+        # capacity (an overrun would clamp-overwrite the last slot)
+        import os as _os
+        steps = int(_os.environ.get("SPATTEN_BENCH_STEPS", 64))
+        budget = (1 + 3) * steps + 8
+        warm = min(int(cfg.engine.cache_capacity * 0.9),
+                   cfg.engine.cache_capacity - budget)
         layer_lengths = jnp.full((cfg.model.num_layers, b), warm,
                                  jnp.int32)
     return state._replace(
@@ -340,10 +372,10 @@ def main():
     from spatten_tpu.models import transformer
     from spatten_tpu.models.weight_quant import quantize_params
 
-    import os
     steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 64))
-    points = os.environ.get("SPATTEN_BENCH_POINTS",
-                        "16384x32,8192x32,4096x16")
+    default_points = ("2048x64,1024x64" if BENCH_MODEL == "gpt2-small"
+                      else "16384x32,8192x32,4096x16")
+    points = os.environ.get("SPATTEN_BENCH_POINTS", default_points)
 
     params = transformer.init_params(shard_model_cfg(),
                                      jax.random.PRNGKey(0))
@@ -364,8 +396,11 @@ def main():
         "unit": "tok/s/chip",
         "vs_baseline": primary["vs_baseline"],
         "detail": {
-            "model": "llama2-7b TP8 per-chip shard "
-                     f"({BENCH_LAYERS}L measured, scaled to {FULL_LAYERS}L)",
+            "model": ("gpt2-small (12L, d=64 heads, full model)"
+                      if BENCH_MODEL == "gpt2-small" else
+                      "llama2-7b TP8 per-chip shard "
+                      f"({BENCH_LAYERS}L measured, scaled to "
+                      f"{FULL_LAYERS}L)"),
             "device": str(jax.devices()[0]),
             "points": results,
         },

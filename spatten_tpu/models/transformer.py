@@ -228,9 +228,8 @@ def run_layers(
     use_kernel = (
         e.use_pallas and s == 1 and rope_in_kernel_ok
         and ((hkv * dh) % 128 == 0 or on_cpu)
-        # mixed per-layer quant profiles run the jnp path until the fused
-        # kernel learns runtime plane selection
-        and q.layer_bits is None
+        # the kernel's 6-bit path needs its 8-row lsb2 append RMW to fit
+        and not (q.needs_lsb2 and e.cache_capacity < 32)
     )
 
     def qkv(x, lp, lengths_l, layer_idx):
@@ -322,6 +321,9 @@ def run_layers(
                 interpret=on_cpu,
                 importance_in=imp_all if accum else None,
                 layer=layer_idx,
+                quant_bits=(state.quant_bits
+                            if q.enabled and q.layer_bits is not None
+                            else None),
                 quantize_queries=q.quantize_queries,
                 track_importance=track_importance,
                 importance_ema=p.importance_ema,

@@ -68,7 +68,10 @@ def _even_blocks(total: int, target: int) -> Tuple[int, int]:
     return total // nb, nb
 
 
+import os as _os
+
 PBLK_TARGET = 1024   # packed-K fetch rows per DMA (must match qz.pack_unit)
+_XINST = not _os.environ.get("SPATTEN_NO_XINST")   # cross-instance prefetch
 NSLOTS = 4      # rotating VMEM slots per DMA stream (depth of the
                 # manual prefetch pipeline; K/V planes stream through
                 # these instead of residing whole in VMEM)
@@ -89,6 +92,10 @@ def _heads_per_program(hkv: int, cap: int, head_dim: int, group: int = 1
         if hkv % h:
             continue
         if (h * head_dim) % 128:
+            continue
+        if h != hkv and h % 8:
+            # partial head chunks slice the scale planes' sublane dim with
+            # pl.ds, which Mosaic requires 8-aligned
             continue
         slab = h * head_dim
         rows = h * group
@@ -147,15 +154,24 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  quantize_queries: bool, track_importance: bool,
                  importance_ema: float = 1.0, skip_append: bool = False,
                  head_gating: bool = False, npj: int = 1, batch: int = 1,
-                 vmsb_on: bool = True):
+                 vmsb_on: bool = True, sc_blocked: bool = False,
+                 mixed_profile: bool = False, has_lsb2: bool = False):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
+    # 2-bit refinement plane (6-bit profiles): one qblk-row fetch carries
+    # the four 2-bit fields of the same 2*pblk-token unit as one msb block
+    qblk = max(1, pblk // 2)
+    ls = max(2, min(num_pblk, NSLOTS)) if has_lsb2 and num_pblk > 1 else 1
     num_vblk = cap // v_block
     keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else 0
     do_vprune = 0 < v_keep and keep_blocks < num_vblk
     do_requant = quant_enabled and requant_threshold > 0.0
-    int_dots = quantize_queries
+    # integer-MXU dots need an int8-tileable row count; otherwise keep the
+    # query-quantization NUMERICS (round-to-int8 + per-row scale) but feed
+    # the MXU f32 — bit-identical scores, different datapath
+    rows_q = hpp * group
+    int_dots = quantize_queries and (rows_q % 8 == 0 or 8 % rows_q == 0)
     d = head_dim
     slab = hpp * d
     rows = hpp * group
@@ -188,6 +204,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         layer_ref = next(it)               # SMEM int32 [1] — layer index
         alive_ref = next(it)               # SMEM int32 [B] packed per-gate
                                            #   head-liveness bits
+        qbits_ref = next(it)               # SMEM int32 [L] per-layer pass-1
+                                           #   bits (QuantProfile as data)
         qbd_ref = next(it)                 # [1, rows, slab] f32 block-diag
         knew_ref = next(it)                # [1, 1, slab] f32 raw new row
         vnew_ref = next(it)
@@ -197,7 +215,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         imp_in = next(it)                  # [L, B, Hkv, C] f32 (ANY)
         if quant_enabled:                  # dense mode carries no nibble
             kmsb_hbm = next(it)            #   planes at all — neither as
-        kfull_hbm = next(it)               #   operands nor in HBM
+        if has_lsb2:                       #   operands nor in HBM
+            klsb2_hbm = next(it)           # [L, B, C//4, Hkv*D] u8 (ANY)
+        kfull_hbm = next(it)
         if vmsb_on:                        # [L, B, C//2, Hkv*D] u8 (ANY);
             vmsb_hbm = next(it)            #   V's nibble plane is optional
         vfull_hbm = next(it)               #   [L, B, C, Hkv*D] int8 (ANY)
@@ -209,6 +229,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         vscale_out = next(it)
         if quant_enabled:
             kmsb_out = next(it)            # aliased STACKED planes (ANY):
+        if has_lsb2:
+            klsb2_out = next(it)
         kfull_out = next(it)               #   the kernel reads/writes only
         if vmsb_on:                        #   layer `layer_ref[0]`, all
             vmsb_out = next(it)            #   other layers stay in place
@@ -217,6 +239,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         vapp_scr = next(it)
         if quant_enabled:
             kmapp_scr = next(it)           # (8, slab) uint8
+        if has_lsb2:
+            kl2app_scr = next(it)          # (8, slab) uint8
         if vmsb_on:
             vmapp_scr = next(it)
         ksc_scr = next(it)                 # (hpp, C) f32 scale slices
@@ -224,7 +248,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         imp_scr = next(it)                 # (hpp, C or 128) f32
         if quant_enabled:
             kmsb_scr = next(it)            # [ps, pblk, slab] uint8 slots
-        if (not quant_enabled) or do_requant:
+        if has_lsb2:
+            klsb2_scr = next(it)           # [ls, qblk, slab] uint8 slots
+        if (not quant_enabled) or do_requant or mixed_profile:
             kfull_scr = next(it)           # [ts, pblk, slab] int8 slots
         scores_scr = next(it)              # [rows, C] f32
         probs_scr = next(it)               # [rows, C] f32
@@ -234,9 +260,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             mass_scr = next(it)            # [rows, nvb] f32 block masses
         v_scr = next(it)                   # [vs, fblk, slab] int8 slots
         pvacc_scr = next(it)               # [rows, slab] f32
-        app_sem = next(it)                 # DMA (4,)
+        app_sem = next(it)                 # DMA (5,)
         if quant_enabled:
             kmsb_sem = next(it)            # DMA (ps, ngate)
+        if has_lsb2:
+            klsb2_sem = next(it)           # DMA (ls,)
         kfull_sem = next(it)               # DMA (ts, ngate)
         v_sem = next(it)                   # DMA (vs,)
         sc_sem = next(it)                  # DMA (6,) scale/importance IO
@@ -246,7 +274,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         lv = layer_ref[0]                  # layer of the stacked planes
         lane0 = j * slab
         length = lengths_ref[b]            # includes the new token
-        idx = length - 1                   # slot of the appended row
+        # slot of the appended row, clamped to the last slot: a caller
+        # that decodes past capacity without pruning overwrites the final
+        # slot instead of issuing an out-of-bounds append DMA (which
+        # hard-crashes the chip)
+        idx = jnp.minimum(length, cap) - 1
         # block-local split-token nibble layout (qz.pack_unit): packed
         # fetch block i holds the hi nibbles of tokens [2i*pblk, +pblk)
         # and the lo nibbles of [(2i+1)*pblk, +pblk) — a length-prefix
@@ -255,6 +287,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         is_hi = r_u < pblk
         prow = (idx // (2 * pblk)) * pblk + \
             jnp.where(is_hi, r_u, r_u - pblk)
+        # lsb2 plane: 2-bit field `qfld` of the token's unit, row `l2row`
+        qfld = r_u // qblk
+        l2row = (idx // (2 * pblk)) * qblk + (r_u % qblk)
+        l2start = (l2row // 8) * 8
 
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 1)
         valid = col < length               # [rows, C]
@@ -288,6 +324,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         any_alive, agates = gates_of(b, j)
         alive_gate = agates if head_gating else None
         alive_hpp = alive_h.astype(jnp.float32)                 # [hpp, 1]
+
+        # per-layer quantization profile (QuantProfile-as-data,
+        # SpAtten.scala:71-74): pass-1 reads the msb plane (4-bit), msb +
+        # lsb2 (6-bit), or the full plane (8-bit — and never requants)
+        if mixed_profile:
+            bits = qbits_ref[lv]
+            p1_msb = bits < 8              # pass-1 uses the nibble plane
+            p1_full8 = bits == 8           # pass-1 reads the full plane
+            use6 = (bits == 6) if has_lsb2 else (bits < 0)
+        else:
+            p1_msb = True
+            p1_full8 = False
+            use6 = None
         # per-row head mask ([rows,1]) via a tiny 0/1 matmul (no reshape
         # of the [hpp, G] lane layout)
         g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % group
@@ -309,22 +358,33 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         def app_slice(ref, start):
             return ref.at[lv, b, pl.ds(start, 8), pl.ds(lane0, slab)]
 
-        # scale / importance slices stream through plain scratch (single
-        # buffered) instead of VMEM-blocked operands: at serving caps the
-        # blocked+double-buffered versions alone exceed scoped VMEM
+        # scale / importance slices stream through plain scratch.  DMA
+        # path (single-buffered async copies) when the head count is
+        # DMA-sliceable; otherwise (`sc_blocked`: Mosaic rejects copies
+        # whose sublane extent isn't 8-aligned, e.g. GPT-2's 12 heads)
+        # the operands arrive as layer-indexed VMEM blocks and move to
+        # scratch with vector assigns.
         def sc_slice(ref):
+            if npj == 1:
+                return ref.at[lv, b, :, :]
             return ref.at[lv, b, pl.ds(j * hpp, hpp), :]
 
-        ksc_read = pltpu.make_async_copy(sc_slice(kscale_in), ksc_scr,
-                                         sc_sem.at[0])
-        vsc_read = pltpu.make_async_copy(sc_slice(vscale_in), vsc_scr,
-                                         sc_sem.at[1])
-        ksc_read.start()
-        vsc_read.start()
-        if accumulate_importance:
-            imp_read = pltpu.make_async_copy(sc_slice(imp_in), imp_scr,
-                                             sc_sem.at[2])
-            imp_read.start()
+        if sc_blocked:
+            ksc_scr[...] = kscale_in[0, 0]
+            vsc_scr[...] = vscale_in[0, 0]
+            if accumulate_importance:
+                imp_scr[...] = imp_in[0, 0]
+        else:
+            ksc_read = pltpu.make_async_copy(sc_slice(kscale_in), ksc_scr,
+                                             sc_sem.at[0])
+            vsc_read = pltpu.make_async_copy(sc_slice(vscale_in), vsc_scr,
+                                             sc_sem.at[1])
+            ksc_read.start()
+            vsc_read.start()
+            if accumulate_importance:
+                imp_read = pltpu.make_async_copy(sc_slice(imp_in), imp_scr,
+                                                 sc_sem.at[2])
+                imp_read.start()
 
         if not skip_append:
             pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
@@ -339,6 +399,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if vmsb_on:
                 pltpu.make_async_copy(app_slice(vmsb_out, pstart),
                                       vmapp_scr, app_sem.at[3]).start()
+            if has_lsb2:
+                pltpu.make_async_copy(app_slice(klsb2_out, l2start),
+                                      kl2app_scr, app_sem.at[4]).start()
 
         # -- rotating-slot DMA streams (manual prefetch pipeline):
         # block i of a plane lands in slot i % nslots; the consumer waits
@@ -356,8 +419,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # Targets are (batch row, lane chunk, length, liveness gates)
         # tuples; `self_tgt` is this instance, `succ_tgt` the next one.
         flat = b * npj + j
-        is_first = flat == 0
-        has_succ = flat + 1 < batch * npj
+        # SPATTEN_NO_XINST: debug escape hatch — with cross-instance
+        # prefetch disabled every instance fills its own pipeline
+        if _XINST:
+            is_first = flat == 0
+            has_succ = flat + 1 < batch * npj
+        else:
+            is_first = flat >= 0
+            has_succ = flat < 0
         nb = jnp.minimum((flat + 1) // npj, batch - 1)
         nj_ = (flat + 1) % npj
         any_succ, gates_succ = gates_of(nb, nj_)
@@ -395,11 +464,28 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         def msb_io(i, do_wait, tgt=None):
             bb, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
             cond = (2 * i * pblk < len_t)
+            if mixed_profile:
+                cond = cond & p1_msb       # 8-bit layers skip the nibble
             if not head_gating:
                 cond = cond & any_t
                 gates = None
             k_stream_io(kmsb_out, kmsb_scr, kmsb_sem, i, do_wait, cond,
                         gates, bb, ll)
+
+        def lsb2_io(i, do_wait, tgt=None):
+            """2-bit refinement block i (same token unit as msb block i);
+            fetched only under a 6-bit profile."""
+            bb, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
+            slot = i % ls
+            cond = use6 & (2 * i * pblk < len_t) & any_t
+
+            @pl.when(cond)
+            def _():
+                cp = pltpu.make_async_copy(
+                    klsb2_out.at[lv, bb, pl.ds(i * qblk, qblk),
+                                 pl.ds(ll, slab)],
+                    klsb2_scr.at[slot], klsb2_sem.at[slot])
+                cp.wait() if do_wait else cp.start()
 
         def kfull_io(i, do_wait, gates, tgt=None):
             bb, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
@@ -431,6 +517,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if quant_enabled:
                 for i in range(ps):
                     msb_io(i, do_wait=False, tgt=tgt)
+                if has_lsb2:
+                    for i in range(ls):
+                        lsb2_io(i, do_wait=False, tgt=tgt)
+                if mixed_profile:
+                    @pl.when(p1_full8)
+                    def _():
+                        for i in range(ts):
+                            kfull_io(i, do_wait=False,
+                                     gates=gates_t, tgt=tgt)
             else:
                 for i in range(ts):
                     kfull_io(i, do_wait=False, gates=gates_t, tgt=tgt)
@@ -470,40 +565,50 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         kq8, ksc_lane, ksc_col = quant_row(knew)
         vq8, vsc_lane, vsc_col = quant_row(vnew)
         is_new_col = (col1 == idx).astype(jnp.float32)  # [1, C]
-        ksc_read.wait()
-        vsc_read.wait()
+        if not sc_blocked:
+            ksc_read.wait()
+            vsc_read.wait()
         ksc_scr[...] = jnp.where(col_h == idx, ksc_col, ksc_scr[...])
         vsc_scr[...] = jnp.where(col_h == idx, vsc_col, vsc_scr[...])
-        # the scale planes are aliased in place, so HBM already holds every
-        # unchanged column — write back only the (lane-aligned) window
-        # holding the appended column, not the whole [hpp, C] plane
-        scwin = min(128, cap)
-        cstart = (idx // scwin) * scwin
+        if sc_blocked:
+            # aliased VMEM blocks write back on instance exit
+            kscale_out[0, 0] = ksc_scr[...]
+            vscale_out[0, 0] = vsc_scr[...]
+        else:
+            # the scale planes are aliased in place, so HBM already holds
+            # every unchanged column — write back only the (lane-aligned)
+            # window holding the appended column, not the whole plane
+            scwin = min(128, cap)
+            cstart = (idx // scwin) * scwin
 
-        def sc_win(ref):
-            return ref.at[lv, b, pl.ds(j * hpp, hpp), pl.ds(cstart, scwin)]
+            def sc_win(ref):
+                if npj == 1:
+                    return ref.at[lv, b, :, pl.ds(cstart, scwin)]
+                return ref.at[lv, b, pl.ds(j * hpp, hpp),
+                              pl.ds(cstart, scwin)]
 
-        ksc_wb = pltpu.make_async_copy(ksc_scr.at[:, pl.ds(cstart, scwin)],
-                                       sc_win(kscale_out), sc_sem.at[3])
-        vsc_wb = pltpu.make_async_copy(vsc_scr.at[:, pl.ds(cstart, scwin)],
-                                       sc_win(vscale_out), sc_sem.at[4])
-        ksc_wb.start()
-        vsc_wb.start()
+            ksc_wb = pltpu.make_async_copy(
+                ksc_scr.at[:, pl.ds(cstart, scwin)],
+                sc_win(kscale_out), sc_sem.at[3])
+            vsc_wb = pltpu.make_async_copy(
+                vsc_scr.at[:, pl.ds(cstart, scwin)],
+                sc_win(vscale_out), sc_sem.at[4])
+            ksc_wb.start()
+            vsc_wb.start()
 
         # ------------------------------------------------------------------
         # Queries: block-diagonal [rows, slab]; optional int8 quant for
         # integer MXU dots (the reference quantizes queries too).
         # ------------------------------------------------------------------
         q_all = qbd_ref[0].astype(jnp.float32)          # [rows, slab]
-        if int_dots:
+        if quantize_queries:
             qamax = jnp.max(jnp.abs(q_all), axis=-1, keepdims=True)
             qscale = jnp.maximum(qamax, 1e-20) / 127.0
-            q_mat = jnp.clip(jnp.round(q_all / qscale),
-                             -127, 127).astype(jnp.int8)
-            qf = q_mat.astype(jnp.float32)
+            qf = jnp.clip(jnp.round(q_all / qscale), -127, 127)
+            q_mat = qf.astype(jnp.int8) if int_dots else qf
             qsum = jnp.sum(qf, axis=-1, keepdims=True)
             rowscale = qscale                           # [rows, 1]
-            acc = jnp.int32
+            acc = jnp.int32 if int_dots else jnp.float32
         else:
             q_mat = q_all
             qf = q_all
@@ -553,7 +658,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             """Streamed pass-1 scoring: packed block i carries the hi
             nibbles of tokens [2i*pblk, +pblk) and the lo nibbles of
             [(2i+1)*pblk, +pblk); both halves score as soon as the block
-            lands, then the freed slot prefetches block i + ps."""
+            lands, then the freed slot prefetches block i + ps.  Under a
+            6-bit profile the 2-bit plane streams alongside and refines
+            the nibble scores in place: scr <- 4*s_n4 + s_l2 == q . n6."""
             for i in range(num_pblk):
                 msb_io(i, do_wait=True)
 
@@ -565,6 +672,28 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _(i=i):
                     score_block(kblk_msb(i, False), scores_scr,
                                 2 * i + 1)
+                if has_lsb2:
+                    lsb2_io(i, do_wait=True)
+                    for t_off in (0, 1):
+                        t = 2 * i + t_off
+
+                        @pl.when(use6 & (t * pblk < length))
+                        def _(i=i, t=t, t_off=t_off):
+                            pk = klsb2_scr[i % ls].astype(jnp.int32)
+                            for qh in (0, 1):
+                                qg = t_off * 2 + qh
+                                l2 = (pk >> (6 - 2 * qg)) & 0x3
+                                l2 = (l2.astype(jnp.int8) if int_dots
+                                      else l2.astype(jnp.float32))
+                                s_l2 = jax.lax.dot_general(
+                                    q_mat, l2, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=acc
+                                ).astype(jnp.float32)
+                                cds = pl.ds(t * pblk + qh * qblk, qblk)
+                                scores_scr[:, cds] = \
+                                    scores_scr[:, cds] * 4.0 + s_l2
+                    if i + ls < num_pblk:
+                        lsb2_io(i + ls, do_wait=False)
                 if i + ps < num_pblk:
                     msb_io(i + ps, do_wait=False)
 
@@ -587,8 +716,38 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
             return s, e / denom
 
-        # --- pass 1: QK on the 4-bit plane (or full plane when dense) ----
-        if quant_enabled:
+        # --- pass 1: QK on the profile's plane set (4/6-bit nibble paths
+        # or the full plane — statically the full plane when dense) ------
+        if quant_enabled and mixed_profile:
+            @pl.when(p1_msb)
+            def _():
+                msb_scores_pipeline()
+
+            @pl.when(p1_full8)
+            def _():
+                kfull_scores_pipeline(
+                    scores_scr, alive_gate if head_gating else None)
+            # scr-equivalent value per profile: n4 (x16), n6 (x4), or k8
+            mid6 = qz.MIDPOINT6 - 128.0
+            mid4 = qz.MSB_MIDPOINT - 128.0
+            if has_lsb2:
+                mult = jnp.where(bits == 8, 1.0,
+                                 jnp.where(bits == 6, 4.0, 16.0))
+                moff = jnp.where(bits == 8, 0.0,
+                                 jnp.where(bits == 6, mid6, mid4))
+                k6new = ((kq8.astype(jnp.int32) >> 2) & 0x3F) ^ 32
+                patch6 = jnp.sum(qf * k6new.astype(jnp.float32), axis=-1,
+                                 keepdims=True)
+                patch = jnp.where(bits == 8, patch_full,
+                                  jnp.where(bits == 6, patch6, patch1))
+            else:
+                mult = jnp.where(bits == 8, 1.0, 16.0)
+                moff = jnp.where(bits == 8, 0.0, mid4)
+                patch = jnp.where(bits == 8, patch_full, patch1)
+            p1_scale = kscale_rows * (mult * sm_scale)
+            p1_offset = (rowscale * qsum) * (
+                kscale_rows * (moff * sm_scale))
+        elif quant_enabled:
             msb_scores_pipeline()
             # real score = (q*qscale)·((k4*16 + MID)*kscale)
             p1_scale = kscale_rows * (16.0 * sm_scale)
@@ -605,12 +764,24 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # pass-1 K slots are idle from here on (requant uses its own
         # stream in quant mode): fill the successor's K pipeline so it
         # starts computing immediately — this overlaps the remainder of
-        # this instance (softmax, requant, P·V) with the next one's fill
+        # this instance (softmax, requant, P·V) with the next one's fill.
+        # The successor shares this launch's layer, hence its profile.
         @pl.when(has_succ)
         def _():
             if quant_enabled:
                 for i in range(ps):
                     msb_io(i, do_wait=False, tgt=succ_tgt)
+                if has_lsb2:
+                    for i in range(ls):
+                        lsb2_io(i, do_wait=False, tgt=succ_tgt)
+                if mixed_profile:
+                    # bits == 8 never requants, so the kfull slots stay
+                    # free for the successor's full-plane pass-1
+                    @pl.when(p1_full8)
+                    def _():
+                        for i in range(ts):
+                            kfull_io(i, do_wait=False,
+                                     gates=succ_tgt[4], tgt=succ_tgt)
             else:
                 for i in range(ts):
                     kfull_io(i, do_wait=False,
@@ -634,6 +805,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         if do_requant:
             need_h = (alive_hpp > 0) & (mp_h < requant_threshold)  # [hpp,1]
+            if mixed_profile:
+                # an 8-bit pass-1 already read the full plane
+                need_h = need_h & p1_msb
             need_ref[0] = jnp.broadcast_to(need_h.astype(jnp.int32),
                                            (hpp, 128))
             fire_rows = (jnp.repeat(need_h, group, axis=0) if group > 1
@@ -689,7 +863,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             else:
                 delta = delta_rows
             if accumulate_importance:
-                imp_read.wait()
+                if not sc_blocked:
+                    imp_read.wait()
                 old_imp = imp_scr[...]
                 prev = jnp.where(col_h == idx, 0.0, old_imp)
                 if importance_ema != 1.0:
@@ -700,14 +875,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 imp_scr[...] = delta
         else:
             imp_scr[...] = jnp.zeros((hpp, 128), jnp.float32)
-        if accumulate_importance:
-            imp_wb = pltpu.make_async_copy(imp_scr, sc_slice(imp_out),
-                                           sc_sem.at[5])
+        if sc_blocked:
+            imp_out[0, 0] = imp_scr[...]
         else:
-            imp_wb = pltpu.make_async_copy(
-                imp_scr, imp_out.at[0, b, pl.ds(j * hpp, hpp), :],
-                sc_sem.at[5])
-        imp_wb.start()
+            if accumulate_importance:
+                imp_wb = pltpu.make_async_copy(imp_scr, sc_slice(imp_out),
+                                               sc_sem.at[5])
+            else:
+                imp_wb = pltpu.make_async_copy(
+                    imp_scr,
+                    imp_out.at[0, b, :, :] if npj == 1 else
+                    imp_out.at[0, b, pl.ds(j * hpp, hpp), :],
+                    sc_sem.at[5])
+            imp_wb.start()
 
         # --- local V pruning: exact per-row block keep mask + gated
         # coarse-grained fetch ---------------------------------------------
@@ -799,6 +979,20 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                  (nib << 4) | (old & 0x0F),
                                  (old & jnp.int32(0xF0)) | nib)
                 scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
+            if has_lsb2:
+                # 2-bit field RMW (the masked bit-plane write of
+                # SpAttenController.scala:230-232 at 2-bit granularity)
+                pltpu.make_async_copy(app_slice(klsb2_out, l2start),
+                                      kl2app_scr, app_sem.at[4]).wait()
+                old2 = kl2app_scr[...].astype(jnp.int32)
+                f2 = jnp.broadcast_to(
+                    (kq8.astype(jnp.int32) >> 2) & 0x3, (8, slab))
+                shift = (6 - 2 * qfld).astype(jnp.int32)
+                m2 = jnp.int32(0x3) << shift
+                new2 = (old2 & ~m2) | (f2 << shift)
+                l2mask = sub8 == (l2row - l2start)
+                kl2app_scr[...] = jnp.where(l2mask, new2, old2
+                                            ).astype(jnp.uint8)
             pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
                                   app_sem.at[0]).start()
             pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
@@ -809,6 +1003,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if vmsb_on:
                 pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
                                       app_sem.at[3]).start()
+            if has_lsb2:
+                pltpu.make_async_copy(kl2app_scr,
+                                      app_slice(klsb2_out, l2start),
+                                      app_sem.at[4]).start()
 
         # ------------------------------------------------------------------
         # P·V: streamed per-fetch-block matmuls + block-diag extraction.
@@ -882,9 +1080,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             preferred_element_type=jnp.float32)         # [rows, d]
         out_ref[0] = out_rows + p_idx * vnew_rows
 
-        ksc_wb.wait()
-        vsc_wb.wait()
-        imp_wb.wait()
+        if not sc_blocked:
+            ksc_wb.wait()
+            vsc_wb.wait()
+            imp_wb.wait()
         if not skip_append:
             # append writes drain last (latency hidden behind P·V)
             pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
@@ -897,6 +1096,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if vmsb_on:
                 pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
                                       app_sem.at[3]).wait()
+            if has_lsb2:
+                pltpu.make_async_copy(kl2app_scr,
+                                      app_slice(klsb2_out, l2start),
+                                      app_sem.at[4]).wait()
 
     return kernel, (pblk, fblk, ps, ts, vs, ngate)
 
@@ -924,6 +1127,11 @@ def fused_decode_attention(
                                     #   `if_rescale_previous_importance`)
     layer: Optional[jax.Array] = None,   # int32 [] — which layer of the
                                    #   STACKED planes to read/update
+    quant_bits: Optional[jax.Array] = None,   # int32 [L] per-layer pass-1
+                                   #   bits (4/6/8): the reference's
+                                   #   per-request QuantProfile as data
+                                   #   (SpAtten.scala:71-74).  6-bit
+                                   #   layers need k_quant.lsb2.
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
@@ -971,6 +1179,11 @@ def fused_decode_attention(
     # int8 plane (value_bits=8 policy), so an engine that never fetches
     # 4-bit V simply doesn't carry the plane — no storage, no append RMW
     vmsb_on = quant_enabled and v_quant.msb is not None
+    sc_blocked = not (hpp % 8 == 0 or (npj == 1 and 8 % hpp == 0))
+    mixed_profile = quant_enabled and quant_bits is not None
+    has_lsb2 = mixed_profile and k_quant.lsb2 is not None
+    if has_lsb2:
+        assert cap >= 32, "6-bit profiles need cap >= 32 (8-row lsb2 RMW)"
     kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
@@ -980,7 +1193,9 @@ def fused_decode_attention(
         quantize_queries=quantize_queries,
         track_importance=track_importance,
         importance_ema=importance_ema, skip_append=_skip_append,
-        head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on)
+        head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on,
+        sc_blocked=sc_blocked, mixed_profile=mixed_profile,
+        has_lsb2=has_lsb2)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1011,6 +1226,26 @@ def fused_decode_attention(
         (max(1, -(-v_keep // v_block_size)) < cap // v_block_size)
     slab = hpp * d
 
+    # scale/importance transport: async DMA of [hpp, C] slices when the
+    # sublane extent is DMA-legal, else layer-indexed VMEM blocks (the
+    # scalar-prefetched layer id drives the block index map)
+    if sc_blocked:
+        def _sc_spec(cols):
+            return pl.BlockSpec(
+                (1, 1, hpp, cols),
+                lambda i, j, lens, lay, *_s: (lay[0], i, j, 0),
+                memory_space=pltpu.VMEM)
+
+        def _imp_in_spec(cols):
+            if accumulate:
+                return _sc_spec(cols)
+            return pl.BlockSpec(
+                (1, 1, hpp, cols), lambda i, j, *_: (0, i, j, 0),
+                memory_space=pltpu.VMEM)
+        sc_in = _sc_spec(cap)
+    else:
+        sc_in = pl.BlockSpec(memory_space=pl.ANY)
+
     in_specs = [
         pl.BlockSpec((1, rows_p, slab),
                      lambda i, j, *_: (i, j, j),
@@ -1019,17 +1254,20 @@ def fused_decode_attention(
                      memory_space=pltpu.VMEM),          # k_new
         pl.BlockSpec((1, 1, slab), lambda i, j, *_: (i, 0, j),
                      memory_space=pltpu.VMEM),          # v_new
-        pl.BlockSpec(memory_space=pl.ANY),              # kscale [L,B,H,C]
-        pl.BlockSpec(memory_space=pl.ANY),              # vscale
+        sc_in,                                          # kscale [L,B,H,C]
+        sc_in,                                          # vscale
         pl.BlockSpec((1, hpp, group), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # hmask
-        pl.BlockSpec(memory_space=pl.ANY),              # imp_in
+        (_imp_in_spec(imp_cols) if sc_blocked
+         else pl.BlockSpec(memory_space=pl.ANY)),       # imp_in
     ]
     # plane operands: nibble planes ride along only where they exist —
     # the dense engine carries none, and V may omit its nibble plane
     plane_ops = []                     # (array, dtype) in kernel order
     if quant_on:
         plane_ops.append((k_quant.msb, jnp.uint8))
+    if has_lsb2:
+        plane_ops.append((k_quant.lsb2, jnp.uint8))
     plane_ops.append((k_quant.full, jnp.int8))
     if vmsb_on:
         plane_ops.append((v_quant.msb, jnp.uint8))
@@ -1043,9 +1281,10 @@ def fused_decode_attention(
                      memory_space=pltpu.VMEM),          # maxp
         pl.BlockSpec((1, hpp, 128), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # need
-        pl.BlockSpec(memory_space=pl.ANY),           # imp
-        pl.BlockSpec(memory_space=pl.ANY),           # kscale'
-        pl.BlockSpec(memory_space=pl.ANY),           # vscale'
+        (_imp_in_spec(imp_cols) if sc_blocked
+         else pl.BlockSpec(memory_space=pl.ANY)),    # imp
+        sc_in,                                       # kscale'
+        sc_in,                                       # vscale'
     ]
     out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     out_shape = [
@@ -1058,13 +1297,14 @@ def fused_decode_attention(
     ]
     out_shape += [jax.ShapeDtypeStruct(arr.shape, dt)
                   for arr, dt in plane_ops]
-    # operand index -> output index (operands 0-2 are the scalar prefetch:
-    # lengths, layer, alive bits): scales then the plane operands in order
-    aliases = {6: 4, 7: 5}
+    # operand index -> output index (operands 0-3 are the scalar prefetch:
+    # lengths, layer, alive bits, quant bits): scales then the plane
+    # operands in order
+    aliases = {7: 4, 8: 5}
     for p in range(n_planes):
-        aliases[10 + p] = 6 + p
+        aliases[11 + p] = 6 + p
     if accumulate:
-        aliases[9] = 3
+        aliases[10] = 3
 
     # packed per-(batch, gate-group) head-liveness bits for the kernel's
     # scalar gate tests (bit j*ngate+g = any head alive in gate group g of
@@ -1083,8 +1323,13 @@ def fused_decode_attention(
         pltpu.VMEM((8, slab), jnp.int8),     # kapp
         pltpu.VMEM((8, slab), jnp.int8),     # vapp
     ]
+    qblk = max(1, pblk // 2)
+    ls = max(2, min(-(-cap // (2 * pblk)), NSLOTS)) \
+        if has_lsb2 and cap > 2 * pblk else 1
     if quant_on:
         scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # kmapp
+    if has_lsb2:
+        scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # kl2app
     if vmsb_on:
         scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # vmapp
     scratch += [
@@ -1094,7 +1339,9 @@ def fused_decode_attention(
     ]
     if quant_on:
         scratch.append(pltpu.VMEM((ps, pblk, slab), jnp.uint8))
-    if (not quant_on) or do_requant:
+    if has_lsb2:
+        scratch.append(pltpu.VMEM((ls, qblk, slab), jnp.uint8))
+    if (not quant_on) or do_requant or mixed_profile:
         scratch.append(pltpu.VMEM((ts, pblk, slab), jnp.int8))
     scratch += [
         pltpu.VMEM((rows_p, cap), jnp.float32),    # scores
@@ -1108,18 +1355,26 @@ def fused_decode_attention(
     scratch += [
         pltpu.VMEM((vs, fblk, slab), jnp.int8),    # v slots
         pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((5,)),
     ]
     if quant_on:
         scratch.append(pltpu.SemaphoreType.DMA((ps, ngate)))  # kmsb
+    if has_lsb2:
+        scratch.append(pltpu.SemaphoreType.DMA((ls,)))        # klsb2
     scratch += [
         pltpu.SemaphoreType.DMA((ts, ngate)),
         pltpu.SemaphoreType.DMA((vs,)),
         pltpu.SemaphoreType.DMA((6,)),
     ]
 
+    if quant_bits is None:
+        qbits_arr = jnp.full((num_layers,),
+                             4 if quant_enabled else 8, jnp.int32)
+    else:
+        qbits_arr = jnp.asarray(quant_bits, jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1136,6 +1391,7 @@ def fused_decode_attention(
         lengths.astype(jnp.int32),
         jnp.asarray(layer, jnp.int32).reshape(1),
         alive_bits,
+        qbits_arr,
         qbd,
         k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         v_new.astype(jnp.float32).reshape(b, 1, hkv * d),
@@ -1147,12 +1403,13 @@ def fused_decode_attention(
     # planes the kernel doesn't carry pass through untouched (pytree
     # structure must match the input when planes ride a scan carry)
     kmsb2 = planes2.pop(0) if quant_on else k_quant.msb
+    klsb2_2 = planes2.pop(0) if has_lsb2 else k_quant.lsb2
     kfull2 = planes2.pop(0)
     vmsb2 = planes2.pop(0) if vmsb_on else v_quant.msb
     vfull2 = planes2.pop(0)
 
     k2 = qz.QuantizedKV(full=kfull2, msb=kmsb2, scale=kscale2,
-                        lsb2=k_quant.lsb2)
+                        lsb2=klsb2_2)
     v2 = qz.QuantizedKV(full=vfull2, msb=vmsb2, scale=vscale2,
                         lsb2=v_quant.lsb2)
     if not stacked:

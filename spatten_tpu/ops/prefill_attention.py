@@ -92,7 +92,6 @@ def prefill_attention(
             jnp.broadcast_to(head_mask[None], (b, hq))
 
     half_blocks = max(1, nblk // 2)
-    quarter_blocks = max(1, nblk // 4)
     p1_idx = None
     if quant_enabled and pass1_bits is not None:
         p1_idx = jnp.clip((jnp.asarray(pass1_bits, jnp.int32) - 4) // 2,
@@ -123,13 +122,20 @@ def prefill_attention(
         return _block(qz.unpack_msb(k_quant.msb), i, block_size, 1
                       ).astype(jnp.float32)           # tiny caps only
 
+    qr4 = qz.pack_unit(cap) // 4   # packed rows per 2-bit quarter-unit
+
     def _lsb2_values(i):
         """Unsigned 2-bit values of token block i, f32 [B, blk, Hkv*D]."""
-        if nblk >= 4:
+        if block_size <= qr4 and qr4 % block_size == 0:
+            # block-local unit layout (qz.pack_lsb2): the block lies in
+            # one quarter of one unit — one row slice, one field shift
+            start_tok = i * block_size
+            r = start_tok % (4 * qr4)
+            qi = r // qr4
+            row0 = (start_tok // (4 * qr4)) * qr4 + (r % qr4)
             pk2 = jax.lax.dynamic_slice_in_dim(
-                k_quant.lsb2, (i % quarter_blocks) * block_size,
-                block_size, axis=1).astype(jnp.int32)
-            shift = 6 - 2 * (i // quarter_blocks)
+                k_quant.lsb2, row0, block_size, axis=1).astype(jnp.int32)
+            shift = 6 - 2 * qi
             return ((pk2 >> shift) & 0x3).astype(jnp.float32)
         return _block(qz.unpack_lsb2(k_quant.lsb2), i, block_size, 1
                       ).astype(jnp.float32)

@@ -135,25 +135,36 @@ def unpack_msb(packed: jax.Array) -> jax.Array:
 
 def pack_lsb2(q8: jax.Array) -> jax.Array:
     """Pack the 2-bit field (bits 3:2) of int8 [..., T, F] into uint8
-    [..., T//4, F] — four tokens per byte, split-token quarters: packed
-    row ``t`` holds token ``t + q*T//4`` in bits ``[7-2q : 6-2q]``."""
-    t = q8.shape[-2]
+    [..., T//4, F] — four tokens per byte, block-local split like the
+    msb plane: within each ``U = pack_unit(T)``-token unit, packed row
+    ``r`` holds token ``u*U + q*U/4 + r`` in bits ``[7-2q : 6-2q]``.
+    One U/4-row fetch therefore carries the 2-bit refinements for the
+    SAME token span as one msb fetch block (the 6-bit pass streams both
+    side by side)."""
+    t, f = q8.shape[-2:]
     assert t % 4 == 0, "token dim must be a multiple of 4 for 2-bit packing"
-    quarter = t // 4
-    f2 = (q8.astype(jnp.int32) >> 2) & 0x3
-    out = jnp.zeros(q8.shape[:-2] + (quarter,) + q8.shape[-1:], jnp.int32)
+    u = pack_unit(t)
+    assert u % 4 == 0
+    qr = u // 4
+    units = q8.reshape(q8.shape[:-2] + (t // u, u, f)).astype(jnp.int32)
+    f2 = (units >> 2) & 0x3
+    out = jnp.zeros(q8.shape[:-2] + (t // u, qr, f), jnp.int32)
     for qi in range(4):
-        out = out | (f2[..., qi * quarter:(qi + 1) * quarter, :]
-                     << (6 - 2 * qi))
-    return out.astype(jnp.uint8)
+        out = out | (f2[..., qi * qr:(qi + 1) * qr, :] << (6 - 2 * qi))
+    return out.astype(jnp.uint8).reshape(q8.shape[:-2] + (t // 4, f))
 
 
 def unpack_lsb2(packed: jax.Array) -> jax.Array:
     """Unpack uint8 [..., T//4, F] to the unsigned 2-bit values
     (in [0, 3]) as int8 [..., T, F]."""
-    p = packed.astype(jnp.int32)
+    h, f = packed.shape[-2:]
+    u = pack_unit(4 * h)
+    qr = u // 4
+    p = packed.reshape(packed.shape[:-2] + (4 * h // u, qr, f)
+                       ).astype(jnp.int32)
     parts = [((p >> (6 - 2 * qi)) & 0x3) for qi in range(4)]
-    return jnp.concatenate(parts, axis=-2).astype(jnp.int8)
+    out = jnp.concatenate(parts, axis=-2)        # [..., T//U, U, F]
+    return out.reshape(packed.shape[:-2] + (4 * h, f)).astype(jnp.int8)
 
 
 def _to_token_major(x_hm: jax.Array) -> jax.Array:
@@ -269,9 +280,10 @@ def update_token(q: QuantizedKV, x_new: jax.Array, index: jax.Array
 
     lsb2 = q.lsb2
     if lsb2 is not None:
-        quarter = t // 4
-        qrow = index % quarter
-        qi = index // quarter                  # which 2-bit lane pair
+        qr4 = u // 4
+        r_in = index % u
+        qi = r_in // qr4                       # 2-bit field within the unit
+        qrow = (index // u) * qr4 + (r_in % qr4)
         old2 = jax.lax.dynamic_index_in_dim(
             lsb2, qrow, axis=lsb2.ndim - 2, keepdims=False).astype(jnp.int32)
         f2 = (fused_row.astype(jnp.int32) >> 2) & 0x3

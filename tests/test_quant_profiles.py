@@ -176,3 +176,80 @@ def test_trace_emits_mixed_bits():
     bits_by_layer = {r.layer_id: r.quant_key_bit for r in rows}
     assert bits_by_layer == {0: 6, 1: 8}
     assert all(not r.if_requant for r in rows if r.layer_id == 1)
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+def test_fused_kernel_honors_pass1_bits(bits):
+    """The fused decode kernel selects its pass-1 plane set at runtime
+    from the scalar-prefetched quant_bits array (interpret mode)."""
+    from spatten_tpu.engine import kv_cache as kvc
+    from spatten_tpu.ops.attention_ref import spatten_attention_reference
+    from spatten_tpu.ops.fused_decode import fused_decode_attention
+    from spatten_tpu.ops.rope import rope_table
+
+    b, hq, hkv, cap, d = 2, 4, 2, 64, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    qh = jax.random.normal(ks[0], (b, hq, 1, d))
+    k = jax.random.normal(ks[1], (b, hkv, cap, d))
+    v = jax.random.normal(ks[2], (b, hkv, cap, d))
+    k_new = jax.random.normal(ks[3], (b, hkv, 1, d))
+    v_new = jax.random.normal(ks[4], (b, hkv, 1, d))
+    kq = qz.quantize(k, with_lsb2=True)
+    vq = qz.quantize(v)
+    cos, sin = rope_table(cap, d)
+    lengths = jnp.array([50, 23], jnp.int32)
+
+    kwargs = dict(sm_scale=0.2, requant_threshold=0.3, quant_enabled=True)
+    cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
+                                  k_new, v_new, lengths - 1)
+    ref_out, ref_stats = spatten_attention_reference(
+        qh, cache_ref.k, cache_ref.v, cos, sin, lengths,
+        lengths[:, None] - 1, use_rope=False,
+        pass1_bits=jnp.int32(bits), **kwargs)
+
+    ker_out, ker_stats, k2, v2 = fused_decode_attention(
+        qh, kq, vq, k_new, v_new, lengths,
+        quant_bits=jnp.array([bits], jnp.int32),
+        interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ker_stats.need_requant),
+                                  np.asarray(ref_stats.need_requant))
+    if bits == 8:
+        assert not np.asarray(ker_stats.need_requant).any()
+    # the lsb2 plane is maintained by the in-kernel append RMW
+    np.testing.assert_array_equal(
+        np.asarray(qz.pack_lsb2(k2.full)), np.asarray(k2.lsb2))
+
+
+def test_fused_kernel_mixed_profile_stacked():
+    """Stacked-layer mode: each layer's scalar-prefetched bits select a
+    different pass-1 plane set (engine-level, via the layer scan)."""
+    from spatten_tpu.engine.state import init_state
+    from spatten_tpu.models import transformer
+
+    cfg = mixed_cfg((4, 6))
+    import dataclasses
+    cfg = dataclasses.replace(cfg, quant=dataclasses.replace(
+        cfg.quant, requant_threshold=0.0, enable_requant=False)).validate()
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(3))
+    toks = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32)[None] % 256,
+                            (2, 6))
+
+    # jnp reference path (use_pallas off)
+    cfg_ref = dataclasses.replace(cfg, engine=dataclasses.replace(
+        cfg.engine, use_pallas=False))
+    st_r = init_state(cfg_ref, batch=2)
+    step_r = jax.jit(transformer.forward, static_argnums=(1,))
+    lg_r, st_r, _ = step_r(params, cfg_ref, st_r, toks)
+    lg_r2, _, _ = step_r(params, cfg_ref, st_r,
+                         jnp.zeros((2, 1), jnp.int32))
+
+    # kernel path (interpret on CPU)
+    st_k = init_state(cfg, batch=2)
+    step_k = jax.jit(transformer.forward, static_argnums=(1,))
+    lg_k, st_k, _ = step_k(params, cfg, st_k, toks)
+    lg_k2, _, _ = step_k(params, cfg, st_k, jnp.zeros((2, 1), jnp.int32))
+    # prefill runs the same jnp path; the decode step runs the kernel
+    np.testing.assert_allclose(np.asarray(lg_k2), np.asarray(lg_r2),
+                               atol=2e-4, rtol=1e-3)
