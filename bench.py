@@ -113,6 +113,10 @@ def build_cfg(spatten: bool, cache: int, batch: int):
             # importance every 32 decode steps)
             enable_head_pruning=True, head_keep=head_keep,
             head_update_interval=32,
+            # bf16 accumulator: half the importance HBM traffic; the
+            # reference accumulates in 12-bit fixed point, so an 8-bit
+            # mantissa ranking signal is comparable fidelity
+            importance_dtype="bfloat16",
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True)

@@ -203,6 +203,11 @@ class PruningConfig:
     #   (spatten_llm/pos_shift/modify_llama.py:115-119 + sum(0).sum(1)).
     importance_kind: str = "prob"
     cascade_accumulate: bool = True  # accumulate importance across steps
+    # Accumulator storage dtype.  "bfloat16" halves the accumulator's HBM
+    # traffic (it is read+written every decode step); its 8-bit mantissa
+    # is comparable to the reference's 12-bit fixed-point importance
+    # (SpAttenController score_buf) and importance is a ranking signal.
+    importance_dtype: str = "float32"
 
     @property
     def cache_size(self) -> int:

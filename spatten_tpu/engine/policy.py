@@ -27,7 +27,7 @@ def head_importance_from_state(state: DecodeState) -> jax.Array:
     cap = state.importance.shape[-1]
     valid = (jnp.arange(cap)[None, :] <
              state.lengths[:, None])[None, :, None, :]    # [1, B, 1, C]
-    imp = jnp.where(valid, state.importance, 0.0)
+    imp = jnp.where(valid, state.importance.astype(jnp.float32), 0.0)
     return imp.sum(axis=(1, 3))                           # [L, Hkv]
 
 

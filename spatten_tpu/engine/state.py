@@ -85,7 +85,7 @@ def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
                                  with_msb=cfg.quant.enabled,
                                  with_lsb2=cfg.quant.needs_lsb2),
         importance=jnp.zeros((m.num_layers, b, m.num_kv_heads, cap),
-                             jnp.float32),
+                             jnp.dtype(cfg.pruning.importance_dtype)),
         lengths=jnp.zeros((b,), jnp.int32),
         layer_lengths=jnp.zeros((m.num_layers, b), jnp.int32),
         head_mask=jnp.ones((m.num_layers, m.num_heads), bool),

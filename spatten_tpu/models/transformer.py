@@ -385,12 +385,13 @@ def run_layers(
             slot = jnp.arange(cap)[None, None, :]
             is_new = ((slot >= lengths_l[:, None, None])
                       & (slot < (lengths_l + s)[:, None, None]))
+            imp_dt = imp.dtype        # storage dtype (f32 or bf16)
             if p.cascade_accumulate:
                 ema = p.importance_ema
-                imp = jnp.where(is_new, 0.0, imp)
-                imp = ema * imp + stats.importance_delta
+                imp = jnp.where(is_new, 0.0, imp.astype(jnp.float32))
+                imp = (ema * imp + stats.importance_delta).astype(imp_dt)
             else:
-                imp = stats.importance_delta
+                imp = stats.importance_delta.astype(imp_dt)
 
         x = out_mlp(x, lp, attn_out)
         layer_out = (layer_cache, imp, lengths_l + s,

@@ -155,7 +155,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  importance_ema: float = 1.0, skip_append: bool = False,
                  head_gating: bool = False, npj: int = 1, batch: int = 1,
                  vmsb_on: bool = True, sc_blocked: bool = False,
-                 mixed_profile: bool = False, has_lsb2: bool = False):
+                 mixed_profile: bool = False, has_lsb2: bool = False,
+                 imp_dtype=jnp.float32):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
@@ -850,45 +851,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         probs_all = probs_scr[:] * hmask_rows           # [rows, C]
 
-        # --- importance epilogue (cascade pruning signal) ----------------
-        if track_importance:
-            if importance_kind == "prob":
-                delta_rows = probs_all
-            else:
-                delta_rows = jnp.where(valid, scores_scr[:], 0.0) * \
-                    hmask_rows
-            if group > 1:
-                delta = jnp.sum(delta_rows.reshape(hpp, group, cap),
-                                axis=1)                 # [hpp, C]
-            else:
-                delta = delta_rows
-            if accumulate_importance:
-                if not sc_blocked:
-                    imp_read.wait()
-                old_imp = imp_scr[...]
-                prev = jnp.where(col_h == idx, 0.0, old_imp)
-                if importance_ema != 1.0:
-                    prev = prev * importance_ema
-                imp_scr[...] = jnp.where(
-                    alive_hpp > 0.0, prev + delta, old_imp)
-            else:
-                imp_scr[...] = delta
-        else:
-            imp_scr[...] = jnp.zeros((hpp, 128), jnp.float32)
-        if sc_blocked:
-            imp_out[0, 0] = imp_scr[...]
-        else:
-            if accumulate_importance:
-                imp_wb = pltpu.make_async_copy(imp_scr, sc_slice(imp_out),
-                                               sc_sem.at[5])
-            else:
-                imp_wb = pltpu.make_async_copy(
-                    imp_scr,
-                    imp_out.at[0, b, :, :] if npj == 1 else
-                    imp_out.at[0, b, pl.ds(j * hpp, hpp), :],
-                    sc_sem.at[5])
-            imp_wb.start()
-
         # --- local V pruning: exact per-row block keep mask + gated
         # coarse-grained fetch ---------------------------------------------
         if do_vprune:
@@ -943,6 +905,46 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             keep_gb = None
             gbits = None
             kept_new = 1.0
+
+        # --- importance epilogue (cascade pruning signal) ----------------
+        if track_importance:
+            if importance_kind == "prob":
+                delta_rows = probs_all
+            else:
+                delta_rows = jnp.where(valid, scores_scr[:], 0.0) * \
+                    hmask_rows
+            if group > 1:
+                delta = jnp.sum(delta_rows.reshape(hpp, group, cap),
+                                axis=1)                 # [hpp, C]
+            else:
+                delta = delta_rows
+            if accumulate_importance:
+                if not sc_blocked:
+                    imp_read.wait()
+                old_imp = imp_scr[...].astype(jnp.float32)
+                prev = jnp.where(col_h == idx, 0.0, old_imp)
+                if importance_ema != 1.0:
+                    prev = prev * importance_ema
+                imp_scr[...] = jnp.where(
+                    alive_hpp > 0.0, prev + delta, old_imp
+                ).astype(imp_dtype)
+            else:
+                imp_scr[...] = delta.astype(imp_dtype)
+        else:
+            imp_scr[...] = jnp.zeros((hpp, 128), imp_dtype)
+        if sc_blocked:
+            imp_out[0, 0] = imp_scr[...]
+        else:
+            if accumulate_importance:
+                imp_wb = pltpu.make_async_copy(imp_scr, sc_slice(imp_out),
+                                               sc_sem.at[5])
+            else:
+                imp_wb = pltpu.make_async_copy(
+                    imp_scr,
+                    imp_out.at[0, b, :, :] if npj == 1 else
+                    imp_out.at[0, b, pl.ds(j * hpp, hpp), :],
+                    sc_sem.at[5])
+            imp_wb.start()
 
         # ------------------------------------------------------------------
         # Append modify + write start (RMW reads landed during phase A).
@@ -1182,6 +1184,8 @@ def fused_decode_attention(
     sc_blocked = not (hpp % 8 == 0 or (npj == 1 and 8 % hpp == 0))
     mixed_profile = quant_enabled and quant_bits is not None
     has_lsb2 = mixed_profile and k_quant.lsb2 is not None
+    imp_dtype = (importance_in.dtype if importance_in is not None
+                 else jnp.float32)
     if has_lsb2:
         assert cap >= 32, "6-bit profiles need cap >= 32 (8-row lsb2 RMW)"
     kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
@@ -1195,7 +1199,7 @@ def fused_decode_attention(
         importance_ema=importance_ema, skip_append=_skip_append,
         head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on,
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
-        has_lsb2=has_lsb2)
+        has_lsb2=has_lsb2, imp_dtype=imp_dtype)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1214,7 +1218,7 @@ def fused_decode_attention(
 
     imp_cols = cap if track_importance else 128
     if accumulate:
-        imp_in = importance_in.astype(jnp.float32)   # [L, B, Hkv, C]
+        imp_in = importance_in                       # [L, B, Hkv, C]
         imp_shape = imp_in.shape
     else:
         imp_in = jnp.zeros((1, b, hkv, imp_cols), jnp.float32)
@@ -1291,7 +1295,7 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct((b, rows_total, d), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.int32),
-        jax.ShapeDtypeStruct(imp_shape, jnp.float32),
+        jax.ShapeDtypeStruct(imp_shape, imp_dtype),
         jax.ShapeDtypeStruct(k_quant.scale.shape, jnp.float32),
         jax.ShapeDtypeStruct(v_quant.scale.shape, jnp.float32),
     ]
@@ -1335,7 +1339,7 @@ def fused_decode_attention(
     scratch += [
         pltpu.VMEM((hpp, cap), jnp.float32),        # ksc slice
         pltpu.VMEM((hpp, cap), jnp.float32),        # vsc slice
-        pltpu.VMEM((hpp, imp_cols), jnp.float32),   # imp slice
+        pltpu.VMEM((hpp, imp_cols), imp_dtype),     # imp slice
     ]
     if quant_on:
         scratch.append(pltpu.VMEM((ps, pblk, slab), jnp.uint8))

@@ -253,3 +253,31 @@ def test_fused_kernel_mixed_profile_stacked():
     # prefill runs the same jnp path; the decode step runs the kernel
     np.testing.assert_allclose(np.asarray(lg_k2), np.asarray(lg_r2),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_bf16_importance_matches_f32_pruning_decisions():
+    """bf16 importance storage is a ranking signal: the cascade prune
+    keeps (nearly) the same tokens as f32 accumulation."""
+    from spatten_tpu.engine.state import init_state
+    from spatten_tpu.models import transformer
+    import spatten_tpu.engine.generate as gen
+
+    def run(dtype):
+        cfg = SpAttenConfig(
+            model=ModelConfig.tiny(),
+            pruning=PruningConfig(start_size=2, important_size=8,
+                                  recent_size=8, v_block_size=4,
+                                  importance_dtype=dtype),
+            quant=QuantConfig(requant_threshold=0.1),
+            engine=EngineConfig(max_batch_size=1, cache_capacity=32,
+                                prefill_chunk=8),
+        ).validate()
+        params = transformer.init_params(cfg.model, jax.random.PRNGKey(4))
+        prompt = (jnp.arange(14, dtype=jnp.int32) * 7)[None] % 255
+        r = gen.generate(params, cfg, prompt, max_new_tokens=24)
+        return np.asarray(r.tokens)
+
+    t32 = run("float32")
+    t16 = run("bfloat16")
+    # decode trajectories agree (identical pruning keeps identical tokens)
+    assert (t32 == t16).mean() > 0.9, (t32, t16)
