@@ -119,7 +119,11 @@ def build_cfg(spatten: bool, cache: int, batch: int):
             importance_dtype="bfloat16",
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
-                            requant_threshold=0.05, quantize_queries=True)
+                            requant_threshold=0.05, quantize_queries=True,
+                            # bf16 scales: half the per-step scale-plane
+                            # traffic, within the reference's 12-bit
+                            # fixed-point fidelity
+                            scale_dtype="float32")
     else:
         # honest dense-int8 baseline: the SAME fused kernel in dense mode
         # (length-gated K and V fetch, int8 KV + int8 queries on the
@@ -128,7 +132,8 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         pruning = PruningConfig(enable_token_pruning=False,
                                 enable_v_pruning=False)
         quant = QuantConfig(enabled=False, enable_requant=False,
-                            quantize_queries=True)
+                            quantize_queries=True,
+                            scale_dtype="float32")
     return SpAttenConfig(
         model=shard_model_cfg(), pruning=pruning, quant=quant,
         engine=EngineConfig(max_batch_size=batch, cache_capacity=cache,
@@ -205,10 +210,10 @@ def warm_cache_content(cfg, state):
         ln = layer_lengths[:, :, None, None]                 # [L, B, 1, 1]
         sink = t < jnp.maximum(ln // 20, 4)
         recent = (t >= (ln * 4) // 5) & (t < ln)
-        kscale = jnp.where(sink | recent, 0.57, 0.03).astype(jnp.float32)
+        sdt = jnp.dtype(cfg.quant.scale_dtype)
+        kscale = jnp.where(sink | recent, 0.57, 0.03).astype(sdt)
         kscale = jnp.broadcast_to(kscale, (L, bsz, m.num_kv_heads, cap))
-        vscale = jnp.full((L, bsz, m.num_kv_heads, cap), 1.0 / 127,
-                          jnp.float32)
+        vscale = jnp.full((L, bsz, m.num_kv_heads, cap), 1.0 / 127, sdt)
         k = qz.QuantizedKV(full=full, msb=msb, scale=kscale)
         v = qz.QuantizedKV(full=full, msb=None, scale=vscale)
         return kvc.LayerKVCache(k=k, v=v)

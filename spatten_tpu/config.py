@@ -116,6 +116,11 @@ class QuantConfig:
     enabled: bool = True
     requant_threshold: float = 0.08
     enable_requant: bool = True
+    # Per-(token, head) K/V scale storage dtype.  The scale planes are
+    # read every decode step ([Hkv, C] per layer per sequence);
+    # "bfloat16" halves that traffic at ~0.4% relative dequant error on
+    # top of int8's own step size (the reference's entire number system
+    # is 12-bit fixed, MatrixFetcher.scala:333-361).
     scale_dtype: str = "float32"
     # Per-layer pass-1 bit widths (the reference's per-request
     # QuantProfile, SpAtten.scala:71-74 + MatrixFetcher.scala:48-51 —

@@ -39,7 +39,8 @@ class LayerKVCache(NamedTuple):
 
 def init_layer_cache(batch: int, kv_heads: int, capacity: int,
                      head_dim: int, with_msb: bool = True,
-                     with_lsb2: bool = False) -> LayerKVCache:
+                     with_lsb2: bool = False,
+                     scale_dtype=jnp.float32) -> LayerKVCache:
     """K carries the progressive-quantization planes (4-bit msb and,
     under a 6-bit profile, the 2-bit lsb2); V carries only the full int8
     plane — the P·V pass reads full precision (value_bits=8 policy), so
@@ -50,7 +51,8 @@ def init_layer_cache(batch: int, kv_heads: int, capacity: int,
                            jnp.int8),
             msb=jnp.zeros((batch, capacity // 2, kv_heads * head_dim),
                           jnp.uint8) if msb else None,
-            scale=jnp.ones((batch, kv_heads, capacity), jnp.float32),
+            scale=jnp.ones((batch, kv_heads, capacity),
+                           jnp.dtype(scale_dtype)),
             lsb2=jnp.zeros((batch, capacity // 4, kv_heads * head_dim),
                            jnp.uint8) if lsb2 else None,
         )
@@ -61,10 +63,11 @@ def init_layer_cache(batch: int, kv_heads: int, capacity: int,
 
 def init_stacked_cache(num_layers: int, batch: int, kv_heads: int,
                        capacity: int, head_dim: int, with_msb: bool = True,
-                       with_lsb2: bool = False) -> LayerKVCache:
+                       with_lsb2: bool = False,
+                       scale_dtype=jnp.float32) -> LayerKVCache:
     """Layer-stacked cache (leading [L, B]) for lax.scan over layers."""
     one = init_layer_cache(batch, kv_heads, capacity, head_dim, with_msb,
-                           with_lsb2)
+                           with_lsb2, scale_dtype)
     return jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (num_layers,) + a.shape), one
     )
@@ -89,8 +92,8 @@ def _append_rows(q: qz.QuantizedKV, x_new: jax.Array, start: jax.Array
     start = start.astype(jnp.int32)
     full = jax.lax.dynamic_update_slice(q.full, fused,
                                         (start, jnp.int32(0)))
-    scale = jax.lax.dynamic_update_slice(q.scale, scale_new,
-                                         (jnp.int32(0), start))
+    scale = jax.lax.dynamic_update_slice(
+        q.scale, scale_new.astype(q.scale.dtype), (jnp.int32(0), start))
     return qz.QuantizedKV(
         full=full,
         msb=qz.pack_msb(full) if q.msb is not None else None,

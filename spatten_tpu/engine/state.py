@@ -83,7 +83,8 @@ def init_state(cfg: SpAttenConfig, batch: int | None = None) -> DecodeState:
         cache=init_stacked_cache(m.num_layers, b, m.num_kv_heads, cap,
                                  m.head_dim,
                                  with_msb=cfg.quant.enabled,
-                                 with_lsb2=cfg.quant.needs_lsb2),
+                                 with_lsb2=cfg.quant.needs_lsb2,
+                                 scale_dtype=cfg.quant.scale_dtype),
         importance=jnp.zeros((m.num_layers, b, m.num_kv_heads, cap),
                              jnp.dtype(cfg.pruning.importance_dtype)),
         lengths=jnp.zeros((b,), jnp.int32),

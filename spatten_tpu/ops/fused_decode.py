@@ -156,7 +156,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  head_gating: bool = False, npj: int = 1, batch: int = 1,
                  vmsb_on: bool = True, sc_blocked: bool = False,
                  mixed_profile: bool = False, has_lsb2: bool = False,
-                 imp_dtype=jnp.float32):
+                 imp_dtype=jnp.float32, sc_dtype=jnp.float32):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
@@ -533,6 +533,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             if not do_vprune:
                 for f in range(vs):
                     v_io(f, do_wait=False, extra_cond=any_t, tgt=tgt)
+            else:
+                # speculative: the sink block (block 0) is kept in
+                # essentially every step (StreamingLLM attention mass),
+                # so fetch it before the keep mask exists — this hides
+                # the P·V pipeline-fill latency behind phase A
+                v_io(0, do_wait=False, extra_cond=any_t, tgt=tgt)
 
         # the first instance fills its own pipeline; every other
         # instance's prologue was issued by its predecessor
@@ -565,38 +571,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         vnew = vnew_ref[0].astype(jnp.float32)
         kq8, ksc_lane, ksc_col = quant_row(knew)
         vq8, vsc_lane, vsc_col = quant_row(vnew)
-        is_new_col = (col1 == idx).astype(jnp.float32)  # [1, C]
-        if not sc_blocked:
-            ksc_read.wait()
-            vsc_read.wait()
-        ksc_scr[...] = jnp.where(col_h == idx, ksc_col, ksc_scr[...])
-        vsc_scr[...] = jnp.where(col_h == idx, vsc_col, vsc_scr[...])
-        if sc_blocked:
-            # aliased VMEM blocks write back on instance exit
-            kscale_out[0, 0] = ksc_scr[...]
-            vscale_out[0, 0] = vsc_scr[...]
-        else:
-            # the scale planes are aliased in place, so HBM already holds
-            # every unchanged column — write back only the (lane-aligned)
-            # window holding the appended column, not the whole plane
-            scwin = min(128, cap)
-            cstart = (idx // scwin) * scwin
-
-            def sc_win(ref):
-                if npj == 1:
-                    return ref.at[lv, b, :, pl.ds(cstart, scwin)]
-                return ref.at[lv, b, pl.ds(j * hpp, hpp),
-                              pl.ds(cstart, scwin)]
-
-            ksc_wb = pltpu.make_async_copy(
-                ksc_scr.at[:, pl.ds(cstart, scwin)],
-                sc_win(kscale_out), sc_sem.at[3])
-            vsc_wb = pltpu.make_async_copy(
-                vsc_scr.at[:, pl.ds(cstart, scwin)],
-                sc_win(vscale_out), sc_sem.at[4])
-            ksc_wb.start()
-            vsc_wb.start()
-
         # ------------------------------------------------------------------
         # Queries: block-diagonal [rows, slab]; optional int8 quant for
         # integer MXU dots (the reference quantizes queries too).
@@ -616,14 +590,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             qsum = jnp.sum(q_all, axis=-1, keepdims=True)
             rowscale = 1.0
             acc = jnp.float32
-
-        # per-row K scale columns (row r uses its head's scales)
-        kscale_hpp = ksc_scr[...]                       # [hpp, C] updated
-        kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
-                       if group > 1 else kscale_hpp)    # [rows, C]
-        vscale_hpp = vsc_scr[...]
-        vscale_rows = (jnp.repeat(vscale_hpp, group, axis=0)
-                       if group > 1 else vscale_hpp)
 
         # new-token score patches: the appended row's K may race the
         # fetch, so its column is recomputed from registers
@@ -728,6 +694,60 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             def _():
                 kfull_scores_pipeline(
                     scores_scr, alive_gate if head_gating else None)
+        elif quant_enabled:
+            msb_scores_pipeline()
+        else:
+            kfull_scores_pipeline(
+                scores_scr, alive_gate if head_gating else None)
+
+        # scale/importance DMAs (started at instance entry) are consumed
+        # only now — their latency hid behind the whole score pipeline
+        is_new_col = (col1 == idx).astype(jnp.float32)  # [1, C]
+        if not sc_blocked:
+            ksc_read.wait()
+            vsc_read.wait()
+        ksc_scr[...] = jnp.where(col_h == idx, ksc_col,
+                                 ksc_scr[...].astype(jnp.float32)
+                                 ).astype(sc_dtype)
+        vsc_scr[...] = jnp.where(col_h == idx, vsc_col,
+                                 vsc_scr[...].astype(jnp.float32)
+                                 ).astype(sc_dtype)
+        if sc_blocked:
+            # aliased VMEM blocks write back on instance exit
+            kscale_out[0, 0] = ksc_scr[...]
+            vscale_out[0, 0] = vsc_scr[...]
+        else:
+            # the scale planes are aliased in place, so HBM already holds
+            # every unchanged column — write back only the (lane-aligned)
+            # window holding the appended column, not the whole plane
+            scwin = min(128, cap)
+            cstart = (idx // scwin) * scwin
+
+            def sc_win(ref):
+                if npj == 1:
+                    return ref.at[lv, b, :, pl.ds(cstart, scwin)]
+                return ref.at[lv, b, pl.ds(j * hpp, hpp),
+                              pl.ds(cstart, scwin)]
+
+            ksc_wb = pltpu.make_async_copy(
+                ksc_scr.at[:, pl.ds(cstart, scwin)],
+                sc_win(kscale_out), sc_sem.at[3])
+            vsc_wb = pltpu.make_async_copy(
+                vsc_scr.at[:, pl.ds(cstart, scwin)],
+                sc_win(vscale_out), sc_sem.at[4])
+            ksc_wb.start()
+            vsc_wb.start()
+
+        # per-row K scale columns (row r uses its head's scales)
+        kscale_hpp = ksc_scr[...].astype(jnp.float32)   # [hpp, C] updated
+        kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
+                       if group > 1 else kscale_hpp)    # [rows, C]
+        vscale_hpp = vsc_scr[...].astype(jnp.float32)
+        vscale_rows = (jnp.repeat(vscale_hpp, group, axis=0)
+                       if group > 1 else vscale_hpp)
+
+
+        if quant_enabled and mixed_profile:
             # scr-equivalent value per profile: n4 (x16), n6 (x4), or k8
             mid6 = qz.MIDPOINT6 - 128.0
             mid4 = qz.MSB_MIDPOINT - 128.0
@@ -749,15 +769,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             p1_offset = (rowscale * qsum) * (
                 kscale_rows * (moff * sm_scale))
         elif quant_enabled:
-            msb_scores_pipeline()
             # real score = (q*qscale)·((k4*16 + MID)*kscale)
             p1_scale = kscale_rows * (16.0 * sm_scale)
             p1_offset = (rowscale * qsum) * (
                 kscale_rows * ((qz.MSB_MIDPOINT - 128.0) * sm_scale))
             patch = patch1
         else:
-            kfull_scores_pipeline(
-                scores_scr, alive_gate if head_gating else None)
             p1_scale = kscale_rows * sm_scale
             p1_offset = 0.0
             patch = patch_full
@@ -899,7 +916,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             kept_new = jnp.sum(
                 jnp.where(nvb_iota == idx // v_block, keep_gb, 0.0),
                 axis=-1, keepdims=True)                  # [rows, 1]
-            for f in range(vs):
+            # block 0 was fetched speculatively in the prologue
+            for f in range(1, vs):
                 v_io(f, do_wait=False, extra_cond=(gbits & (1 << f)) > 0)
         else:
             keep_gb = None
@@ -1028,6 +1046,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             ecol = jax.lax.broadcasted_iota(jnp.int32, (vpf, fblk), 1)
             expand_f = (erow == ecol // v_block).astype(jnp.float32)
         pvacc_scr[...] = jnp.zeros((rows, slab), jnp.float32)
+        if do_vprune:
+            # consume the speculative sink-block DMA with ITS start
+            # condition (issued before the keep mask existed)
+            @pl.when(any_alive & (length > 0))
+            def _():
+                pltpu.make_async_copy(
+                    vfull_out.at[lv, b, pl.ds(0, fblk),
+                                 pl.ds(lane0, slab)],
+                    v_scr.at[0], v_sem.at[0]).wait()
         for f in range(nfb):
             if do_vprune:
                 gate_f = ((gbits & (1 << f)) > 0) & (f * fblk < length)
@@ -1036,10 +1063,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
             @pl.when(gate_f)
             def _(f=f):
-                pltpu.make_async_copy(
-                    vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
-                                 pl.ds(lane0, slab)],
-                    v_scr.at[f % vs], v_sem.at[f % vs]).wait()
+                if not (do_vprune and f == 0):   # spec block: waited above
+                    pltpu.make_async_copy(
+                        vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
+                                     pl.ds(lane0, slab)],
+                        v_scr.at[f % vs], v_sem.at[f % vs]).wait()
                 vb = v_scr[f % vs].astype(jnp.float32)
                 pb = pvmat[:, f * fblk:(f + 1) * fblk]
                 if do_vprune:
@@ -1057,15 +1085,18 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                          extra_cond=(gbits & (1 << (f + vs))) > 0)
                 else:
                     v_io(f + vs, do_wait=False, extra_cond=any_alive)
-        # V slots idle: fill the successor's V pipeline (static gating
-        # only — with V pruning the successor's keep mask doesn't exist
-        # yet, so its V fetches are issued mid-instance by itself)
-        if not do_vprune:
-            @pl.when(has_succ)
-            def _():
+        # V slots idle: fill the successor's V pipeline (with V pruning
+        # the successor's keep mask doesn't exist yet, so only its
+        # speculative sink block prefetches; the rest it issues itself)
+        @pl.when(has_succ)
+        def _():
+            if not do_vprune:
                 for f in range(vs):
                     v_io(f, do_wait=False, extra_cond=succ_tgt[3],
                          tgt=succ_tgt)
+            else:
+                v_io(0, do_wait=False, extra_cond=succ_tgt[3],
+                     tgt=succ_tgt)
 
         out_full = pvacc_scr[...]                       # [rows, slab]
         # block-diag extract: mask off-head chunks, fold chunks onto D
@@ -1186,6 +1217,7 @@ def fused_decode_attention(
     has_lsb2 = mixed_profile and k_quant.lsb2 is not None
     imp_dtype = (importance_in.dtype if importance_in is not None
                  else jnp.float32)
+    sc_dtype = k_quant.scale.dtype
     if has_lsb2:
         assert cap >= 32, "6-bit profiles need cap >= 32 (8-row lsb2 RMW)"
     kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
@@ -1199,7 +1231,7 @@ def fused_decode_attention(
         importance_ema=importance_ema, skip_append=_skip_append,
         head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on,
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
-        has_lsb2=has_lsb2, imp_dtype=imp_dtype)
+        has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1296,8 +1328,8 @@ def fused_decode_attention(
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.int32),
         jax.ShapeDtypeStruct(imp_shape, imp_dtype),
-        jax.ShapeDtypeStruct(k_quant.scale.shape, jnp.float32),
-        jax.ShapeDtypeStruct(v_quant.scale.shape, jnp.float32),
+        jax.ShapeDtypeStruct(k_quant.scale.shape, k_quant.scale.dtype),
+        jax.ShapeDtypeStruct(v_quant.scale.shape, v_quant.scale.dtype),
     ]
     out_shape += [jax.ShapeDtypeStruct(arr.shape, dt)
                   for arr, dt in plane_ops]
@@ -1337,8 +1369,8 @@ def fused_decode_attention(
     if vmsb_on:
         scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # vmapp
     scratch += [
-        pltpu.VMEM((hpp, cap), jnp.float32),        # ksc slice
-        pltpu.VMEM((hpp, cap), jnp.float32),        # vsc slice
+        pltpu.VMEM((hpp, cap), sc_dtype),           # ksc slice
+        pltpu.VMEM((hpp, cap), sc_dtype),           # vsc slice
         pltpu.VMEM((hpp, imp_cols), imp_dtype),     # imp slice
     ]
     if quant_on:
