@@ -120,6 +120,7 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True,
+                            pv_int8=True,
                             # bf16 scales: half the per-step scale-plane
                             # traffic, within the reference's 12-bit
                             # fixed-point fidelity
@@ -132,7 +133,7 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         pruning = PruningConfig(enable_token_pruning=False,
                                 enable_v_pruning=False)
         quant = QuantConfig(enabled=False, enable_requant=False,
-                            quantize_queries=True,
+                            quantize_queries=True, pv_int8=True,
                             scale_dtype="float32")
     return SpAttenConfig(
         model=shard_model_cfg(), pruning=pruning, quant=quant,

@@ -137,6 +137,14 @@ class QuantConfig:
     # the approximation, not this).  Requires rope_mode="cached" (rotation
     # must already be folded into the stored keys).
     quantize_queries: bool = False
+    # P·V on the integer MXU: the stored int8 V rows are consumed by the
+    # matmul directly (no per-block dequant pass on the VPU) and the
+    # probability*vscale row weights quantize to 8 bits (the reference's
+    # P·V runs on 12-bit fixed-point probabilities,
+    # MultiplyValue.scala:19-66).  Applies to the decode kernel in BOTH
+    # quantized and dense (int8-KV) modes — it is a compute-precision
+    # knob, not a storage one.
+    pv_int8: bool = False
 
     @property
     def disabled(self) -> "QuantConfig":

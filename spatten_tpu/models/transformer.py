@@ -325,6 +325,7 @@ def run_layers(
                             if q.enabled and q.layer_bits is not None
                             else None),
                 quantize_queries=q.quantize_queries,
+                pv_int8=q.pv_int8,
                 track_importance=track_importance,
                 importance_ema=p.importance_ema,
                 **attn_kwargs(hmask_l),

@@ -156,7 +156,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  head_gating: bool = False, npj: int = 1, batch: int = 1,
                  vmsb_on: bool = True, sc_blocked: bool = False,
                  mixed_profile: bool = False, has_lsb2: bool = False,
-                 imp_dtype=jnp.float32, sc_dtype=jnp.float32):
+                 imp_dtype=jnp.float32, sc_dtype=jnp.float32,
+                 pv_int8: bool = False):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
@@ -599,21 +600,26 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         patch1 = jnp.sum(qf * k4new, axis=-1, keepdims=True)      # [rows,1]
         patch_full = jnp.sum(qf * kq8, axis=-1, keepdims=True)
 
+        # integer dots must pin DEFAULT precision: a global
+        # jax_default_matmul_precision=highest stamps fp32 contract
+        # precision onto them, which Mosaic rejects ("Bad lhs type")
+        _idot_prec = jax.lax.Precision.DEFAULT
+
         def score_block(kblk, target_scr, t):
             s_blk = jax.lax.dot_general(
                 q_mat, kblk, (((1,), (1,)), ((), ())),
-                preferred_element_type=acc)
+                preferred_element_type=acc,
+                precision=_idot_prec if int_dots else None)
             target_scr[:, pl.ds(t * pblk, pblk)] = s_blk.astype(jnp.float32)
 
         def kblk_msb(i, hi):
-            """Unsigned-nibble unpack n = k4 + 8 (one xor, no sign
-            extension; int32 vectors — Mosaic lacks int16 shifts); the +8
-            bias folds into the score offset:
+            """Unpack the biased nibble n = k4 + 8 (stored biased by
+            qz._nibble, so no xor here; int32 vectors — Mosaic lacks
+            int16 shifts); the +8 bias folds into the score offset:
             k8 ~ k4*16 + MID == n*16 + (MID - 128)."""
             rows_k = kmsb_scr[i % ps]
             nib = rows_k.astype(jnp.int32)
-            nib = (nib >> 4) if hi else (nib & 0xF)
-            n = nib ^ 8
+            n = (nib >> 4) if hi else (nib & 0xF)
             return n.astype(jnp.int8) if int_dots \
                 else n.astype(jnp.float32)
 
@@ -627,18 +633,55 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             [(2i+1)*pblk, +pblk); both halves score as soon as the block
             lands, then the freed slot prefetches block i + ps.  Under a
             6-bit profile the 2-bit plane streams alongside and refines
-            the nibble scores in place: scr <- 4*s_n4 + s_l2 == q . n6."""
+            the nibble scores in place: scr <- 4*s_n4 + s_l2 == q . n6.
+
+            With integer-valued queries (quantize_queries) the two
+            nibble halves score WITHOUT a per-half unpack: the stored
+            nibbles are biased non-negative (n = k4 + 8, qz._nibble), so
+            byte == 16*n_hi + n_lo and one matmul over the raw packed
+            bytes yields s_byte == 16*s_hi + s_lo; one hi-extraction
+            (astype, *1/16, floor) and a second matmul give s_hi, and
+            s_lo == s_byte - 16*s_hi.  All quantities are integers
+            < 2^24, so f32 inputs and accumulation are EXACT —
+            bit-identical to the unpacked int path at half the VPU work
+            (the kernel's phase-A bottleneck).  This is the TPU form of
+            MatrixFetcher's bitwidth-converter (MatrixFetcher.scala:
+            333-361): the 'conversion' rides the MXU for free."""
             for i in range(num_pblk):
                 msb_io(i, do_wait=True)
 
-                @pl.when(2 * i * pblk < length)
-                def _(i=i):
-                    score_block(kblk_msb(i, True), scores_scr, 2 * i)
+                if quantize_queries:
+                    @pl.when(2 * i * pblk < length)
+                    def _(i=i):
+                        # Mosaic has no direct uint8 -> f32 cast
+                        byte_f = kmsb_scr[i % ps].astype(jnp.int32
+                                                         ).astype(jnp.float32)
+                        a_f = jnp.floor(byte_f * 0.0625)
+                        # DEFAULT precision (single-pass bf16 inputs) is
+                        # EXACT here: every operand is an integer < 2^8
+                        s_hi = jax.lax.dot_general(
+                            qf, a_f, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                        scores_scr[:, pl.ds(2 * i * pblk, pblk)] = s_hi
 
-                @pl.when((2 * i + 1) * pblk < length)
-                def _(i=i):
-                    score_block(kblk_msb(i, False), scores_scr,
-                                2 * i + 1)
+                        @pl.when((2 * i + 1) * pblk < length)
+                        def _():
+                            s_byte = jax.lax.dot_general(
+                                qf, byte_f, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+                            scores_scr[:, pl.ds((2 * i + 1) * pblk, pblk)
+                                       ] = s_byte - 16.0 * s_hi
+                else:
+                    @pl.when(2 * i * pblk < length)
+                    def _(i=i):
+                        score_block(kblk_msb(i, True), scores_scr, 2 * i)
+
+                    @pl.when((2 * i + 1) * pblk < length)
+                    def _(i=i):
+                        score_block(kblk_msb(i, False), scores_scr,
+                                    2 * i + 1)
                 if has_lsb2:
                     lsb2_io(i, do_wait=True)
                     for t_off in (0, 1):
@@ -654,7 +697,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                       else l2.astype(jnp.float32))
                                 s_l2 = jax.lax.dot_general(
                                     q_mat, l2, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=acc
+                                    preferred_element_type=acc,
+                                    precision=(_idot_prec if int_dots
+                                               else None)
                                 ).astype(jnp.float32)
                                 cds = pl.ds(t * pblk + qh * qblk, qblk)
                                 scores_scr[:, cds] = \
@@ -994,7 +1039,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             for scr, q8row in nib_pairs:
                 old = scr[...].astype(jnp.int32)
                 nib = jnp.broadcast_to(
-                    (q8row.astype(jnp.int32) >> 4) & 0xF, (8, slab))
+                    ((q8row.astype(jnp.int32) >> 4) & 0xF) ^ 8, (8, slab))
                 newb = jnp.where(is_hi,
                                  (nib << 4) | (old & 0x0F),
                                  (old & jnp.int32(0xF0)) | nib)
@@ -1038,6 +1083,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         p_idx = jnp.sum(probs_all * is_new_col, axis=-1,
                         keepdims=True) * kept_new       # [rows, 1]
         pvmat = (probs_all * (1.0 - is_new_col)) * vscale_rows
+        if pv_int8:
+            # integer P·V: the stored int8 V rows feed the MXU DIRECTLY
+            # (no [blk, slab] astype pass — the VPU cost that made dense
+            # P·V compute-bound); the probability*vscale weights quantize
+            # to 8 bits per row (the reference's P·V runs on 12-bit
+            # fixed-point probs, MultiplyValue.scala:19-66 — same idea,
+            # theirs is 12-bit).  w >= 0, so the full int8 range is
+            # [0, 127]; a dead row (wmax == 0) contributes exact zeros.
+            wmax = jnp.max(pvmat, axis=-1, keepdims=True)   # [rows, 1]
+            wrecip = 127.0 / jnp.maximum(wmax, 1e-30)
         if do_vprune:
             # keep-mask lane expansion constant for one fetch block:
             # [vpf, fblk] 0/1, applied per fired block (replaces a whole
@@ -1045,7 +1100,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             erow = jax.lax.broadcasted_iota(jnp.int32, (vpf, fblk), 0)
             ecol = jax.lax.broadcasted_iota(jnp.int32, (vpf, fblk), 1)
             expand_f = (erow == ecol // v_block).astype(jnp.float32)
-        pvacc_scr[...] = jnp.zeros((rows, slab), jnp.float32)
+        pvacc_scr[...] = jnp.zeros(
+            (rows, slab), jnp.int32 if pv_int8 else jnp.float32)
         if do_vprune:
             # consume the speculative sink-block DMA with ITS start
             # condition (issued before the keep mask existed)
@@ -1068,7 +1124,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
                                      pl.ds(lane0, slab)],
                         v_scr.at[f % vs], v_sem.at[f % vs]).wait()
-                vb = v_scr[f % vs].astype(jnp.float32)
                 pb = pvmat[:, f * fblk:(f + 1) * fblk]
                 if do_vprune:
                     keep_exp = jax.lax.dot_general(
@@ -1076,9 +1131,18 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     pb = pb * keep_exp
-                pvacc_scr[...] += jax.lax.dot_general(
-                    pb, vb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                if pv_int8:
+                    pb8 = jnp.clip(jnp.round(pb * wrecip), 0.0, 127.0
+                                   ).astype(jnp.int8)
+                    pvacc_scr[...] += jax.lax.dot_general(
+                        pb8, v_scr[f % vs], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                        precision=jax.lax.Precision.DEFAULT)
+                else:
+                    pvacc_scr[...] += jax.lax.dot_general(
+                        pb, v_scr[f % vs].astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             if f + vs < nfb:
                 if do_vprune:
                     v_io(f + vs, do_wait=False,
@@ -1098,7 +1162,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 v_io(0, do_wait=False, extra_cond=succ_tgt[3],
                      tgt=succ_tgt)
 
-        out_full = pvacc_scr[...]                       # [rows, slab]
+        if pv_int8:
+            out_full = pvacc_scr[...].astype(jnp.float32) * (
+                wmax * (1.0 / 127.0))                   # [rows, slab]
+        else:
+            out_full = pvacc_scr[...]                   # [rows, slab]
         # block-diag extract: mask off-head chunks, fold chunks onto D
         # with a constant tiled-identity matmul (no lane reshapes)
         li_s = jax.lax.broadcasted_iota(jnp.int32, (slab, d), 0) % d
@@ -1165,6 +1233,11 @@ def fused_decode_attention(
                                    #   per-request QuantProfile as data
                                    #   (SpAtten.scala:71-74).  6-bit
                                    #   layers need k_quant.lsb2.
+    pv_int8: bool = False,         # P·V on the integer MXU: stored int8 V
+                                   #   rows consumed directly, prob*vscale
+                                   #   weights quantized to 8 bits per row
+                                   #   (the reference's P·V is 12-bit
+                                   #   fixed, MultiplyValue.scala)
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
@@ -1218,6 +1291,9 @@ def fused_decode_attention(
     imp_dtype = (importance_in.dtype if importance_in is not None
                  else jnp.float32)
     sc_dtype = k_quant.scale.dtype
+    # integer P·V needs an int8-tileable row count (same constraint as
+    # the int8 QK dots)
+    pv_int8 = pv_int8 and (rows_p % 8 == 0 or 8 % rows_p == 0)
     if has_lsb2:
         assert cap >= 32, "6-bit profiles need cap >= 32 (8-row lsb2 RMW)"
     kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
@@ -1231,7 +1307,8 @@ def fused_decode_attention(
         importance_ema=importance_ema, skip_append=_skip_append,
         head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on,
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
-        has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype)
+        has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype,
+        pv_int8=pv_int8)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1390,7 +1467,8 @@ def fused_decode_attention(
                                   jnp.float32))
     scratch += [
         pltpu.VMEM((vs, fblk, slab), jnp.int8),    # v slots
-        pltpu.VMEM((rows_p, slab), jnp.float32),   # pv accumulator
+        pltpu.VMEM((rows_p, slab),
+                   jnp.int32 if pv_int8 else jnp.float32),  # pv acc
         pltpu.SemaphoreType.DMA((5,)),
     ]
     if quant_on:

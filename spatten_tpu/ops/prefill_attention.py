@@ -118,7 +118,7 @@ def prefill_attention(
             pk = jax.lax.dynamic_slice_in_dim(
                 k_quant.msb, row0, block_size, axis=1).astype(jnp.int32)
             nib = jnp.where(is_hi, pk >> 4, pk & 0xF)
-            return ((nib ^ 8) - 8).astype(jnp.float32)
+            return (nib - 8).astype(jnp.float32)   # nibbles store k4 + 8
         return _block(qz.unpack_msb(k_quant.msb), i, block_size, 1
                       ).astype(jnp.float32)           # tiny caps only
 

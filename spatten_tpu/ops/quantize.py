@@ -56,7 +56,9 @@ class QuantizedKV(NamedTuple):
     """A quantized K or V tensor with its bit-sliced planes (token-major).
 
     full:  int8  [..., T, H*D]
-    msb:   uint8 [..., T//2, H*D]   packed nibble plane, or None when
+    msb:   uint8 [..., T//2, H*D]   packed nibble plane holding BIASED
+                                    nibbles n = (full >> 4) + 8 (see
+                                    _nibble), or None when
                                     progressive quantization is off (a
                                     dense engine never reads MSBs, so it
                                     never pays their HBM footprint)
@@ -91,8 +93,16 @@ class QuantizedKV(NamedTuple):
 
 
 def _nibble(q8: jax.Array) -> jax.Array:
-    """MSB nibble of an int8 value as uint8 in [0, 15]."""
-    return (q8.astype(jnp.int32) >> 4).astype(jnp.uint8) & jnp.uint8(0xF)
+    """Biased MSB nibble ``n = k4 + 8`` of an int8 value, uint8 in [0, 15].
+
+    The +8 bias (an XOR of the sign bit) is applied at PACK time so the
+    decode kernel can score packed bytes **without unpacking**: with
+    ``byte == 16*n_hi + n_lo`` (both halves biased, non-negative),
+    ``q . byte == 16*(q . n_hi) + (q . n_lo)`` — one matmul over the raw
+    packed plane plus one hi-nibble extraction recovers both token
+    halves' scores (see fused_decode.msb_scores_pipeline)."""
+    nib = (q8.astype(jnp.int32) >> 4) & 0xF
+    return (nib ^ 8).astype(jnp.uint8)
 
 
 def pack_unit(tokens: int, target: int = 1024) -> int:
@@ -127,8 +137,8 @@ def unpack_msb(packed: jax.Array) -> jax.Array:
     u = pack_unit(2 * h)
     p = packed.reshape(packed.shape[:-2] + (2 * h // u, u // 2, f)
                        ).astype(jnp.int32)
-    hi = ((p >> 4) ^ 8) - 8          # sign-extend 4-bit
-    lo = ((p & 0xF) ^ 8) - 8
+    hi = (p >> 4) - 8                # un-bias (nibbles store n = k4 + 8)
+    lo = (p & 0xF) - 8
     out = jnp.concatenate([hi, lo], axis=-2)     # [..., T//U, U, F]
     return out.reshape(packed.shape[:-2] + (2 * h, f)).astype(jnp.int8)
 

@@ -236,6 +236,27 @@ def test_fused_int8_queries_full_pipeline():
                                atol=0.05, rtol=0.1)
 
 
+@pytest.mark.parametrize("quant", [True, False])
+def test_fused_pv_int8_close_to_f32(quant):
+    """Integer-MXU P·V (8-bit prob*vscale weights on stored int8 V) must
+    track the f32-accumulation kernel within the 8-bit weight step."""
+    q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(
+        jax.random.PRNGKey(21))
+    kwargs = dict(sm_scale=0.18,
+                  requant_threshold=0.15 if quant else 0.0,
+                  quant_enabled=quant, v_keep=24, v_block_size=16,
+                  quantize_queries=True, interpret=True)
+    out_f, _, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, lengths, **kwargs)
+    out_i, _, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, lengths, pv_int8=True, **kwargs)
+    f = np.asarray(out_f)
+    err = np.abs(np.asarray(out_i) - f)
+    # error budget: one 8-bit weight step per live token, |v8| <= 127
+    assert float(err.max()) <= 0.08 * max(1.0, float(np.abs(f).max())), \
+        (err.max(), np.abs(f).max())
+
+
 def test_fused_importance_accumulate_in_place():
     b, hkv, cap = 2, 2, 64
     imp0 = jax.random.uniform(jax.random.PRNGKey(8), (b, hkv, cap))

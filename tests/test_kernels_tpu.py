@@ -33,7 +33,7 @@ from spatten_tpu.ops.fused_decode import fused_decode_attention
 def run_hw(key, *, b=2, hq=4, hkv=4, cap=2048, d=128, length=1500,
            sm_scale=0.12, requant_threshold=0.0, quant_enabled=True,
            v_keep=0, v_block_size=64, head_mask=None,
-           quantize_queries=False, v_msb=False):
+           quantize_queries=False, v_msb=False, pv_int8=False):
     ks = jax.random.split(key, 6)
     q = jax.random.normal(ks[0], (b, hq, 1, d), jnp.float32)
     k = jax.random.normal(ks[1], (b, hkv, cap, d), jnp.float32)
@@ -57,7 +57,7 @@ def run_hw(key, *, b=2, hq=4, hkv=4, cap=2048, d=128, length=1500,
         lengths[:, None] - 1, use_rope=False, **kwargs)
 
     step = jax.jit(lambda *a: fused_decode_attention(
-        *a, quantize_queries=quantize_queries, **kwargs),
+        *a, quantize_queries=quantize_queries, pv_int8=pv_int8, **kwargs),
         donate_argnums=(1, 2))
     ker_out, ker_stats, k2, v2 = step(q, kq, vq, k_new, v_new, lengths)
     return (ref_out, ref_stats), (ker_out, ker_stats), lengths
@@ -123,6 +123,14 @@ def test_hw_gpt2_d64_dense():
                          cap=2048, d=64, length=1800,
                          quant_enabled=False, quantize_queries=True)
     check(ref, ker)
+
+
+def test_hw_pv_int8_bench_path():
+    """The headline bench numerics on hardware: int8 queries (algebra
+    nibble scoring) + integer-MXU P·V + requant + V pruning."""
+    ref, ker, _ = run_hw(jax.random.PRNGKey(7), requant_threshold=0.02,
+                         v_keep=512, quantize_queries=True, pv_int8=True)
+    check(ref, ker, atol=6e-2)
 
 
 def test_hw_6bit_profile():
