@@ -121,9 +121,10 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True,
                             pv_int8=True,
-                            # bf16 scales: half the per-step scale-plane
-                            # traffic, within the reference's 12-bit
-                            # fixed-point fidelity
+                            # f32 scales measure faster than bf16 here:
+                            # the kernel reads scale slices per LIVE block
+                            # and the bf16->f32 converts outweigh the
+                            # halved DMA bytes
                             scale_dtype="float32")
     else:
         # honest dense-int8 baseline: the SAME fused kernel in dense mode
@@ -162,7 +163,7 @@ def warm_state(cfg, state):
         # prunes, so warm + total decoded steps must stay inside the
         # capacity (an overrun would clamp-overwrite the last slot)
         import os as _os
-        steps = int(_os.environ.get("SPATTEN_BENCH_STEPS", 64))
+        steps = int(_os.environ.get("SPATTEN_BENCH_STEPS", 128))
         budget = (1 + 3) * steps + 8
         warm = min(int(cfg.engine.cache_capacity * 0.9),
                    cfg.engine.cache_capacity - budget)
@@ -382,7 +383,7 @@ def main():
     from spatten_tpu.models import transformer
     from spatten_tpu.models.weight_quant import quantize_params
 
-    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 64))
+    steps = int(os.environ.get("SPATTEN_BENCH_STEPS", 128))
     default_points = ("2048x64,1024x64" if BENCH_MODEL == "gpt2-small"
                       else "16384x32,8192x32,4096x16")
     points = os.environ.get("SPATTEN_BENCH_POINTS", default_points)

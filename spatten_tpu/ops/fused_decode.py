@@ -255,7 +255,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if (not quant_enabled) or do_requant or mixed_profile:
             kfull_scr = next(it)           # [ts, pblk, slab] int8 slots
         scores_scr = next(it)              # [rows, C] f32
-        probs_scr = next(it)               # [rows, C] f32
+        probs_scr = next(it)               # [rows, C] f32 (UNNORMALIZED e)
+        mrow_scr = next(it)                # (rows, 128) f32 running max
+        den_scr = next(it)                 # (rows, 128) f32 denominator
+        if pv_int8:
+            emv_scr = next(it)             # (rows, 128) f32 max(e*vscale)
         if do_requant:
             scores2_scr = next(it)         # [rows, C] f32 (full-plane pass)
         if do_vprune:
@@ -294,9 +298,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         l2row = (idx // (2 * pblk)) * qblk + (r_u % qblk)
         l2start = (l2row // 8) * 8
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 1)
-        valid = col < length               # [rows, C]
-        col1 = col[:1]                     # [1, C]
         col_h = jax.lax.broadcasted_iota(jnp.int32, (hpp, cap), 1)
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         hpp_iota = jax.lax.broadcasted_iota(jnp.int32, (hpp, 1), 0)
@@ -719,15 +720,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 if t + ts < num_tblk:
                     kfull_io(t + ts, do_wait=False, gates=gates)
 
-        def softmax_rows(s, colscale, coloffset):
-            s = (s * rowscale) * colscale + coloffset
-            s_masked = jnp.where(valid, s, MASK_VALUE)
-            m = jnp.max(s_masked, axis=-1, keepdims=True)
-            e = jnp.exp(s_masked - m)
-            e = jnp.where(valid, e, 0.0)
-            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-            return s, e / denom
-
         # --- pass 1: QK on the profile's plane set (4/6-bit nibble paths
         # or the full plane — statically the full plane when dense) ------
         if quant_enabled and mixed_profile:
@@ -747,7 +739,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         # scale/importance DMAs (started at instance entry) are consumed
         # only now — their latency hid behind the whole score pipeline
-        is_new_col = (col1 == idx).astype(jnp.float32)  # [1, C]
         if not sc_blocked:
             ksc_read.wait()
             vsc_read.wait()
@@ -783,14 +774,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             ksc_wb.start()
             vsc_wb.start()
 
-        # per-row K scale columns (row r uses its head's scales)
-        kscale_hpp = ksc_scr[...].astype(jnp.float32)   # [hpp, C] updated
-        kscale_rows = (jnp.repeat(kscale_hpp, group, axis=0)
-                       if group > 1 else kscale_hpp)    # [rows, C]
-        vscale_hpp = vsc_scr[...].astype(jnp.float32)
-        vscale_rows = (jnp.repeat(vscale_hpp, group, axis=0)
-                       if group > 1 else vscale_hpp)
+        # per-block scale slices (row r uses its head's scales); the
+        # full-capacity kscale_rows/vscale_rows materializations are gone —
+        # every consumer below reads a [rows, blk] slice of a LIVE block
+        def ksc_blk(lo, size):
+            kb = ksc_scr[:, pl.ds(lo, size)].astype(jnp.float32)
+            return jnp.repeat(kb, group, axis=0) if group > 1 else kb
 
+        def vsc_blk(lo, size):
+            vb = vsc_scr[:, pl.ds(lo, size)].astype(jnp.float32)
+            return jnp.repeat(vb, group, axis=0) if group > 1 else vb
 
         if quant_enabled and mixed_profile:
             # scr-equivalent value per profile: n4 (x16), n6 (x4), or k8
@@ -810,19 +803,23 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 mult = jnp.where(bits == 8, 1.0, 16.0)
                 moff = jnp.where(bits == 8, 0.0, mid4)
                 patch = jnp.where(bits == 8, patch_full, patch1)
-            p1_scale = kscale_rows * (mult * sm_scale)
-            p1_offset = (rowscale * qsum) * (
-                kscale_rows * (moff * sm_scale))
+            mult_sm = mult * sm_scale
+            moff_sm = moff * sm_scale
         elif quant_enabled:
             # real score = (q*qscale)·((k4*16 + MID)*kscale)
-            p1_scale = kscale_rows * (16.0 * sm_scale)
-            p1_offset = (rowscale * qsum) * (
-                kscale_rows * ((qz.MSB_MIDPOINT - 128.0) * sm_scale))
+            mult_sm = 16.0 * sm_scale
+            moff_sm = (qz.MSB_MIDPOINT - 128.0) * sm_scale
             patch = patch1
         else:
-            p1_scale = kscale_rows * sm_scale
-            p1_offset = 0.0
+            mult_sm = sm_scale
+            moff_sm = 0.0
             patch = patch_full
+        # scaled score of block t == ksc_blk * (s_raw * rs_mult + off2);
+        # the requant (full-plane) pass uses rs_full with zero offset
+        rs_mult = rowscale * mult_sm               # [rows, 1] (or scalar)
+        has_off = quant_enabled                    # dense: moff_sm == 0
+        off2 = (rowscale * qsum) * moff_sm if has_off else None  # [rows, 1]
+        rs_full = rowscale * sm_scale
 
         # pass-1 K slots are idle from here on (requant uses its own
         # stream in quant mode): fill the successor's K pipeline so it
@@ -850,15 +847,90 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     kfull_io(i, do_wait=False,
                              gates=succ_tgt[4], tgt=succ_tgt)
 
-        s_all = jnp.where(col == idx, patch, scores_scr[:])
-        s_all, probs_all = softmax_rows(s_all, p1_scale, p1_offset)
-        scores_scr[:] = s_all
-        probs_scr[:] = probs_all
+        # ------------------------------------------------------------------
+        # Live-window epilogue: every column-space pass below runs per
+        # LIVE pblk block (gated on `length`), never over the full
+        # capacity — the engine's steady state keeps ~0.2-0.5x of the
+        # physical capacity live (cascade budgets), and full-capacity VPU
+        # passes would otherwise dominate the instance at large caps.
+        # Softmax is two block passes (scale + running max, then
+        # exp + denominator); the max softmax probability for the requant
+        # decision is 1/denominator EXACTLY (the max column's e ==
+        # exp(0) == 1), so no third pass is needed.
+        # ------------------------------------------------------------------
+        col_p = jax.lax.broadcasted_iota(jnp.int32, (rows, pblk), 1)
+
+        def scale_pass():
+            """scores_scr <- scaled+masked pass-1 scores (patched at the
+            appended column), block-gated; mrow_scr <- running row max."""
+            mrow_scr[...] = jnp.full((rows, 128), MASK_VALUE, jnp.float32)
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    colt = col_p + t * pblk
+                    s = scores_scr[:, pl.ds(t * pblk, pblk)]
+                    s = jnp.where(colt == idx, patch, s)
+                    s = s * rs_mult
+                    if has_off:
+                        s = s + off2
+                    s = s * ksc_blk(t * pblk, pblk)
+                    s = jnp.where(colt < length, s, MASK_VALUE)
+                    scores_scr[:, pl.ds(t * pblk, pblk)] = s
+                    mrow_scr[...] = jnp.maximum(
+                        mrow_scr[...], jnp.max(s, axis=-1, keepdims=True))
+
+        def merge_pass(fire_rows):
+            """Requant merge: firing rows take the scaled full-plane
+            scores from scores2_scr (their gates were fetched); the rest
+            keep scores_scr, which is already scaled."""
+            mrow_scr[...] = jnp.full((rows, 128), MASK_VALUE, jnp.float32)
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    colt = col_p + t * pblk
+                    s2 = scores2_scr[:, pl.ds(t * pblk, pblk)]
+                    s2 = jnp.where(colt == idx, patch_full, s2)
+                    s2 = (s2 * rs_full) * ksc_blk(t * pblk, pblk)
+                    s2 = jnp.where(colt < length, s2, MASK_VALUE)
+                    s = jnp.where(fire_rows, s2,
+                                  scores_scr[:, pl.ds(t * pblk, pblk)])
+                    scores_scr[:, pl.ds(t * pblk, pblk)] = s
+                    mrow_scr[...] = jnp.maximum(
+                        mrow_scr[...], jnp.max(s, axis=-1, keepdims=True))
+
+        def exp_pass():
+            """probs_scr <- UNNORMALIZED e = exp(s - m) per live block
+            (masked columns underflow to exactly 0); den_scr <- row sums;
+            emv_scr <- running max of e*vscale (integer-P·V weight
+            bound)."""
+            m = jnp.max(mrow_scr[...], axis=-1, keepdims=True)
+            den_scr[...] = jnp.zeros((rows, 128), jnp.float32)
+            if pv_int8:
+                emv_scr[...] = jnp.zeros((rows, 128), jnp.float32)
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    e = jnp.exp(scores_scr[:, pl.ds(t * pblk, pblk)] - m)
+                    probs_scr[:, pl.ds(t * pblk, pblk)] = e
+                    den_scr[...] = den_scr[...] + jnp.sum(
+                        e, axis=-1, keepdims=True)
+                    if pv_int8:
+                        emv_scr[...] = jnp.maximum(
+                            emv_scr[...],
+                            jnp.max(e * vsc_blk(t * pblk, pblk),
+                                    axis=-1, keepdims=True))
+
+        scale_pass()
+        exp_pass()
+
+        def row_den():
+            return jnp.maximum(
+                jnp.max(den_scr[...], axis=-1, keepdims=True), 1e-30)
 
         # --- requant decision (RequantDecision.scala:69-76) --------------
         # max prob is pre-head-mask (only fully-dead groups zero), matching
         # the reference's RequantDecision placement before head masking
-        maxp_rows = jnp.max(probs_all, axis=-1, keepdims=True)
+        maxp_rows = 1.0 / row_den()                     # [rows, 1]
         mp_h = jnp.zeros((hpp, 1), jnp.float32)
         for h in range(hpp):
             mp = jnp.max(jnp.where(head_of_row == h, maxp_rows, 0.0))
@@ -898,20 +970,30 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 for i in range(ts):
                     kfull_io(i, do_wait=False, gates=gate_fire)
                 kfull_scores_pipeline(scores2_scr, gate_fire)
-                s2 = jnp.where(col == idx, patch_full, scores2_scr[:])
-                s2 = (s2 * rowscale) * (kscale_rows * sm_scale)
-                s_merged = jnp.where(fire_rows, s2, scores_scr[:])
-                s_masked = jnp.where(valid, s_merged, MASK_VALUE)
-                m = jnp.max(s_masked, axis=-1, keepdims=True)
-                e = jnp.where(valid, jnp.exp(s_masked - m), 0.0)
-                den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
-                                  1e-30)
-                scores_scr[:] = s_merged
-                probs_scr[:] = e / den
+                merge_pass(fire_rows)
+                exp_pass()
         else:
             need_ref[0] = jnp.zeros((hpp, 128), jnp.int32)
 
-        probs_all = probs_scr[:] * hmask_rows           # [rows, C]
+        # final row statistics (the requant pass, when it ran, refreshed
+        # the scratch accumulators in place)
+        den = row_den()
+        inv_den = 1.0 / den                             # [rows, 1]
+        m_fin = jnp.max(mrow_scr[...], axis=-1, keepdims=True)
+        wrow = hmask_rows * inv_den                     # [rows, 1]
+        # the appended column's probability from registers (its stored K
+        # may race the fetch): e_idx = exp(s_idx - m)
+        ksc_col_rows = (jnp.repeat(ksc_col, group, axis=0)
+                        if group > 1 else ksc_col)      # [rows, 1]
+        s_idx = patch * rs_mult
+        if has_off:
+            s_idx = s_idx + off2
+        s_idx = s_idx * ksc_col_rows
+        if do_requant:
+            s_idx2 = (patch_full * rs_full) * ksc_col_rows
+            s_idx = jnp.where(jnp.logical_and(fire_rows, any_need),
+                              s_idx2, s_idx)
+        e_idx = jnp.exp(s_idx - m_fin)                  # [rows, 1]
 
         # --- local V pruning: exact per-row block keep mask + gated
         # coarse-grained fetch ---------------------------------------------
@@ -930,10 +1012,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 @pl.when(t * pblk < length)
                 def _(t=t):
                     mass_scr[:, pl.ds(t * vpt, vpt)] = jax.lax.dot_general(
-                        probs_all[:, t * pblk:(t + 1) * pblk], agg_t,
+                        probs_scr[:, t * pblk:(t + 1) * pblk], agg_t,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-            mass = mass_scr[...]                        # [rows, nvb]
+            # e-scaled mass: the per-row 1/denominator factor changes
+            # neither the per-row ranking, the kth threshold, nor mass>0
+            mass = mass_scr[...] * hmask_rows           # [rows, nvb]
             kth = _kth_largest(mass, keep_blocks)       # [rows]
             keep_gb = ((mass >= kth[..., None]) & (mass > 0.0)
                        ).astype(jnp.float32)            # [rows, nvb]
@@ -970,29 +1054,42 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             kept_new = 1.0
 
         # --- importance epilogue (cascade pruning signal) ----------------
+        # block-gated: only LIVE columns update; dead columns keep their
+        # old accumulator bytes (write-back is a no-op there) or, in
+        # delta mode, the zero fill
         if track_importance:
-            if importance_kind == "prob":
-                delta_rows = probs_all
-            else:
-                delta_rows = jnp.where(valid, scores_scr[:], 0.0) * \
-                    hmask_rows
-            if group > 1:
-                delta = jnp.sum(delta_rows.reshape(hpp, group, cap),
-                                axis=1)                 # [hpp, C]
-            else:
-                delta = delta_rows
-            if accumulate_importance:
-                if not sc_blocked:
-                    imp_read.wait()
-                old_imp = imp_scr[...].astype(jnp.float32)
-                prev = jnp.where(col_h == idx, 0.0, old_imp)
-                if importance_ema != 1.0:
-                    prev = prev * importance_ema
-                imp_scr[...] = jnp.where(
-                    alive_hpp > 0.0, prev + delta, old_imp
-                ).astype(imp_dtype)
-            else:
-                imp_scr[...] = delta.astype(imp_dtype)
+            col_hp = jax.lax.broadcasted_iota(jnp.int32, (hpp, pblk), 1)
+            if accumulate_importance and not sc_blocked:
+                imp_read.wait()
+            if not accumulate_importance:
+                imp_scr[...] = jnp.zeros((hpp, cap), imp_dtype)
+            drow = wrow if importance_kind == "prob" else hmask_rows
+            for t in range(num_tblk):
+                @pl.when(t * pblk < length)
+                def _(t=t):
+                    ds_ = pl.ds(t * pblk, pblk)
+                    if importance_kind == "prob":
+                        dsrc = probs_scr[:, ds_] * drow
+                    else:
+                        colt = col_p + t * pblk
+                        dsrc = jnp.where(colt < length,
+                                         scores_scr[:, ds_], 0.0) * drow
+                    if group > 1:
+                        delta = jnp.sum(dsrc.reshape(hpp, group, pblk),
+                                        axis=1)         # [hpp, pblk]
+                    else:
+                        delta = dsrc
+                    if accumulate_importance:
+                        old = imp_scr[:, ds_].astype(jnp.float32)
+                        prev = jnp.where(col_hp + t * pblk == idx, 0.0,
+                                         old)
+                        if importance_ema != 1.0:
+                            prev = prev * importance_ema
+                        imp_scr[:, ds_] = jnp.where(
+                            alive_hpp > 0.0, prev + delta, old
+                        ).astype(imp_dtype)
+                    else:
+                        imp_scr[:, ds_] = delta.astype(imp_dtype)
         else:
             imp_scr[...] = jnp.zeros((hpp, 128), imp_dtype)
         if sc_blocked:
@@ -1076,13 +1173,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # ------------------------------------------------------------------
         # P·V: streamed per-fetch-block matmuls + block-diag extraction.
         # Unfetched (pruned-away) blocks skip both the DMA wait and the
-        # matmul — their probabilities are exactly zero via keep_cols.
+        # matmul; probability weights are built per FIRED block from the
+        # unnormalized e plane (w = e * hmask/den * vscale, appended
+        # column zeroed — its contribution is patched from registers).
         # ------------------------------------------------------------------
-        # zero the appended token's (possibly stale) column; its true
-        # contribution is patched from registers below
-        p_idx = jnp.sum(probs_all * is_new_col, axis=-1,
-                        keepdims=True) * kept_new       # [rows, 1]
-        pvmat = (probs_all * (1.0 - is_new_col)) * vscale_rows
+        p_idx = e_idx * wrow * kept_new                 # [rows, 1]
         if pv_int8:
             # integer P·V: the stored int8 V rows feed the MXU DIRECTLY
             # (no [blk, slab] astype pass — the VPU cost that made dense
@@ -1091,8 +1186,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # fixed-point probs, MultiplyValue.scala:19-66 — same idea,
             # theirs is 12-bit).  w >= 0, so the full int8 range is
             # [0, 127]; a dead row (wmax == 0) contributes exact zeros.
-            wmax = jnp.max(pvmat, axis=-1, keepdims=True)   # [rows, 1]
+            # wmax is the exp_pass's running max(e*vscale) * hmask/den —
+            # an upper bound within one idx-column slack of the true max.
+            wmax = jnp.max(emv_scr[...], axis=-1, keepdims=True) * wrow
             wrecip = 127.0 / jnp.maximum(wmax, 1e-30)
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (rows, fblk), 1)
         if do_vprune:
             # keep-mask lane expansion constant for one fetch block:
             # [vpf, fblk] 0/1, applied per fired block (replaces a whole
@@ -1124,7 +1222,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
                                      pl.ds(lane0, slab)],
                         v_scr.at[f % vs], v_sem.at[f % vs]).wait()
-                pb = pvmat[:, f * fblk:(f + 1) * fblk]
+                eb = probs_scr[:, f * fblk:(f + 1) * fblk]
+                pb = (eb * wrow) * vsc_blk(f * fblk, fblk)
+                # zero the appended column (patched from registers) AND
+                # every column at/past `length`: a fetch block may span
+                # into never-written (garbage) pblk blocks when fblk does
+                # not divide pblk, and garbage * 0-keep-mask is NaN-unsafe
+                colt = col_f + f * fblk
+                pb = jnp.where((colt == idx) | (colt >= length), 0.0, pb)
                 if do_vprune:
                     keep_exp = jax.lax.dot_general(
                         keep_gb[:, f * vpf:(f + 1) * vpf], expand_f,
@@ -1458,8 +1563,12 @@ def fused_decode_attention(
         scratch.append(pltpu.VMEM((ts, pblk, slab), jnp.int8))
     scratch += [
         pltpu.VMEM((rows_p, cap), jnp.float32),    # scores
-        pltpu.VMEM((rows_p, cap), jnp.float32),    # probs
+        pltpu.VMEM((rows_p, cap), jnp.float32),    # probs (e)
+        pltpu.VMEM((rows_p, 128), jnp.float32),    # running row max
+        pltpu.VMEM((rows_p, 128), jnp.float32),    # denominator
     ]
+    if pv_int8:
+        scratch.append(pltpu.VMEM((rows_p, 128), jnp.float32))  # emv
     if do_requant:
         scratch.append(pltpu.VMEM((rows_p, cap), jnp.float32))
     if do_vprune:
