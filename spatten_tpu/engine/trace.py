@@ -149,10 +149,19 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
     vbit = 8 if q.enabled else -1
 
     cap = cfg.engine.cache_capacity
-    v_keep = 0
+    # per-layer value budgets, matching the engine (value_fetch_num scales
+    # with the layer's key budget, like the reference traces' cols 6/12)
+    v_keep_l = [0] * m.num_layers
     if p.enable_v_pruning:
-        key_budget = p.cache_size if p.enable_token_pruning else cap
-        v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
+        if p.enable_token_pruning:
+            from spatten_tpu.pruning.token_pruning import \
+                layer_budgets_static
+            budgets = layer_budgets_static(p, m.num_layers)
+            kb_l = [p.start_size + bl + p.recent_size for bl in budgets]
+        else:
+            kb_l = [cap] * m.num_layers
+        v_keep_l = [max(p.v_block_size, int(p.v_keep_ratio * kb))
+                    for kb in kb_l]
 
     for it in range(max_new_tokens):
         token, state, aux = gen.decode_step(params, cfg, state, token)
@@ -169,6 +178,7 @@ def collect_trace(params, cfg, prompt: jax.Array, max_new_tokens: int,
             # (decays across layers when cascade_layer_decay < 1 — the
             # reference traces' per-layer signature)
             kf = int(layer_lengths[layer, sequence])
+            v_keep = v_keep_l[layer]
             for h in range(m.num_kv_heads):
                 alive = hmask[layer, h * group:(h + 1) * group].any()
                 if not alive:

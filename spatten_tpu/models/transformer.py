@@ -203,13 +203,23 @@ def run_layers(
     cos, sin = rope_tables
 
     base_scale = 1.0 / math.sqrt(dh)
-    v_keep = 0
+    v_keep_layers = (0,)
     if p.enable_v_pruning:
-        # value fetch budget relative to the key budget (workload CSVs show
-        # value_fetch_num ≈ 0.2-0.35 × key_fetch_num).  The key budget at
-        # steady state is the pruned cache_size, not the physical capacity.
-        key_budget = p.cache_size if p.enable_token_pruning else cap
-        v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
+        # PER-LAYER value fetch budgets relative to each layer's key
+        # budget (the reference traces show value_fetch_num scaling with
+        # the layer's key_fetch_num, ≈ 0.2-0.35x, CSV cols 6/12) — with a
+        # cascade schedule deep layers keep few tokens, so a global
+        # budget would barely prune them.  Steady-state key budget per
+        # layer = start + cascade budget + recent.
+        if p.enable_token_pruning:
+            from spatten_tpu.pruning.token_pruning import \
+                layer_budgets_static
+            budgets = layer_budgets_static(p, m.num_layers)
+            kb_l = [p.start_size + bl + p.recent_size for bl in budgets]
+        else:
+            kb_l = [cap] * m.num_layers
+        v_keep_layers = tuple(
+            max(p.v_block_size, int(p.v_keep_ratio * kb)) for kb in kb_l)
 
     track_importance = p.enable_token_pruning or p.enable_head_pruning
     on_cpu = jax.default_backend() == "cpu"
@@ -284,12 +294,20 @@ def run_layers(
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         return x + mlp_out + lp.get("b_down", 0)
 
-    def attn_kwargs(hmask_l):
+    def attn_kwargs(hmask_l, layer_idx=None):
+        """layer_idx None -> the fused kernel (takes the whole per-layer
+        budget tuple); a traced index -> jnp paths (scalar budget)."""
+        if not p.enable_v_pruning:
+            vk = 0
+        elif layer_idx is None:
+            vk = v_keep_layers
+        else:
+            vk = jnp.take(jnp.asarray(v_keep_layers, jnp.int32), layer_idx)
         return dict(
             requant_threshold=(q.requant_threshold
                                if (q.enabled and q.enable_requant) else 0.0),
             quant_enabled=q.enabled,
-            v_keep=v_keep,
+            v_keep=vk,
             v_block_size=p.v_block_size,
             head_mask=hmask_l if p.enable_head_pruning else None,
             importance_kind=p.importance_kind,
@@ -363,7 +381,7 @@ def run_layers(
             scanned
 
         qh, kh, vh, pos_l, sm_scale = qkv(x, lp, lengths_l, layer_idx)
-        kwargs = attn_kwargs(hmask_l)
+        kwargs = attn_kwargs(hmask_l, layer_idx)
         kwargs["use_rope"] = (not m.use_abs_pos_emb) and \
             e.rope_mode == "read"
         if q.enabled and q.layer_bits is not None:

@@ -52,7 +52,30 @@ def _group_reduce(x: jax.Array, num_kv_heads: int, op) -> jax.Array:
     return op(x.reshape((b, num_kv_heads, group) + x.shape[2:]), 2)
 
 
-def v_block_keep_mask(probs: jax.Array, v_keep: int, block_size: int
+def kth_block_mass(block_mass: jax.Array, v_keep, block_size: int
+                   ) -> jax.Array:
+    """The keep threshold (k-th largest block mass) per row.
+
+    block_mass: [..., num_blocks]; v_keep: python int (static top-k) or a
+    traced int32 scalar (per-layer value budget — the reference's
+    `value_fetch_num` varies per layer/request, CSV col 12; the TPU form
+    sorts and indexes the k-th element so k may be data).
+    Returns kth [..., 1]; compare `block_mass >= kth` to keep.
+    """
+    num_blocks = block_mass.shape[-1]
+    if isinstance(v_keep, int):
+        keep_blocks = max(1, -(-v_keep // block_size))
+        if keep_blocks >= num_blocks:
+            return jnp.full(block_mass.shape[:-1] + (1,), -jnp.inf)
+        return jax.lax.top_k(block_mass, keep_blocks)[0][..., -1:]
+    kb = jnp.maximum(1, -(-jnp.asarray(v_keep, jnp.int32) // block_size))
+    srt = jnp.sort(block_mass, axis=-1)[..., ::-1]
+    ki = jnp.clip(kb - 1, 0, num_blocks - 1)
+    ki = jnp.broadcast_to(ki, block_mass.shape[:-1])[..., None]
+    return jnp.take_along_axis(srt, ki, axis=-1)
+
+
+def v_block_keep_mask(probs: jax.Array, v_keep, block_size: int
                       ) -> jax.Array:
     """Local V pruning mask at block granularity.
 
@@ -60,17 +83,15 @@ def v_block_keep_mask(probs: jax.Array, v_keep: int, block_size: int
     probability mass; the top ceil(v_keep/block_size) blocks are kept.
     Block granularity mirrors the hardware's buffer-line fetch unit (8 KV
     vectors per line, SpAtten.scala:36-38) and maps to efficient DMA on TPU.
+    `v_keep` may be a traced per-layer scalar (see kth_block_mass).
     Returns a bool mask [..., C].
     """
     cap = probs.shape[-1]
     assert cap % block_size == 0
     num_blocks = cap // block_size
-    keep_blocks = max(1, -(-v_keep // block_size))
-    if keep_blocks >= num_blocks:
-        return jnp.ones(probs.shape, dtype=bool)
     blocked = probs.reshape(probs.shape[:-1] + (num_blocks, block_size))
     block_mass = blocked.sum(axis=-1)
-    kth = jax.lax.top_k(block_mass, keep_blocks)[0][..., -1:]
+    kth = kth_block_mass(block_mass, v_keep, block_size)
     keep = block_mass >= kth                              # [..., num_blocks]
     return jnp.repeat(keep, block_size, axis=-1)
 
@@ -200,7 +221,7 @@ def spatten_attention_reference(
     )                                                            # [B, Hkv, C]
 
     # --- local V pruning: keep top-v_keep tokens' probability mass ---
-    if v_keep > 0:
+    if not isinstance(v_keep, int) or v_keep > 0:
         vmask = v_block_keep_mask(probs, v_keep, v_block_size)
         probs_pv = jnp.where(vmask, probs, 0.0)
     else:

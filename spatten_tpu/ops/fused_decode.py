@@ -166,8 +166,13 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     qblk = max(1, pblk // 2)
     ls = max(2, min(num_pblk, NSLOTS)) if has_lsb2 and num_pblk > 1 else 1
     num_vblk = cap // v_block
-    keep_blocks = max(1, -(-v_keep // v_block)) if v_keep > 0 else 0
-    do_vprune = 0 < v_keep and keep_blocks < num_vblk
+    # v_keep: per-layer value budgets (ints).  The kernel enables the
+    # V-pruning machinery if ANY layer prunes; the per-layer keep count
+    # is read at run time from the scalar-prefetched budget array
+    # (the reference's per-request `value_fetch_num`, CSV col 12).
+    vk_tuple = (v_keep,) if isinstance(v_keep, int) else tuple(v_keep)
+    do_vprune = any(
+        0 < vk and max(1, -(-vk // v_block)) < num_vblk for vk in vk_tuple)
     do_requant = quant_enabled and requant_threshold > 0.0
     # integer-MXU dots need an int8-tileable row count; otherwise keep the
     # query-quantization NUMERICS (round-to-int8 + per-row scale) but feed
@@ -208,6 +213,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                            #   head-liveness bits
         qbits_ref = next(it)               # SMEM int32 [L] per-layer pass-1
                                            #   bits (QuantProfile as data)
+        vkeep_ref = next(it)               # SMEM int32 [L] per-layer value
+                                           #   budget (value_fetch_num)
         qbd_ref = next(it)                 # [1, rows, slab] f32 block-diag
         knew_ref = next(it)                # [1, 1, slab] f32 raw new row
         vnew_ref = next(it)
@@ -270,7 +277,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if quant_enabled:
             kmsb_sem = next(it)            # DMA (ps, ngate)
         if has_lsb2:
-            klsb2_sem = next(it)           # DMA (ls,)
+            klsb2_sem = next(it)           # DMA (ls, ngate)
         kfull_sem = next(it)               # DMA (ts, ngate)
         v_sem = next(it)                   # DMA (vs,)
         sc_sem = next(it)                  # DMA (6,) scale/importance IO
@@ -477,18 +484,38 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         def lsb2_io(i, do_wait, tgt=None):
             """2-bit refinement block i (same token unit as msb block i);
-            fetched only under a 6-bit profile."""
-            bb, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
+            fetched only under a 6-bit profile.  Like the msb/full
+            streams, pruned head groups skip their lane chunks (the
+            reference's pruned heads never issue any fetch)."""
+            bb, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
             slot = i % ls
-            cond = use6 & (2 * i * pblk < len_t) & any_t
+            cond = use6 & (2 * i * pblk < len_t)
+            if not head_gating:
+                cond = cond & any_t
+                gates = None
 
-            @pl.when(cond)
-            def _():
-                cp = pltpu.make_async_copy(
+            def cp(g=None):
+                if g is None:
+                    return pltpu.make_async_copy(
+                        klsb2_out.at[lv, bb, pl.ds(i * qblk, qblk),
+                                     pl.ds(ll, slab)],
+                        klsb2_scr.at[slot], klsb2_sem.at[slot, 0])
+                return pltpu.make_async_copy(
                     klsb2_out.at[lv, bb, pl.ds(i * qblk, qblk),
-                                 pl.ds(ll, slab)],
-                    klsb2_scr.at[slot], klsb2_sem.at[slot])
-                cp.wait() if do_wait else cp.start()
+                                 pl.ds(ll + g * glanes, glanes)],
+                    klsb2_scr.at[slot, :, pl.ds(g * glanes, glanes)],
+                    klsb2_sem.at[slot, g])
+
+            if gates is None:
+                @pl.when(cond)
+                def _():
+                    cp().wait() if do_wait else cp().start()
+            else:
+                for g in range(ngate):
+                    @pl.when(cond & gates[g])
+                    def _(g=g):
+                        c = cp(g)
+                        c.wait() if do_wait else c.start()
 
         def kfull_io(i, do_wait, gates, tgt=None):
             bb, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
@@ -1018,6 +1045,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # e-scaled mass: the per-row 1/denominator factor changes
             # neither the per-row ranking, the kth threshold, nor mass>0
             mass = mass_scr[...] * hmask_rows           # [rows, nvb]
+            # per-layer value budget -> keep count (dynamic k: the
+            # counting kth compares ranks against a traced scalar)
+            keep_blocks = jnp.maximum(
+                1, -(-vkeep_ref[lv] // v_block))
             kth = _kth_largest(mass, keep_blocks)       # [rows]
             keep_gb = ((mass >= kth[..., None]) & (mass > 0.0)
                        ).astype(jnp.float32)            # [rows, nvb]
@@ -1322,7 +1353,9 @@ def fused_decode_attention(
     sm_scale: float = 1.0,
     requant_threshold: float = 0.0,
     quant_enabled: bool = True,
-    v_keep: int = 0,
+    v_keep=0,                      # int, or per-layer ints [L] — the
+                                   #   reference's per-request
+                                   #   value_fetch_num (CSV col 12)
     v_block_size: int = 16,
     head_mask: Optional[jax.Array] = None,
     importance_kind: str = "prob",
@@ -1440,8 +1473,13 @@ def fused_decode_attention(
 
     quant_on = quant_enabled
     do_requant = quant_enabled and requant_threshold > 0.0
-    do_vprune = 0 < v_keep and \
-        (max(1, -(-v_keep // v_block_size)) < cap // v_block_size)
+    vk_tuple = (v_keep,) if isinstance(v_keep, int) else tuple(v_keep)
+    do_vprune = any(
+        0 < vk and max(1, -(-vk // v_block_size)) < cap // v_block_size
+        for vk in vk_tuple)
+    vkeep_arr = jnp.asarray(
+        list(vk_tuple) + [vk_tuple[-1]] * (num_layers - len(vk_tuple)),
+        jnp.int32)
     slab = hpp * d
 
     # scale/importance transport: async DMA of [hpp, C] slices when the
@@ -1515,14 +1553,14 @@ def fused_decode_attention(
     ]
     out_shape += [jax.ShapeDtypeStruct(arr.shape, dt)
                   for arr, dt in plane_ops]
-    # operand index -> output index (operands 0-3 are the scalar prefetch:
-    # lengths, layer, alive bits, quant bits): scales then the plane
-    # operands in order
-    aliases = {7: 4, 8: 5}
+    # operand index -> output index (operands 0-4 are the scalar prefetch:
+    # lengths, layer, alive bits, quant bits, value budgets): scales then
+    # the plane operands in order
+    aliases = {8: 4, 9: 5}
     for p in range(n_planes):
-        aliases[11 + p] = 6 + p
+        aliases[12 + p] = 6 + p
     if accumulate:
-        aliases[10] = 3
+        aliases[11] = 3
 
     # packed per-(batch, gate-group) head-liveness bits for the kernel's
     # scalar gate tests (bit j*ngate+g = any head alive in gate group g of
@@ -1583,7 +1621,7 @@ def fused_decode_attention(
     if quant_on:
         scratch.append(pltpu.SemaphoreType.DMA((ps, ngate)))  # kmsb
     if has_lsb2:
-        scratch.append(pltpu.SemaphoreType.DMA((ls,)))        # klsb2
+        scratch.append(pltpu.SemaphoreType.DMA((ls, ngate)))  # klsb2
     scratch += [
         pltpu.SemaphoreType.DMA((ts, ngate)),
         pltpu.SemaphoreType.DMA((vs,)),
@@ -1597,7 +1635,7 @@ def fused_decode_attention(
         qbits_arr = jnp.asarray(quant_bits, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1615,6 +1653,7 @@ def fused_decode_attention(
         jnp.asarray(layer, jnp.int32).reshape(1),
         alive_bits,
         qbits_arr,
+        vkeep_arr,
         qbd,
         k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         v_new.astype(jnp.float32).reshape(b, 1, hkv * d),

@@ -77,8 +77,9 @@ def prefill_attention(
     assert cap % v_block_size == 0
     nvb = cap // v_block_size
     do_requant = quant_enabled and requant_threshold > 0.0
-    do_vprune = v_keep > 0 and -(-v_keep // v_block_size) < nvb
-    keep_blocks = max(1, -(-v_keep // v_block_size))
+    # v_keep may be a traced per-layer scalar (value budget as data)
+    do_vprune = (not isinstance(v_keep, int)) or \
+        (v_keep > 0 and -(-v_keep // v_block_size) < nvb)
 
     if lengths.ndim == 0:
         lengths = jnp.broadcast_to(lengths, (b,))
@@ -292,7 +293,8 @@ def prefill_attention(
     # ---- local V pruning keep mask ---------------------------------------
     keep_blk = None
     if do_vprune:
-        kth = jax.lax.top_k(mass, keep_blocks)[0][..., -1:]
+        from spatten_tpu.ops.attention_ref import kth_block_mass
+        kth = kth_block_mass(mass, v_keep, v_block_size)
         keep_blk = (mass >= kth).astype(jnp.float32)   # [B, Hq, S, nvb]
 
     # ---- P·V --------------------------------------------------------------

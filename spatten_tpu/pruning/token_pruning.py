@@ -91,6 +91,21 @@ def select_keep_indices(
     )
 
 
+def layer_budgets_static(cfg: PruningConfig, num_layers: int
+                         ) -> tuple[int, ...]:
+    """Per-layer important-region budgets as plain ints (compile-time
+    config math — usable for static kernel-shape decisions)."""
+    floor = max(cfg.v_block_size, 1)
+    ratios = getattr(cfg, "cascade_layer_ratios", None)
+    if ratios:
+        r = list(ratios) + [ratios[-1]] * max(0, num_layers - len(ratios))
+        return tuple(max(floor, int(round(cfg.important_size * r[l])))
+                     for l in range(num_layers))
+    decay = getattr(cfg, "cascade_layer_decay", 1.0)
+    return tuple(max(floor, int(round(cfg.important_size * decay ** l)))
+                 for l in range(num_layers))
+
+
 def layer_budgets(cfg: PruningConfig, num_layers: int) -> jnp.ndarray:
     """Per-layer important-region budgets (the cascade schedule).
 
@@ -99,17 +114,7 @@ def layer_budgets(cfg: PruningConfig, num_layers: int) -> jnp.ndarray:
     layers within one iteration — the defining signature of the reference
     traces (workloads/summary-gpt2-small-wikitext2-per8.csv: 993->921->716).
     """
-    floor = max(cfg.v_block_size, 1)
-    ratios = getattr(cfg, "cascade_layer_ratios", None)
-    if ratios:
-        r = list(ratios) + [ratios[-1]] * max(0, num_layers - len(ratios))
-        vals = [max(floor, int(round(cfg.important_size * r[l])))
-                for l in range(num_layers)]
-    else:
-        decay = getattr(cfg, "cascade_layer_decay", 1.0)
-        vals = [max(floor, int(round(cfg.important_size * decay ** l)))
-                for l in range(num_layers)]
-    return jnp.asarray(vals, jnp.int32)
+    return jnp.asarray(layer_budgets_static(cfg, num_layers), jnp.int32)
 
 
 def select_keep_indices_budgeted(

@@ -236,6 +236,41 @@ def test_fused_int8_queries_full_pipeline():
                                atol=0.05, rtol=0.1)
 
 
+def test_fused_per_layer_v_keep():
+    """Per-layer value budgets (the reference's per-request
+    value_fetch_num, CSV col 12): the stacked kernel with a budget tuple
+    must match the reference evaluated with each layer's scalar."""
+    L = 2
+    vks = (24, 8)
+    keys = jax.random.split(jax.random.PRNGKey(31), L)
+    per_layer = [make_inputs(k, b=1, hq=4, hkv=2, cap=64, d=32,
+                             length=[60]) for k in keys]
+    stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+    kq_all = stack([p[1] for p in per_layer])
+    vq_all = stack([p[2] for p in per_layer])
+    for li in range(L):
+        q, kq, vq, k_new, v_new, cos, sin, lengths = per_layer[li]
+        cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
+                                      k_new, v_new, lengths - 1)
+        ref_out, _ = spatten_attention_reference(
+            q, cache_ref.k, cache_ref.v, cos, sin, lengths,
+            lengths[:, None] - 1, use_rope=False, sm_scale=0.18,
+            v_keep=vks[li], v_block_size=16)
+        # traced-scalar jnp path must agree with the static-int path
+        ref_out_t, _ = spatten_attention_reference(
+            q, cache_ref.k, cache_ref.v, cos, sin, lengths,
+            lengths[:, None] - 1, use_rope=False, sm_scale=0.18,
+            v_keep=jnp.int32(vks[li]), v_block_size=16)
+        np.testing.assert_allclose(np.asarray(ref_out_t),
+                                   np.asarray(ref_out), atol=1e-6)
+        out, _, kq_all, vq_all = fused_decode_attention(
+            q, kq_all, vq_all, k_new, v_new, lengths, sm_scale=0.18,
+            v_keep=vks, v_block_size=16, layer=jnp.int32(li),
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("quant", [True, False])
 def test_fused_pv_int8_close_to_f32(quant):
     """Integer-MXU P·V (8-bit prob*vscale weights on stored int8 V) must

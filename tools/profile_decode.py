@@ -86,8 +86,14 @@ def timed_kernel_only(cfg, steps=64, repeats=3, skip_append=False,
     cap = e.cache_capacity
     v_keep = 0
     if p.enable_v_pruning:
-        key_budget = p.cache_size if p.enable_token_pruning else cap
-        v_keep = max(p.v_block_size, int(p.v_keep_ratio * key_budget))
+        from spatten_tpu.pruning.token_pruning import layer_budgets_static
+        if p.enable_token_pruning:
+            budgets = layer_budgets_static(p, m.num_layers)
+            kb_l = [p.start_size + bl + p.recent_size for bl in budgets]
+        else:
+            kb_l = [cap] * m.num_layers
+        v_keep = tuple(max(p.v_block_size, int(p.v_keep_ratio * kb))
+                       for kb in kb_l)
 
     @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
     def window(carry, n):
@@ -107,6 +113,7 @@ def timed_kernel_only(cfg, steps=64, repeats=3, skip_append=False,
                                        (q.enabled and q.enable_requant)
                                        else 0.0),
                     v_keep=v_keep, v_block_size=p.v_block_size,
+                    pv_int8=q.pv_int8,
                     importance_in=None if no_importance else imp_all,
                     track_importance=not no_importance,
                     layer=layer_idx,
