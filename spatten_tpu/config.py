@@ -267,6 +267,12 @@ class EngineConfig:
     #              Default: the fused decode kernel runs only in this mode
     #              (or for abs-pos models); "read" keeps the jnp path.
     rope_mode: str = "cached"
+    # Permanent head pruning (head_update_interval == 0 keeps the
+    # post-prefill mask fixed): physically compact the attention
+    # projections to the kept heads for the decode loop — pruned heads
+    # stop costing weight bandwidth/FLOPs, not just KV fetches
+    # (transformer.compact_head_params; exact vs the masked forward).
+    compact_pruned_heads: bool = False
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

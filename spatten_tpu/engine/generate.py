@@ -221,9 +221,17 @@ def generate(
             params, cfg, state, prompt[:, pos:pos + n])
         pos += n
 
+    head_compact = None
     if cfg.pruning.enable_head_pruning and cfg.pruning.head_keep > 0:
         from spatten_tpu.engine.policy import update_head_mask
         state = jax.jit(update_head_mask, static_argnums=0)(cfg, state)
+        if (cfg.pruning.head_update_interval == 0
+                and cfg.engine.compact_pruned_heads):
+            # permanent mode: the mask is now fixed — physically compact
+            # the attention projections once for the whole decode
+            head_compact = jax.jit(
+                transformer.compact_head_params, static_argnums=1
+            )(params, cfg, state.head_mask)
 
     first_token = sample_token(last_logits, rng, sampling)
 
@@ -245,7 +253,7 @@ def generate(
     # params is an explicit argument: closure-captured arrays lower as HLO
     # constants (bloating the module; fatal on remote-compile backends)
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
-    def decode_window(params, carry, n):
+    def decode_window(params, carry, n, head_compact=None):
         state, token, done, rng = carry
         state, _ = maybe_prune(cfg, state, n)
         state = maybe_update_head_mask(cfg, state, window=n)
@@ -260,7 +268,8 @@ def generate(
             state, token, done = carry
             logits, state, _ = transformer.forward(params, cfg, state,
                                                    token[:, None],
-                                                   rope_tables=tables)
+                                                   rope_tables=tables,
+                                                   head_compact=head_compact)
             next_token = sample_token(logits[:, -1], step_rng, sampling)
             if eos_token_id is not None:
                 done = done | (token == eos_token_id)
@@ -278,7 +287,8 @@ def generate(
     remaining = max_new_tokens
     while remaining > 0:
         n = min(window_steps, remaining)
-        carry, toks = decode_window(params, carry, n)
+        carry, toks = decode_window(params, carry, n,
+                                    head_compact=head_compact)
         chunks.append(toks)
         remaining -= n
     state = carry[0]

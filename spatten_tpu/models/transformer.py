@@ -99,6 +99,64 @@ def num_params(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
 
 
+def compact_head_params(params: Params, cfg, head_mask: jax.Array) -> dict:
+    """Physically compact the attention projections to the KEPT heads.
+
+    Permanent head pruning (head_update_interval == 0: the per-layer
+    mask is derived once, post-prefill): gather each layer's kept head
+    columns of wq/wk/wv (+ qkv biases) and kept rows of wo into dense
+    matrices, so decode streams only live-head weight bytes.  The
+    reference's pruned heads never issue requests (missing CSV rows,
+    SURVEY.md §2.8); with compaction they stop costing projection
+    bandwidth and FLOPs too.  The KV cache keeps its full head layout
+    (compact K/V scatter into their physical slots; the kernel's
+    per-head fetch gating already skips dead slabs).
+
+    Returns {"layers": compacted stacked leaves, "kept_q": int32 [L, kq],
+    "kept_kv": int32 [L, kkv]} for forward(head_compact=...).  Exact:
+    outputs equal the masked (uncompacted) forward bit-for-bit.
+    """
+    from spatten_tpu.models.weight_quant import is_quantized
+    m, p = cfg.model, cfg.pruning
+    L, hq, hkv, dh = m.num_layers, m.num_heads, m.num_kv_heads, m.head_dim
+    group = hq // hkv
+    kg = min(p.head_keep, hkv)
+    gmask = head_mask.reshape(L, hkv, group).any(-1)          # [L, Hkv]
+    # kept kv-group indices, sorted (stable physical order); the mask
+    # keeps exactly head_keep groups per layer (engine.policy)
+    score = gmask.astype(jnp.int32) * (2 * hkv) - jnp.arange(hkv)[None]
+    kept_kv = jnp.sort(jax.lax.top_k(score, kg)[1], axis=-1)  # [L, kg]
+    kept_q = (kept_kv[:, :, None] * group
+              + jnp.arange(group)[None, None, :]).reshape(L, kg * group)
+
+    def lanes(idx):                       # [L, k] -> [L, k*dh]
+        return (idx[:, :, None] * dh
+                + jnp.arange(dh)[None, None, :]).reshape(idx.shape[0], -1)
+
+    def g_out(w, li):                     # gather output-channel lanes
+        if is_quantized(w):
+            return {"qw": jnp.take_along_axis(w["qw"], li[:, None, :], 2),
+                    "ws": jnp.take_along_axis(w["ws"], li, 1)}
+        return jnp.take_along_axis(w, li[:, None, :], 2)
+
+    def g_in(w, li):                      # gather input-row lanes (wo)
+        if is_quantized(w):
+            return {"qw": jnp.take_along_axis(w["qw"], li[:, :, None], 1),
+                    "ws": w["ws"]}
+        return jnp.take_along_axis(w, li[:, :, None], 1)
+
+    lq, lkv = lanes(kept_q), lanes(kept_kv)
+    layers = dict(params["layers"])
+    layers["wq"] = g_out(layers["wq"], lq)
+    layers["wk"] = g_out(layers["wk"], lkv)
+    layers["wv"] = g_out(layers["wv"], lkv)
+    layers["wo"] = g_in(layers["wo"], lq)
+    for bn, li in (("bq", lq), ("bk", lkv), ("bv", lkv)):
+        if bn in layers:
+            layers[bn] = jnp.take_along_axis(layers[bn], li, 1)
+    return {"layers": layers, "kept_q": kept_q, "kept_kv": kept_kv}
+
+
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
@@ -181,6 +239,9 @@ def run_layers(
     layer_offset: jax.Array | int = 0,    # global index of local layer 0
     tp_axis: str | None = None,
     rope_tables: Tuple[jax.Array, jax.Array] | None = None,
+    head_kept: Tuple[jax.Array, jax.Array] | None = None,  # (kept_q [L,kq],
+                                # kept_kv [L,kkv]) — layer_params are then
+                                # the COMPACTED leaves (compact_head_params)
 ):
     """Scan x through a (possibly local) stack of layers, appending the S
     tokens to each layer's cache.  Returns
@@ -242,16 +303,27 @@ def run_layers(
         and not (q.needs_lsb2 and e.cache_capacity < 32)
     )
 
-    def qkv(x, lp, lengths_l, layer_idx):
-        """Shared attention prologue: norms, projections, RoPE."""
+    def qkv(x, lp, lengths_l, layer_idx, kept=None):
+        """Shared attention prologue: norms, projections, RoPE.
+
+        `kept`: (kept_q_l [kq], kept_kv_l [kkv]) when the projections are
+        head-compacted — compute on the compact width, then scatter into
+        the physical head slots (dead heads get exact zeros, identical to
+        the masked uncompacted forward)."""
         h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"),
                   m.layernorm_kind, m.norm_eps)
         qh = _mm(h, lp["wq"]) + lp.get("bq", 0)
         kh = _mm(h, lp["wk"]) + lp.get("bk", 0)
         vh = _mm(h, lp["wv"]) + lp.get("bv", 0)
-        qh = qh.reshape(b, s, hq, dh).transpose(0, 2, 1, 3)
-        kh = kh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
-        vh = vh.reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
+        nq = hq if kept is None else kept[0].shape[0]
+        nkv = hkv if kept is None else kept[1].shape[0]
+        qh = qh.reshape(b, s, nq, dh).transpose(0, 2, 1, 3)
+        kh = kh.reshape(b, s, nkv, dh).transpose(0, 2, 1, 3)
+        vh = vh.reshape(b, s, nkv, dh).transpose(0, 2, 1, 3)
+        if kept is not None:
+            qh = jnp.zeros((b, hq, s, dh), qh.dtype).at[:, kept[0]].set(qh)
+            kh = jnp.zeros((b, hkv, s, dh), kh.dtype).at[:, kept[1]].set(kh)
+            vh = jnp.zeros((b, hkv, s, dh), vh.dtype).at[:, kept[1]].set(vh)
 
         # per-layer cache positions: with a cascade schedule each layer's
         # cache holds a different number of live tokens, so the pos-shift
@@ -278,10 +350,14 @@ def run_layers(
                 (layer_idx + layer_offset).astype(jnp.float32) + 1.0)
         return qh, kh, vh, pos_l, sm_scale
 
-    def out_mlp(x, lp, attn_out):
+    def out_mlp(x, lp, attn_out, kept_q=None):
         """Shared epilogue: o_proj (+psum), MLP (+psum), residuals."""
+        if kept_q is not None:
+            # head-compacted o_proj: gather the kept heads' outputs; the
+            # pruned rows were exact zeros, so nothing is lost
+            attn_out = jnp.take(attn_out, kept_q, axis=1)
         o = attn_out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(
-            b, s, hq * dh)
+            b, s, -1)
         o_proj = _mm(o, lp["wo"])
         if tp_axis is not None:
             o_proj = jax.lax.psum(o_proj, tp_axis)
@@ -325,10 +401,16 @@ def run_layers(
 
         def layer_fn(carry, scanned):
             x, k_all, v_all, imp_all, layer_lengths = carry
-            lp, hmask_l, layer_idx = scanned
+            if head_kept is not None:
+                lp, hmask_l, layer_idx, kq_l, kkv_l = scanned
+                kept = (kq_l, kkv_l)
+            else:
+                lp, hmask_l, layer_idx = scanned
+                kept = None
             lengths_l = jnp.take(layer_lengths, layer_idx, axis=0)  # [B]
 
-            qh, kh, vh, _, sm_scale = qkv(x, lp, lengths_l, layer_idx)
+            qh, kh, vh, _, sm_scale = qkv(x, lp, lengths_l, layer_idx,
+                                          kept=kept)
             if m.use_attn_scale_by_layer:
                 q_kernel = qh * (sm_scale / base_scale)
             else:
@@ -361,21 +443,29 @@ def run_layers(
                 layer_lengths, (lengths_l + s)[None],
                 (layer_idx, jnp.int32(0)))
 
-            x = out_mlp(x, lp, attn_out)
+            x = out_mlp(x, lp, attn_out,
+                        kept_q=None if kept is None else kept[0])
             layer_out = (stats.need_requant.sum().astype(jnp.int32),
                          stats.max_prob)
             return (x, k_all, v_all, imp_all, layer_lengths), layer_out
 
         carry0 = (x, state.cache.k, state.cache.v, state.importance,
                   state.layer_lengths)
+        xs = (layer_params, state.head_mask, layer_ids)
+        if head_kept is not None:
+            xs = xs + head_kept
         (x, k_all, v_all, new_imp, new_lengths), (requants, max_probs) = \
-            jax.lax.scan(layer_fn, carry0,
-                         (layer_params, state.head_mask, layer_ids))
+            jax.lax.scan(layer_fn, carry0, xs)
         new_cache = LayerKVCache(k=k_all, v=v_all)
         return x, new_cache, new_imp, new_lengths, requants, max_probs
 
     # Prefill / jnp fallback path: per-layer slices scan as xs/ys (the
     # copies this implies are amortized over the whole prefill chunk).
+    if head_kept is not None:
+        raise NotImplementedError(
+            "head-compacted projections are a decode-kernel-path feature "
+            "(prefill derives the mask, so it never runs compacted)")
+
     def layer_fn(x, scanned):
         lp, layer_cache, imp, hmask_l, lengths_l, layer_idx, qbits_l = \
             scanned
@@ -434,6 +524,10 @@ def forward(
     tokens: jax.Array,          # int32 [B, S]
     tp_axis: str | None = None,
     rope_tables: Tuple[jax.Array, jax.Array] | None = None,
+    head_compact: dict | None = None,   # compact_head_params() output:
+                                # decode with physically compacted
+                                # attention projections (permanent head
+                                # pruning)
 ) -> Tuple[jax.Array, DecodeState, StepAux]:
     """Run S tokens through the model, appending them to the cache.
 
@@ -449,8 +543,11 @@ def forward(
     s = tokens.shape[1]
     x, positions = embed_tokens(params, cfg, state, tokens)
     x, new_cache, new_imp, new_lengths, requants, max_probs = run_layers(
-        params["layers"], cfg, state, x, positions, tp_axis=tp_axis,
-        rope_tables=rope_tables)
+        head_compact["layers"] if head_compact else params["layers"],
+        cfg, state, x, positions, tp_axis=tp_axis,
+        rope_tables=rope_tables,
+        head_kept=(None if head_compact is None else
+                   (head_compact["kept_q"], head_compact["kept_kv"])))
     logits = lm_head(params, cfg, x)
 
     new_state = state._replace(

@@ -157,7 +157,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  vmsb_on: bool = True, sc_blocked: bool = False,
                  mixed_profile: bool = False, has_lsb2: bool = False,
                  imp_dtype=jnp.float32, sc_dtype=jnp.float32,
-                 pv_int8: bool = False):
+                 pv_int8: bool = False, has_appmask: bool = False,
+                 row_stats: bool = False):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
@@ -215,6 +216,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                            #   bits (QuantProfile as data)
         vkeep_ref = next(it)               # SMEM int32 [L] per-layer value
                                            #   budget (value_fetch_num)
+        if has_appmask:
+            appm_ref = next(it)            # SMEM int32 [B]: 0 = this
+                                           #   sequence does NOT append
+                                           #   (split-K non-owner shards)
         qbd_ref = next(it)                 # [1, rows, slab] f32 block-diag
         knew_ref = next(it)                # [1, 1, slab] f32 raw new row
         vnew_ref = next(it)
@@ -244,6 +249,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if vmsb_on:                        #   layer `layer_ref[0]`, all
             vmsb_out = next(it)            #   other layers stay in place
         vfull_out = next(it)
+        if row_stats:
+            mrow_out = next(it)            # [1, rows, 128] f32 row max
+            drow_out = next(it)            # [1, rows, 128] f32 denominator
         kapp_scr = next(it)                # (8, slab) int8
         vapp_scr = next(it)
         if quant_enabled:
@@ -292,6 +300,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # slot instead of issuing an out-of-bounds append DMA (which
         # hard-crashes the chip)
         idx = jnp.minimum(length, cap) - 1
+        # runtime append gate (split-K: only the shard owning the tail
+        # slot appends; everyone else treats the idx column as a normal
+        # stored token).  Helpers fold away when no mask is given.
+        do_app = (appm_ref[b] > 0) if has_appmask else True
+
+        def and_app(m):
+            return jnp.logical_and(m, do_app) if has_appmask else m
+
+        def app_when(fn):
+            if has_appmask:
+                pl.when(do_app)(fn)
+            else:
+                fn()
         # block-local split-token nibble layout (qz.pack_unit): packed
         # fetch block i holds the hi nibbles of tokens [2i*pblk, +pblk)
         # and the lo nibbles of [(2i+1)*pblk, +pblk) — a length-prefix
@@ -397,21 +418,23 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 imp_read.start()
 
         if not skip_append:
-            pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
-                                  app_sem.at[0]).start()
-            pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
-                                  app_sem.at[1]).start()
-            if quant_enabled:
-                # dense mode never reads the packed nibble planes, so
-                # their append RMW is skipped entirely
-                pltpu.make_async_copy(app_slice(kmsb_out, pstart),
-                                      kmapp_scr, app_sem.at[2]).start()
-            if vmsb_on:
-                pltpu.make_async_copy(app_slice(vmsb_out, pstart),
-                                      vmapp_scr, app_sem.at[3]).start()
-            if has_lsb2:
-                pltpu.make_async_copy(app_slice(klsb2_out, l2start),
-                                      kl2app_scr, app_sem.at[4]).start()
+            def _app_reads():
+                pltpu.make_async_copy(app_slice(kfull_out, fstart),
+                                      kapp_scr, app_sem.at[0]).start()
+                pltpu.make_async_copy(app_slice(vfull_out, fstart),
+                                      vapp_scr, app_sem.at[1]).start()
+                if quant_enabled:
+                    # dense mode never reads the packed nibble planes, so
+                    # their append RMW is skipped entirely
+                    pltpu.make_async_copy(app_slice(kmsb_out, pstart),
+                                          kmapp_scr, app_sem.at[2]).start()
+                if vmsb_on:
+                    pltpu.make_async_copy(app_slice(vmsb_out, pstart),
+                                          vmapp_scr, app_sem.at[3]).start()
+                if has_lsb2:
+                    pltpu.make_async_copy(app_slice(klsb2_out, l2start),
+                                          kl2app_scr, app_sem.at[4]).start()
+            app_when(_app_reads)
 
         # -- rotating-slot DMA streams (manual prefetch pipeline):
         # block i of a plane lands in slot i % nslots; the consumer waits
@@ -769,10 +792,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if not sc_blocked:
             ksc_read.wait()
             vsc_read.wait()
-        ksc_scr[...] = jnp.where(col_h == idx, ksc_col,
+        ksc_scr[...] = jnp.where(and_app(col_h == idx), ksc_col,
                                  ksc_scr[...].astype(jnp.float32)
                                  ).astype(sc_dtype)
-        vsc_scr[...] = jnp.where(col_h == idx, vsc_col,
+        vsc_scr[...] = jnp.where(and_app(col_h == idx), vsc_col,
                                  vsc_scr[...].astype(jnp.float32)
                                  ).astype(sc_dtype)
         if sc_blocked:
@@ -896,7 +919,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _(t=t):
                     colt = col_p + t * pblk
                     s = scores_scr[:, pl.ds(t * pblk, pblk)]
-                    s = jnp.where(colt == idx, patch, s)
+                    s = jnp.where(and_app(colt == idx), patch, s)
                     s = s * rs_mult
                     if has_off:
                         s = s + off2
@@ -916,7 +939,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _(t=t):
                     colt = col_p + t * pblk
                     s2 = scores2_scr[:, pl.ds(t * pblk, pblk)]
-                    s2 = jnp.where(colt == idx, patch_full, s2)
+                    s2 = jnp.where(and_app(colt == idx), patch_full, s2)
                     s2 = (s2 * rs_full) * ksc_blk(t * pblk, pblk)
                     s2 = jnp.where(colt < length, s2, MASK_VALUE)
                     s = jnp.where(fire_rows, s2,
@@ -1021,6 +1044,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             s_idx = jnp.where(jnp.logical_and(fire_rows, any_need),
                               s_idx2, s_idx)
         e_idx = jnp.exp(s_idx - m_fin)                  # [rows, 1]
+        if row_stats:
+            # per-row softmax partials for split-K recombination: the
+            # caller rescales this shard's output by exp(m_i - pmax(m))
+            # and renormalizes with psum'd denominators (exact)
+            mrow_out[0] = jnp.broadcast_to(m_fin, (rows, 128))
+            drow_out[0] = jnp.broadcast_to(den, (rows, 128))
 
         # --- local V pruning: exact per-row block keep mask + gated
         # coarse-grained fetch ---------------------------------------------
@@ -1112,8 +1141,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         delta = dsrc
                     if accumulate_importance:
                         old = imp_scr[:, ds_].astype(jnp.float32)
-                        prev = jnp.where(col_hp + t * pblk == idx, 0.0,
-                                         old)
+                        prev = jnp.where(
+                            and_app(col_hp + t * pblk == idx), 0.0, old)
                         if importance_ema != 1.0:
                             prev = prev * importance_ema
                         imp_scr[:, ds_] = jnp.where(
@@ -1145,61 +1174,66 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         pmask = sub8 == (prow - pstart)
 
         if not skip_append:
-            pltpu.make_async_copy(app_slice(kfull_out, fstart), kapp_scr,
-                                  app_sem.at[0]).wait()
-            pltpu.make_async_copy(app_slice(vfull_out, fstart), vapp_scr,
-                                  app_sem.at[1]).wait()
-            if quant_enabled:
-                pltpu.make_async_copy(app_slice(kmsb_out, pstart), kmapp_scr,
-                                      app_sem.at[2]).wait()
-            if vmsb_on:
-                pltpu.make_async_copy(app_slice(vmsb_out, pstart), vmapp_scr,
-                                      app_sem.at[3]).wait()
-            for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
-                scr[...] = jnp.where(
-                    fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
-                ).astype(jnp.int8)
-            nib_pairs = []
-            if quant_enabled:
-                nib_pairs.append((kmapp_scr, kq8))
-            if vmsb_on:
-                nib_pairs.append((vmapp_scr, vq8))
-            for scr, q8row in nib_pairs:
-                old = scr[...].astype(jnp.int32)
-                nib = jnp.broadcast_to(
-                    ((q8row.astype(jnp.int32) >> 4) & 0xF) ^ 8, (8, slab))
-                newb = jnp.where(is_hi,
-                                 (nib << 4) | (old & 0x0F),
-                                 (old & jnp.int32(0xF0)) | nib)
-                scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
-            if has_lsb2:
-                # 2-bit field RMW (the masked bit-plane write of
-                # SpAttenController.scala:230-232 at 2-bit granularity)
-                pltpu.make_async_copy(app_slice(klsb2_out, l2start),
-                                      kl2app_scr, app_sem.at[4]).wait()
-                old2 = kl2app_scr[...].astype(jnp.int32)
-                f2 = jnp.broadcast_to(
-                    (kq8.astype(jnp.int32) >> 2) & 0x3, (8, slab))
-                shift = (6 - 2 * qfld).astype(jnp.int32)
-                m2 = jnp.int32(0x3) << shift
-                new2 = (old2 & ~m2) | (f2 << shift)
-                l2mask = sub8 == (l2row - l2start)
-                kl2app_scr[...] = jnp.where(l2mask, new2, old2
-                                            ).astype(jnp.uint8)
-            pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
-                                  app_sem.at[0]).start()
-            pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
-                                  app_sem.at[1]).start()
-            if quant_enabled:
-                pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
-                                      app_sem.at[2]).start()
-            if vmsb_on:
-                pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
-                                      app_sem.at[3]).start()
-            if has_lsb2:
-                pltpu.make_async_copy(kl2app_scr,
-                                      app_slice(klsb2_out, l2start),
-                                      app_sem.at[4]).start()
+            def _app_modify_write():
+                pltpu.make_async_copy(app_slice(kfull_out, fstart),
+                                      kapp_scr, app_sem.at[0]).wait()
+                pltpu.make_async_copy(app_slice(vfull_out, fstart),
+                                      vapp_scr, app_sem.at[1]).wait()
+                if quant_enabled:
+                    pltpu.make_async_copy(app_slice(kmsb_out, pstart),
+                                          kmapp_scr, app_sem.at[2]).wait()
+                if vmsb_on:
+                    pltpu.make_async_copy(app_slice(vmsb_out, pstart),
+                                          vmapp_scr, app_sem.at[3]).wait()
+                for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
+                    scr[...] = jnp.where(
+                        fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
+                    ).astype(jnp.int8)
+                nib_pairs = []
+                if quant_enabled:
+                    nib_pairs.append((kmapp_scr, kq8))
+                if vmsb_on:
+                    nib_pairs.append((vmapp_scr, vq8))
+                for scr, q8row in nib_pairs:
+                    old = scr[...].astype(jnp.int32)
+                    nib = jnp.broadcast_to(
+                        ((q8row.astype(jnp.int32) >> 4) & 0xF) ^ 8,
+                        (8, slab))
+                    newb = jnp.where(is_hi,
+                                     (nib << 4) | (old & 0x0F),
+                                     (old & jnp.int32(0xF0)) | nib)
+                    scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
+                if has_lsb2:
+                    # 2-bit field RMW (the masked bit-plane write of
+                    # SpAttenController.scala:230-232 at 2-bit granularity)
+                    pltpu.make_async_copy(app_slice(klsb2_out, l2start),
+                                          kl2app_scr, app_sem.at[4]).wait()
+                    old2 = kl2app_scr[...].astype(jnp.int32)
+                    f2 = jnp.broadcast_to(
+                        (kq8.astype(jnp.int32) >> 2) & 0x3, (8, slab))
+                    shift = (6 - 2 * qfld).astype(jnp.int32)
+                    m2 = jnp.int32(0x3) << shift
+                    new2 = (old2 & ~m2) | (f2 << shift)
+                    l2mask = sub8 == (l2row - l2start)
+                    kl2app_scr[...] = jnp.where(l2mask, new2, old2
+                                                ).astype(jnp.uint8)
+                pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
+                                      app_sem.at[0]).start()
+                pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
+                                      app_sem.at[1]).start()
+                if quant_enabled:
+                    pltpu.make_async_copy(kmapp_scr,
+                                          app_slice(kmsb_out, pstart),
+                                          app_sem.at[2]).start()
+                if vmsb_on:
+                    pltpu.make_async_copy(vmapp_scr,
+                                          app_slice(vmsb_out, pstart),
+                                          app_sem.at[3]).start()
+                if has_lsb2:
+                    pltpu.make_async_copy(kl2app_scr,
+                                          app_slice(klsb2_out, l2start),
+                                          app_sem.at[4]).start()
+            app_when(_app_modify_write)
 
         # ------------------------------------------------------------------
         # P·V: streamed per-fetch-block matmuls + block-diag extraction.
@@ -1209,6 +1243,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # column zeroed — its contribution is patched from registers).
         # ------------------------------------------------------------------
         p_idx = e_idx * wrow * kept_new                 # [rows, 1]
+        if has_appmask:
+            # non-appending shards: the idx column is a normal stored
+            # token — its contribution comes from the fetched plane
+            p_idx = jnp.where(do_app, p_idx, 0.0)
         if pv_int8:
             # integer P·V: the stored int8 V rows feed the MXU DIRECTLY
             # (no [blk, slab] astype pass — the VPU cost that made dense
@@ -1260,7 +1298,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 # into never-written (garbage) pblk blocks when fblk does
                 # not divide pblk, and garbage * 0-keep-mask is NaN-unsafe
                 colt = col_f + f * fblk
-                pb = jnp.where((colt == idx) | (colt >= length), 0.0, pb)
+                pb = jnp.where(and_app(colt == idx) | (colt >= length),
+                               0.0, pb)
                 if do_vprune:
                     keep_exp = jax.lax.dot_general(
                         keep_gb[:, f * vpf:(f + 1) * vpf], expand_f,
@@ -1322,21 +1361,25 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             vsc_wb.wait()
             imp_wb.wait()
         if not skip_append:
-            # append writes drain last (latency hidden behind P·V)
-            pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
-                                  app_sem.at[0]).wait()
-            pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
-                                  app_sem.at[1]).wait()
-            if quant_enabled:
-                pltpu.make_async_copy(kmapp_scr, app_slice(kmsb_out, pstart),
-                                      app_sem.at[2]).wait()
-            if vmsb_on:
-                pltpu.make_async_copy(vmapp_scr, app_slice(vmsb_out, pstart),
-                                      app_sem.at[3]).wait()
-            if has_lsb2:
-                pltpu.make_async_copy(kl2app_scr,
-                                      app_slice(klsb2_out, l2start),
-                                      app_sem.at[4]).wait()
+            def _app_drain():
+                # append writes drain last (latency hidden behind P·V)
+                pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
+                                      app_sem.at[0]).wait()
+                pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
+                                      app_sem.at[1]).wait()
+                if quant_enabled:
+                    pltpu.make_async_copy(kmapp_scr,
+                                          app_slice(kmsb_out, pstart),
+                                          app_sem.at[2]).wait()
+                if vmsb_on:
+                    pltpu.make_async_copy(vmapp_scr,
+                                          app_slice(vmsb_out, pstart),
+                                          app_sem.at[3]).wait()
+                if has_lsb2:
+                    pltpu.make_async_copy(kl2app_scr,
+                                          app_slice(klsb2_out, l2start),
+                                          app_sem.at[4]).wait()
+            app_when(_app_drain)
 
     return kernel, (pblk, fblk, ps, ts, vs, ngate)
 
@@ -1376,6 +1419,13 @@ def fused_decode_attention(
                                    #   weights quantized to 8 bits per row
                                    #   (the reference's P·V is 12-bit
                                    #   fixed, MultiplyValue.scala)
+    append_mask: Optional[jax.Array] = None,   # bool/int [B]: False = do
+                                   #   not append (the idx column is a
+                                   #   normal stored token) — split-K
+                                   #   non-owner shards
+    return_row_stats: bool = False,   # also return (m, den) [B, Hq] per
+                                   #   q-head row: the flash partials for
+                                   #   exact split-K recombination
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
@@ -1446,7 +1496,8 @@ def fused_decode_attention(
         head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on,
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
         has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype,
-        pv_int8=pv_int8)
+        pv_int8=pv_int8, has_appmask=append_mask is not None,
+        row_stats=return_row_stats)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1543,6 +1594,10 @@ def fused_decode_attention(
         sc_in,                                       # vscale'
     ]
     out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
+    if return_row_stats:
+        out_specs += [pl.BlockSpec((1, rows_p, 128),
+                                   lambda i, j, *_: (i, j, 0),
+                                   memory_space=pltpu.VMEM)] * 2
     out_shape = [
         jax.ShapeDtypeStruct((b, rows_total, d), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, 128), jnp.float32),
@@ -1553,14 +1608,17 @@ def fused_decode_attention(
     ]
     out_shape += [jax.ShapeDtypeStruct(arr.shape, dt)
                   for arr, dt in plane_ops]
-    # operand index -> output index (operands 0-4 are the scalar prefetch:
-    # lengths, layer, alive bits, quant bits, value budgets): scales then
-    # the plane operands in order
-    aliases = {8: 4, 9: 5}
+    if return_row_stats:
+        out_shape += [jax.ShapeDtypeStruct((b, hq, 128), jnp.float32)] * 2
+    # operand index -> output index (the first `spo` operands are the
+    # scalar prefetch: lengths, layer, alive bits, quant bits, value
+    # budgets [, append mask]): scales then the plane operands in order
+    spo = 5 + (1 if append_mask is not None else 0)
+    aliases = {spo + 3: 4, spo + 4: 5}
     for p in range(n_planes):
-        aliases[12 + p] = 6 + p
+        aliases[spo + 7 + p] = 6 + p
     if accumulate:
-        aliases[11] = 3
+        aliases[spo + 6] = 3
 
     # packed per-(batch, gate-group) head-liveness bits for the kernel's
     # scalar gate tests (bit j*ngate+g = any head alive in gate group g of
@@ -1635,7 +1693,7 @@ def fused_decode_attention(
         qbits_arr = jnp.asarray(quant_bits, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=spo,
         grid=(b, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1654,12 +1712,17 @@ def fused_decode_attention(
         alive_bits,
         qbits_arr,
         vkeep_arr,
+        *(() if append_mask is None
+          else (jnp.asarray(append_mask).astype(jnp.int32),)),
         qbd,
         k_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         v_new.astype(jnp.float32).reshape(b, 1, hkv * d),
         k_quant.scale, v_quant.scale, hm, imp_in,
         *(arr for arr, _ in plane_ops),
     )
+    if return_row_stats:
+        m_rows, den_rows = outs[-2][..., 0], outs[-1][..., 0]  # [B, Hq]
+        outs = outs[:-2]
     (out, maxp, need, imp, kscale2, vscale2), planes2 = \
         outs[:6], list(outs[6:])
     # planes the kernel doesn't carry pass through untouched (pytree
@@ -1688,4 +1751,6 @@ def fused_decode_attention(
                           else jnp.zeros((b, hkv, cap), jnp.float32)),
         probs=None,
     )
+    if return_row_stats:
+        return out.reshape(b, hq, 1, d), stats, k2, v2, (m_rows, den_rows)
     return out.reshape(b, hq, 1, d), stats, k2, v2

@@ -23,10 +23,18 @@ Composition with SpAtten:
   accumulator layout (axis-sharded exactly like K/V), so cascade pruning
   continues to work on the sharded cache.
 
-The kernelized single-chip path (``ops.fused_decode``) remains the
-per-shard compute; this module supplies the cross-shard recombination.
-The toy here uses the jnp reference attention per shard — the
-recombination math is identical either way.
+Two per-shard computes are provided:
+
+* ``split_k_decode`` — jnp flash partials (the recombination-math toy);
+* ``split_k_decode_fused`` — the FULL fused Pallas decode kernel per
+  shard (``ops.fused_decode`` with ``return_row_stats``): each shard
+  runs the SpAtten pipeline (quantized planes, gated fetches, appends)
+  over its local arena and exposes its flash partials ``(m, den)``; the
+  same two-psum recombination is exact.  Only the shard owning the
+  append slot writes the new token (``append_mask``); requant decisions
+  and V-pruning budgets apply shard-locally (each shard is its own
+  confidence/top-k domain — the distributed analog of the reference's
+  per-request decisions).
 """
 
 from __future__ import annotations
@@ -36,6 +44,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spatten_tpu.ops import quantize as qz
+from spatten_tpu.ops.fused_decode import fused_decode_attention
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -97,6 +108,92 @@ def split_k_decode(
         out_specs=P(),
         check_vma=False,
     ))(q, k, v, lengths)
+
+
+def _kv_specs(t: qz.QuantizedKV, axis: str) -> qz.QuantizedKV:
+    """PartitionSpecs sharding a QuantizedKV's token axis over `axis`."""
+    return qz.QuantizedKV(
+        full=P(None, axis, None),
+        msb=None if t.msb is None else P(None, axis, None),
+        scale=P(None, None, axis),
+        lsb2=None if t.lsb2 is None else P(None, axis, None))
+
+
+def split_k_decode_fused(
+    q: jax.Array,              # [B, Hq, 1, D] (rotated queries)
+    k_quant: qz.QuantizedKV,   # planes [B, n*Cl(/2), Hkv*D]; each shard's
+    v_quant: qz.QuantizedKV,   #   Cl-token slice packed SHARD-LOCALLY
+                               #   (qz.quantize per slice, then concat)
+    k_new: jax.Array,          # [B, Hkv, 1, D] — appended by `owner` only
+    v_new: jax.Array,
+    local_lengths: jax.Array,  # int32 [n, B] live tokens per shard; the
+                               #   owner's count INCLUDES the new token
+    mesh: Mesh,
+    axis: str = "kv",
+    sm_scale: float = 1.0,
+    owner: int = -1,           # shard that appends (default: the last)
+    interpret: bool = False,
+    **spatten_kwargs,          # quant_enabled, v_keep, head_mask, ... —
+                               #   applied SHARD-LOCALLY
+):
+    """Exact split-K decode with the fused SpAtten kernel per shard.
+
+    Each shard runs ``fused_decode_attention`` over its local arena
+    (every stage: nibble pass-1, gated fetches, append RMW for the owner)
+    and returns its flash partials; the outputs combine with
+
+        m = pmax(m_i);  out = sum_i o_i*den_i*exp(m_i-m)
+                              / sum_i den_i*exp(m_i-m)
+
+    which is exact for any shard count.  Every shard must hold >= 1 live
+    token.  Returns (out [B,Hq,1,D], k_quant', v_quant') with the owner's
+    shard updated in place.
+    """
+    n = mesh.shape[axis]
+    own = owner % n
+
+    def shard_fn(q, kq, vq, k_new, v_new, lens_l):
+        sid = jax.lax.axis_index(axis)
+        b = lens_l.shape[-1]
+        appm = jnp.broadcast_to((sid == own).astype(jnp.int32), (b,))
+        out, stats, k2, v2, (m, den) = fused_decode_attention(
+            q, kq, vq, k_new, v_new, lens_l[0],
+            sm_scale=sm_scale, append_mask=appm, return_row_stats=True,
+            interpret=interpret, **spatten_kwargs)
+        m_g = jax.lax.pmax(m, axis)                     # [B, Hq]
+        w = jnp.exp(m - m_g) * den
+        num = jax.lax.psum(out * w[:, :, None, None], axis)
+        den_g = jax.lax.psum(w, axis)
+        out_g = num / jnp.maximum(den_g, 1e-30)[:, :, None, None]
+        return out_g, k2, v2
+
+    ks = _kv_specs(k_quant, axis)
+    vs = _kv_specs(v_quant, axis)
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), ks, vs, P(), P(), P(axis, None)),
+        out_specs=(P(), ks, vs),
+        check_vma=False,
+    ))(q, k_quant, v_quant, k_new, v_new, local_lengths)
+
+
+def quantize_sharded(x: jax.Array, n: int, with_msb: bool = True
+                     ) -> qz.QuantizedKV:
+    """Quantize [B, H, n*Cl, D] with SHARD-LOCAL nibble packing: each
+    Cl-token slice packs independently (pack_unit(Cl)), so a shard's msb
+    plane slice is exactly what a local ``qz.quantize`` would produce.
+    full/scale values are identical to global quantization (scales are
+    per token)."""
+    cap = x.shape[-2]
+    assert cap % n == 0
+    cl = cap // n
+    parts = [qz.quantize(x[..., i * cl:(i + 1) * cl, :], with_msb=with_msb)
+             for i in range(n)]
+    return qz.QuantizedKV(
+        full=jnp.concatenate([p.full for p in parts], axis=-2),
+        msb=(jnp.concatenate([p.msb for p in parts], axis=-2)
+             if with_msb else None),
+        scale=jnp.concatenate([p.scale for p in parts], axis=-1))
 
 
 def make_kv_mesh(n: int) -> Mesh:
