@@ -147,6 +147,65 @@ def _fetch_block(cap: int, v_block: int, target: int = 256) -> int:
     return best
 
 
+def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
+                         cap: int, *, quant_on: bool, need_kfull: bool,
+                         need_scores2: bool, has_lsb2: bool,
+                         do_vprune: bool, v_block: int, sc_bytes: int,
+                         imp_bytes: int, track_imp: bool) -> int:
+    """Batch rows per kernel program (`bpp`).
+
+    Grid instances run sequentially on the core and each one pays fixed
+    scalar-core costs (DMA descriptor issues, semaphore waits) that the
+    round-2 profiling measured at ~12 us/instance against ~8 us of
+    actual traffic — the decode step was instance-serialization-bound.
+    Grouping bpp batch rows into one program moves every stream block
+    for the whole group with ONE descriptor and amortizes the fixed
+    instance cost, at the price of group-level fetch gating (a K/V block
+    moves if ANY member needs it).  Returns the largest divisor of
+    `batch` (capped at 8) whose combined VMEM footprint fits, preferring
+    int8-tileable row counts."""
+    budget = 11 * 1024 * 1024
+    slab = hpp * head_dim
+    rows = hpp * group
+    half = cap // 2
+    pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
+    qblk = max(1, pblk // 2)
+    fblk = _fetch_block(cap, v_block) if do_vprune else pblk
+    nfb = cap // fblk
+    fits = [1]
+    for bpp in range(2, min(batch, 8) + 1):
+        if batch % bpp:
+            continue
+        R = bpp * rows
+
+        def slots(nblk, blk):
+            if nblk <= 1:
+                return 1
+            return max(2, min(nblk, NSLOTS,
+                              (2 * 1024 * 1024) // (bpp * blk * slab)))
+
+        mem = 0
+        if quant_on:
+            mem += slots(num_pblk, pblk) * bpp * pblk * slab
+        if has_lsb2:
+            ls = max(2, min(num_pblk, NSLOTS)) if num_pblk > 1 else 1
+            mem += ls * bpp * qblk * slab
+        if need_kfull:
+            mem += slots(2 * num_pblk, pblk) * bpp * pblk * slab
+        mem += slots(nfb, fblk) * bpp * fblk * slab      # V slots
+        mem += R * cap * 4 * (2 + (1 if need_scores2 else 0))
+        mem += bpp * 8 * cap * sc_bytes * 2      # scale scratch (8-padded)
+        if track_imp:
+            mem += bpp * 8 * cap * imp_bytes
+        if do_vprune:
+            mem += R * (cap // v_block) * 4
+        mem += R * slab * 4 + bpp * 8 * slab * 5   # pvacc + append scratch
+        if mem <= budget:
+            fits.append(bpp)
+    best8 = [x for x in fits if (x * rows) % 8 == 0]
+    return max(best8) if best8 else max(fits)
+
+
 def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  sm_scale: float, requant_threshold: float,
                  quant_enabled: bool, v_keep: int, v_block: int,
@@ -158,7 +217,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  mixed_profile: bool = False, has_lsb2: bool = False,
                  imp_dtype=jnp.float32, sc_dtype=jnp.float32,
                  pv_int8: bool = False, has_appmask: bool = False,
-                 row_stats: bool = False):
+                 row_stats: bool = False, bpp: int = 1):
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
@@ -182,7 +241,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     int_dots = quantize_queries and (rows_q % 8 == 0 or 8 % rows_q == 0)
     d = head_dim
     slab = hpp * d
-    rows = hpp * group
+    rows = hpp * group          # q-head rows per batch member
+    R = bpp * rows              # row space of one program (batch group)
+    RH = bpp * hpp
     # requant fetch gating granularity: per head when a head's lane chunk
     # is DMA-sliceable (d >= 128), else per lane-aligned head group
     gate_hpg = max(1, -(-128 // d))
@@ -200,7 +261,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     def _slots(nblk, blk):
         if nblk <= 1:
             return 1
-        return max(2, min(nblk, NSLOTS, (2 * 1024 * 1024) // (blk * slab)))
+        return max(2, min(nblk, NSLOTS,
+                          (2 * 1024 * 1024) // (bpp * blk * slab)))
 
     ps = _slots(num_pblk, pblk)
     ts = _slots(num_tblk, pblk)
@@ -290,53 +352,92 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         v_sem = next(it)                   # DMA (vs,)
         sc_sem = next(it)                  # DMA (6,) scale/importance IO
 
-        b = pl.program_id(0)
+        bg = pl.program_id(0)              # batch-GROUP index
         j = pl.program_id(1)
+        b0 = bg * bpp                      # first batch row of the group
         lv = layer_ref[0]                  # layer of the stacked planes
         lane0 = j * slab
-        length = lengths_ref[b]            # includes the new token
+        # per-member scalars (bpp batch rows share this program; all
+        # stream DMAs move the whole group in one descriptor — the
+        # per-DMA scalar-core issue cost amortizes over the group)
+        len_bi = [lengths_ref[b0 + bi] for bi in range(bpp)]
+        len_max = len_bi[0]
+        for _l in len_bi[1:]:
+            len_max = jnp.maximum(len_max, _l)
         # slot of the appended row, clamped to the last slot: a caller
         # that decodes past capacity without pruning overwrites the final
         # slot instead of issuing an out-of-bounds append DMA (which
         # hard-crashes the chip)
-        idx = jnp.minimum(length, cap) - 1
+        idx_bi = [jnp.minimum(_l, cap) - 1 for _l in len_bi]
         # runtime append gate (split-K: only the shard owning the tail
         # slot appends; everyone else treats the idx column as a normal
         # stored token).  Helpers fold away when no mask is given.
-        do_app = (appm_ref[b] > 0) if has_appmask else True
+        do_app_bi = [(appm_ref[b0 + bi] > 0) if has_appmask else True
+                     for bi in range(bpp)]
 
-        def and_app(m):
-            return jnp.logical_and(m, do_app) if has_appmask else m
-
-        def app_when(fn):
+        def app_when(bi, fn):
             if has_appmask:
-                pl.when(do_app)(fn)
+                pl.when(do_app_bi[bi])(fn)
             else:
                 fn()
         # block-local split-token nibble layout (qz.pack_unit): packed
         # fetch block i holds the hi nibbles of tokens [2i*pblk, +pblk)
         # and the lo nibbles of [(2i+1)*pblk, +pblk) — a length-prefix
         # fetch moves 0.5 B per LIVE token at any live length
-        r_u = idx % (2 * pblk)
-        is_hi = r_u < pblk
-        prow = (idx // (2 * pblk)) * pblk + \
-            jnp.where(is_hi, r_u, r_u - pblk)
+        ru_bi = [ix % (2 * pblk) for ix in idx_bi]
+        ishi_bi = [ru < pblk for ru in ru_bi]
+        prow_bi = [(idx_bi[bi] // (2 * pblk)) * pblk
+                   + jnp.where(ishi_bi[bi], ru_bi[bi], ru_bi[bi] - pblk)
+                   for bi in range(bpp)]
         # lsb2 plane: 2-bit field `qfld` of the token's unit, row `l2row`
-        qfld = r_u // qblk
-        l2row = (idx // (2 * pblk)) * qblk + (r_u % qblk)
-        l2start = (l2row // 8) * 8
+        qfld_bi = [ru // qblk for ru in ru_bi]
+        l2row_bi = [(idx_bi[bi] // (2 * pblk)) * qblk + (ru_bi[bi] % qblk)
+                    for bi in range(bpp)]
+        l2start_bi = [(lr // 8) * 8 for lr in l2row_bi]
+        fstart_bi = [(ix // 8) * 8 for ix in idx_bi]
+        pstart_bi = [(pr // 8) * 8 for pr in prow_bi]
 
-        col_h = jax.lax.broadcasted_iota(jnp.int32, (hpp, cap), 1)
-        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        row_bi = rows_iota // rows         # batch member of each row
         hpp_iota = jax.lax.broadcasted_iota(jnp.int32, (hpp, 1), 0)
         lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
         chunk_s = lane_s // d              # [1, slab] head id per lane
-        head_of_row = rows_iota // group   # [rows, 1]
+        head_of_row = (rows_iota % rows) // group   # [R, 1]
+        g_row = rows_iota % group                   # [R, 1]
         # block-diag lane mask: lane l belongs to row r iff chunk==head(r)
-        bd_mask = (chunk_s == head_of_row).astype(jnp.float32)  # [rows,slab]
+        bd_mask = (chunk_s == head_of_row).astype(jnp.float32)  # [R, slab]
 
-        hmask_h = hmask_ref[0]             # [hpp, G]
-        alive_h = jnp.max(hmask_h, axis=1, keepdims=True) > 0.0  # [hpp,1]
+        def rows_of(vals, dtype):
+            """[R, 1] column holding vals[member] on each member's rows."""
+            out = jnp.full((R, 1), vals[0], dtype)
+            for bi in range(1, bpp):
+                out = jnp.where(row_bi == bi,
+                                jnp.asarray(vals[bi], dtype), out)
+            return out
+
+        len_rows = rows_of(len_bi, jnp.int32)       # [R, 1]
+        idx_rows = rows_of(idx_bi, jnp.int32)       # [R, 1]
+        if has_appmask:
+            app_rows = rows_of([jnp.where(a, 1, 0) for a in do_app_bi],
+                               jnp.int32) > 0        # [R, 1] bool
+
+        def and_app_rows(m):
+            """AND a [R, cols] column mask with each row's append gate."""
+            return jnp.logical_and(m, app_rows) if has_appmask else m
+
+        def rep_rows(x):
+            """[bpp, cols] -> [R, cols]: member bi's row replicated onto
+            its `rows` row-space rows."""
+            if bpp == 1:
+                return jnp.broadcast_to(x, (R, x.shape[-1]))
+            out = jnp.broadcast_to(x[0:1, :], (R, x.shape[-1]))
+            for bi in range(1, bpp):
+                out = jnp.where(row_bi == bi, x[bi:bi + 1, :], out)
+            return out
+
+        hmask3 = hmask_ref[...]            # [bpp, hpp, G]
+        alive3 = (jnp.max(hmask3, axis=2, keepdims=True) > 0.0
+                  ).astype(jnp.float32)    # [bpp, hpp, 1]
 
         # per-gate head-liveness from the scalar-prefetched bitmask (bit
         # j*ngate+g = any head alive in gate group g of lane chunk j):
@@ -347,14 +448,19 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # pipelining).
         gmask_all = (1 << ngate) - 1
 
-        def gates_of(bb, jj):
-            """(any, [per-gate bool]) liveness gates of instance (bb, jj)."""
-            bits = (alive_ref[bb] >> (jj * ngate)) & gmask_all
+        def gates_of(bb0, jj):
+            """(any, [per-gate bool]) liveness gates of the batch GROUP
+            starting at row bb0: a gate is live iff any member keeps a
+            head in it (merged fetches move the union; per-row head
+            masks zero the dead members downstream)."""
+            bits = (alive_ref[bb0] >> (jj * ngate)) & gmask_all
+            for bi in range(1, bpp):
+                bits = bits | ((alive_ref[bb0 + bi] >> (jj * ngate))
+                               & gmask_all)
             return bits > 0, [((bits >> g) & 1) > 0 for g in range(ngate)]
 
-        any_alive, agates = gates_of(b, j)
+        any_alive, agates = gates_of(b0, j)
         alive_gate = agates if head_gating else None
-        alive_hpp = alive_h.astype(jnp.float32)                 # [hpp, 1]
 
         # per-layer quantization profile (QuantProfile-as-data,
         # SpAtten.scala:71-74): pass-1 reads the msb plane (4-bit), msb +
@@ -368,73 +474,83 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             p1_msb = True
             p1_full8 = False
             use6 = None
-        # per-row head mask ([rows,1]) via a tiny 0/1 matmul (no reshape
-        # of the [hpp, G] lane layout)
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % group
-        hmask_rows = jnp.zeros((rows, 1), jnp.float32)
-        for h in range(hpp):
-            for g in range(group):
-                hmask_rows = hmask_rows + jnp.where(
-                    (head_of_row == h) & (g_iota == g), hmask_h[h, g], 0.0)
-        alive_rows = jnp.where(
-            hmask_rows > 0.0, 1.0,
-            jnp.zeros((rows, 1), jnp.float32))
+        # per-row head mask ([R,1]) from scalar element reads (no reshape
+        # of the [bpp, hpp, G] lane layout)
+        hmask_rows = jnp.zeros((R, 1), jnp.float32)
+        for bi in range(bpp):
+            for h in range(hpp):
+                for g in range(group):
+                    sel = (head_of_row == h) & (g_row == g)
+                    if bpp > 1:
+                        sel = sel & (row_bi == bi)
+                    hmask_rows = hmask_rows + jnp.where(
+                        sel, hmask3[bi, h, g], 0.0)
 
         # ------------------------------------------------------------------
         # LAUNCH: every DMA reading the old planes starts now.
         # ------------------------------------------------------------------
-        fstart = (idx // 8) * 8            # full-plane RMW block start
-        pstart = (prow // 8) * 8           # packed-plane RMW block start
+        def app_slice(ref, start, bb):
+            return ref.at[lv, bb, pl.ds(start, 8), pl.ds(lane0, slab)]
 
-        def app_slice(ref, start):
-            return ref.at[lv, b, pl.ds(start, 8), pl.ds(lane0, slab)]
-
-        # scale / importance slices stream through plain scratch.  DMA
-        # path (single-buffered async copies) when the head count is
+        # scale / importance slices stream through plain scratch, one
+        # [hpp, C] DMA per group member (a merged [bpp, hpp, C] copy into
+        # the 2D row-space scratch would need a sublane-offset dest that
+        # Mosaic requires 8-aligned).  DMA path when the head count is
         # DMA-sliceable; otherwise (`sc_blocked`: Mosaic rejects copies
         # whose sublane extent isn't 8-aligned, e.g. GPT-2's 12 heads)
         # the operands arrive as layer-indexed VMEM blocks and move to
         # scratch with vector assigns.
-        def sc_slice(ref):
+        def sc_slice(ref, bb):
             if npj == 1:
-                return ref.at[lv, b, :, :]
-            return ref.at[lv, b, pl.ds(j * hpp, hpp), :]
+                return ref.at[lv, bb, :, :]
+            return ref.at[lv, bb, pl.ds(j * hpp, hpp), :]
 
         if sc_blocked:
-            ksc_scr[...] = kscale_in[0, 0]
-            vsc_scr[...] = vscale_in[0, 0]
+            ksc_scr[0] = kscale_in[0, 0]
+            vsc_scr[0] = vscale_in[0, 0]
             if accumulate_importance:
-                imp_scr[...] = imp_in[0, 0]
+                imp_scr[0] = imp_in[0, 0]
         else:
-            ksc_read = pltpu.make_async_copy(sc_slice(kscale_in), ksc_scr,
-                                             sc_sem.at[0])
-            vsc_read = pltpu.make_async_copy(sc_slice(vscale_in), vsc_scr,
-                                             sc_sem.at[1])
-            ksc_read.start()
-            vsc_read.start()
+            ksc_reads = [pltpu.make_async_copy(
+                sc_slice(kscale_in, b0 + bi), ksc_scr.at[bi],
+                sc_sem.at[0, bi]) for bi in range(bpp)]
+            vsc_reads = [pltpu.make_async_copy(
+                sc_slice(vscale_in, b0 + bi), vsc_scr.at[bi],
+                sc_sem.at[1, bi]) for bi in range(bpp)]
+            for cpy in ksc_reads + vsc_reads:
+                cpy.start()
             if accumulate_importance:
-                imp_read = pltpu.make_async_copy(sc_slice(imp_in), imp_scr,
-                                                 sc_sem.at[2])
-                imp_read.start()
+                imp_reads = [pltpu.make_async_copy(
+                    sc_slice(imp_in, b0 + bi), imp_scr.at[bi],
+                    sc_sem.at[2, bi]) for bi in range(bpp)]
+                for cpy in imp_reads:
+                    cpy.start()
 
         if not skip_append:
-            def _app_reads():
-                pltpu.make_async_copy(app_slice(kfull_out, fstart),
-                                      kapp_scr, app_sem.at[0]).start()
-                pltpu.make_async_copy(app_slice(vfull_out, fstart),
-                                      vapp_scr, app_sem.at[1]).start()
-                if quant_enabled:
-                    # dense mode never reads the packed nibble planes, so
-                    # their append RMW is skipped entirely
-                    pltpu.make_async_copy(app_slice(kmsb_out, pstart),
-                                          kmapp_scr, app_sem.at[2]).start()
-                if vmsb_on:
-                    pltpu.make_async_copy(app_slice(vmsb_out, pstart),
-                                          vmapp_scr, app_sem.at[3]).start()
-                if has_lsb2:
-                    pltpu.make_async_copy(app_slice(klsb2_out, l2start),
-                                          kl2app_scr, app_sem.at[4]).start()
-            app_when(_app_reads)
+            for bi in range(bpp):
+                def _app_reads(bi=bi):
+                    bb = b0 + bi
+                    pltpu.make_async_copy(
+                        app_slice(kfull_out, fstart_bi[bi], bb),
+                        kapp_scr.at[bi], app_sem.at[0, bi]).start()
+                    pltpu.make_async_copy(
+                        app_slice(vfull_out, fstart_bi[bi], bb),
+                        vapp_scr.at[bi], app_sem.at[1, bi]).start()
+                    if quant_enabled:
+                        # dense mode never reads the packed nibble planes,
+                        # so their append RMW is skipped entirely
+                        pltpu.make_async_copy(
+                            app_slice(kmsb_out, pstart_bi[bi], bb),
+                            kmapp_scr.at[bi], app_sem.at[2, bi]).start()
+                    if vmsb_on:
+                        pltpu.make_async_copy(
+                            app_slice(vmsb_out, pstart_bi[bi], bb),
+                            vmapp_scr.at[bi], app_sem.at[3, bi]).start()
+                    if has_lsb2:
+                        pltpu.make_async_copy(
+                            app_slice(klsb2_out, l2start_bi[bi], bb),
+                            kl2app_scr.at[bi], app_sem.at[4, bi]).start()
+                app_when(bi, _app_reads)
 
         # -- rotating-slot DMA streams (manual prefetch pipeline):
         # block i of a plane lands in slot i % nslots; the consumer waits
@@ -451,36 +567,44 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # instance DMA fill latency otherwise multiplies by B x J x L).
         # Targets are (batch row, lane chunk, length, liveness gates)
         # tuples; `self_tgt` is this instance, `succ_tgt` the next one.
-        flat = b * npj + j
+        ngroups = batch // bpp
+        flat = bg * npj + j
         # SPATTEN_NO_XINST: debug escape hatch — with cross-instance
         # prefetch disabled every instance fills its own pipeline
         if _XINST:
             is_first = flat == 0
-            has_succ = flat + 1 < batch * npj
+            has_succ = flat + 1 < ngroups * npj
         else:
             is_first = flat >= 0
             has_succ = flat < 0
-        nb = jnp.minimum((flat + 1) // npj, batch - 1)
+        nbg = jnp.minimum((flat + 1) // npj, ngroups - 1)
+        nb0 = nbg * bpp
         nj_ = (flat + 1) % npj
-        any_succ, gates_succ = gates_of(nb, nj_)
-        self_tgt = (b, lane0, length, any_alive, alive_gate)
-        succ_tgt = (nb, nj_ * slab, lengths_ref[nb], any_succ,
+        any_succ, gates_succ = gates_of(nb0, nj_)
+        len_succ = lengths_ref[nb0]
+        for bi in range(1, bpp):
+            len_succ = jnp.maximum(len_succ, lengths_ref[nb0 + bi])
+        # targets are (group start row, lane offset, group max length,
+        # group any-alive, group liveness gates)
+        self_tgt = (b0, lane0, len_max, any_alive, alive_gate)
+        succ_tgt = (nb0, nj_ * slab, len_succ, any_succ,
                     gates_succ if head_gating else None)
 
-        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates, bb, ll):
-            """Fetch block i of `plane` into slot i%|scr| (or wait it)."""
+        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates, bb0, ll):
+            """Fetch block i of `plane` (all bpp group members, one
+            descriptor) into slot i%|scr| (or wait it)."""
             slot = i % scr.shape[0]
 
             def cp(g=None):
                 if g is None:
                     return pltpu.make_async_copy(
-                        plane.at[lv, bb, pl.ds(i * pblk, pblk),
-                                 pl.ds(ll, slab)],
+                        plane.at[lv, pl.ds(bb0, bpp),
+                                 pl.ds(i * pblk, pblk), pl.ds(ll, slab)],
                         scr.at[slot], sem.at[slot, 0])
                 return pltpu.make_async_copy(
-                    plane.at[lv, bb, pl.ds(i * pblk, pblk),
+                    plane.at[lv, pl.ds(bb0, bpp), pl.ds(i * pblk, pblk),
                              pl.ds(ll + g * glanes, glanes)],
-                    scr.at[slot, :, pl.ds(g * glanes, glanes)],
+                    scr.at[slot, :, :, pl.ds(g * glanes, glanes)],
                     sem.at[slot, g])
 
             if gates is None:
@@ -495,7 +619,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         c.wait() if do_wait else c.start()
 
         def msb_io(i, do_wait, tgt=None):
-            bb, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
+            bb0, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
             cond = (2 * i * pblk < len_t)
             if mixed_profile:
                 cond = cond & p1_msb       # 8-bit layers skip the nibble
@@ -503,14 +627,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 cond = cond & any_t
                 gates = None
             k_stream_io(kmsb_out, kmsb_scr, kmsb_sem, i, do_wait, cond,
-                        gates, bb, ll)
+                        gates, bb0, ll)
 
         def lsb2_io(i, do_wait, tgt=None):
             """2-bit refinement block i (same token unit as msb block i);
             fetched only under a 6-bit profile.  Like the msb/full
             streams, pruned head groups skip their lane chunks (the
             reference's pruned heads never issue any fetch)."""
-            bb, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
+            bb0, ll, len_t, any_t, gates = self_tgt if tgt is None else tgt
             slot = i % ls
             cond = use6 & (2 * i * pblk < len_t)
             if not head_gating:
@@ -520,13 +644,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             def cp(g=None):
                 if g is None:
                     return pltpu.make_async_copy(
-                        klsb2_out.at[lv, bb, pl.ds(i * qblk, qblk),
+                        klsb2_out.at[lv, pl.ds(bb0, bpp),
+                                     pl.ds(i * qblk, qblk),
                                      pl.ds(ll, slab)],
                         klsb2_scr.at[slot], klsb2_sem.at[slot, 0])
                 return pltpu.make_async_copy(
-                    klsb2_out.at[lv, bb, pl.ds(i * qblk, qblk),
+                    klsb2_out.at[lv, pl.ds(bb0, bpp),
+                                 pl.ds(i * qblk, qblk),
                                  pl.ds(ll + g * glanes, glanes)],
-                    klsb2_scr.at[slot, :, pl.ds(g * glanes, glanes)],
+                    klsb2_scr.at[slot, :, :, pl.ds(g * glanes, glanes)],
                     klsb2_sem.at[slot, g])
 
             if gates is None:
@@ -541,15 +667,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         c.wait() if do_wait else c.start()
 
         def kfull_io(i, do_wait, gates, tgt=None):
-            bb, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
+            bb0, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
             cond = (i * pblk < len_t)
             if gates is None and head_gating is False:
                 cond = cond & any_t
             k_stream_io(kfull_out, kfull_scr, kfull_sem, i, do_wait, cond,
-                        gates, bb, ll)
+                        gates, bb0, ll)
 
         def v_io(f, do_wait, extra_cond=None, tgt=None):
-            bb, ll, len_t, _, _ = self_tgt if tgt is None else tgt
+            bb0, ll, len_t, _, _ = self_tgt if tgt is None else tgt
             slot = f % vs
             cond = (f * fblk < len_t)
             if extra_cond is not None:
@@ -558,8 +684,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             @pl.when(cond)
             def _():
                 cp = pltpu.make_async_copy(
-                    vfull_out.at[lv, bb, pl.ds(f * fblk, fblk),
-                                 pl.ds(ll, slab)],
+                    vfull_out.at[lv, pl.ds(bb0, bpp),
+                                 pl.ds(f * fblk, fblk), pl.ds(ll, slab)],
                     v_scr.at[slot], v_sem.at[slot])
                 cp.wait() if do_wait else cp.start()
 
@@ -602,32 +728,42 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # Quantize the new K/V rows in registers (all heads in one lane
         # row).  Semantics bit-match qz.update_token.
         # ------------------------------------------------------------------
-        def quant_row(row):                # [1, slab] f32
-            """Per-head-chunk symmetric int8 quant.  Returns
-            (q8 [1,slab] f32-valued ints, scale_lane [1,slab],
-            scale per head [hpp,1])."""
-            absr = jnp.abs(row)
+        h3_iota = jax.lax.broadcasted_iota(jnp.int32, (bpp, hpp, 1), 1)
+
+        def quant_row(rowm):               # [bpp, slab] f32
+            """Per-head-chunk symmetric int8 quant of every member's new
+            row at once.  Returns (q8 [bpp,slab] f32-valued ints,
+            scale_lane [bpp,slab], scale per (member, head) [bpp,hpp,1])."""
+            absr = jnp.abs(rowm)
             sc_h = []
             for h in range(hpp):
-                amax = jnp.max(jnp.where(chunk_s == h, absr, 0.0))
+                amax = jnp.max(jnp.where(chunk_s == h, absr, 0.0),
+                               axis=-1, keepdims=True)          # [bpp, 1]
                 sc_h.append(jnp.where(amax > 0, amax / 127.0, 1.0))
-            sc_lane = jnp.zeros((1, slab), jnp.float32)
-            sc_col = jnp.zeros((hpp, 1), jnp.float32)
+            sc_lane = jnp.zeros((bpp, slab), jnp.float32)
+            sc3 = jnp.zeros((bpp, hpp, 1), jnp.float32)
             for h in range(hpp):
                 sc_lane = sc_lane + jnp.where(chunk_s == h, sc_h[h], 0.0)
-                sc_col = sc_col + jnp.where(hpp_iota == h, sc_h[h], 0.0)
-            q8 = jnp.clip(jnp.round(row / sc_lane), -127, 127)
-            return q8, sc_lane, sc_col
+                sc3 = sc3 + jnp.where(h3_iota == h, sc_h[h][:, None, :],
+                                      0.0)
+            q8 = jnp.clip(jnp.round(rowm / sc_lane), -127, 127)
+            return q8, sc_lane, sc3
 
-        knew = knew_ref[0].astype(jnp.float32)          # [1, slab]
-        vnew = vnew_ref[0].astype(jnp.float32)
-        kq8, ksc_lane, ksc_col = quant_row(knew)
-        vq8, vsc_lane, vsc_col = quant_row(vnew)
+        knew = knew_ref[:, 0, :].astype(jnp.float32)    # [bpp, slab]
+        vnew = vnew_ref[:, 0, :].astype(jnp.float32)
+        kq8, ksc_lane, ksc_col3 = quant_row(knew)
+        vq8, vsc_lane, vsc_col3 = quant_row(vnew)
         # ------------------------------------------------------------------
-        # Queries: block-diagonal [rows, slab]; optional int8 quant for
-        # integer MXU dots (the reference quantizes queries too).
+        # Queries: block-diagonal [R, slab] (group members stacked along
+        # rows); optional int8 quant for integer MXU dots (the reference
+        # quantizes queries too).
         # ------------------------------------------------------------------
-        q_all = qbd_ref[0].astype(jnp.float32)          # [rows, slab]
+        if bpp == 1:
+            q_all = qbd_ref[0].astype(jnp.float32)      # [rows, slab]
+        else:
+            q_all = jnp.concatenate(
+                [qbd_ref[bi] for bi in range(bpp)], axis=0
+            ).astype(jnp.float32)                       # [R, slab]
         if quantize_queries:
             qamax = jnp.max(jnp.abs(q_all), axis=-1, keepdims=True)
             qscale = jnp.maximum(qamax, 1e-20) / 127.0
@@ -644,38 +780,47 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             acc = jnp.float32
 
         # new-token score patches: the appended row's K may race the
-        # fetch, so its column is recomputed from registers
+        # fetch, so its column is recomputed from registers (each row
+        # against ITS member's new K row)
         # unsigned nibble of the new K row (n = k4 + 8, matching kblk_msb)
         k4new = ((((kq8.astype(jnp.int32)) >> 4) & 0xF) ^ 8
-                 ).astype(jnp.float32)                            # [1,slab]
-        patch1 = jnp.sum(qf * k4new, axis=-1, keepdims=True)      # [rows,1]
-        patch_full = jnp.sum(qf * kq8, axis=-1, keepdims=True)
+                 ).astype(jnp.float32)                          # [bpp,slab]
+        patch1 = jnp.sum(qf * rep_rows(k4new), axis=-1,
+                         keepdims=True)                         # [R, 1]
+        patch_full = jnp.sum(qf * rep_rows(kq8), axis=-1, keepdims=True)
 
         # integer dots must pin DEFAULT precision: a global
         # jax_default_matmul_precision=highest stamps fp32 contract
         # precision onto them, which Mosaic rejects ("Bad lhs type")
         _idot_prec = jax.lax.Precision.DEFAULT
 
-        def score_block(kblk, target_scr, t):
+        def q_rows(bi):
+            return q_mat[bi * rows:(bi + 1) * rows] if bpp > 1 else q_mat
+
+        def qf_rows(bi):
+            return qf[bi * rows:(bi + 1) * rows] if bpp > 1 else qf
+
+        def score_block(bi, kblk, target_scr, t):
             s_blk = jax.lax.dot_general(
-                q_mat, kblk, (((1,), (1,)), ((), ())),
+                q_rows(bi), kblk, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc,
                 precision=_idot_prec if int_dots else None)
-            target_scr[:, pl.ds(t * pblk, pblk)] = s_blk.astype(jnp.float32)
+            target_scr[bi * rows:(bi + 1) * rows, pl.ds(t * pblk, pblk)] \
+                = s_blk.astype(jnp.float32)
 
-        def kblk_msb(i, hi):
+        def kblk_msb(i, hi, bi):
             """Unpack the biased nibble n = k4 + 8 (stored biased by
             qz._nibble, so no xor here; int32 vectors — Mosaic lacks
             int16 shifts); the +8 bias folds into the score offset:
             k8 ~ k4*16 + MID == n*16 + (MID - 128)."""
-            rows_k = kmsb_scr[i % ps]
+            rows_k = kmsb_scr[i % ps, bi]
             nib = rows_k.astype(jnp.int32)
             n = (nib >> 4) if hi else (nib & 0xF)
             return n.astype(jnp.int8) if int_dots \
                 else n.astype(jnp.float32)
 
-        def kblk_full(t):
-            rows_k = kfull_scr[t % ts]
+        def kblk_full(t, bi):
+            rows_k = kfull_scr[t % ts, bi]
             return rows_k if int_dots else rows_k.astype(jnp.float32)
 
         def msb_scores_pipeline():
@@ -701,60 +846,71 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             for i in range(num_pblk):
                 msb_io(i, do_wait=True)
 
-                if quantize_queries:
-                    @pl.when(2 * i * pblk < length)
-                    def _(i=i):
-                        # Mosaic has no direct uint8 -> f32 cast
-                        byte_f = kmsb_scr[i % ps].astype(jnp.int32
-                                                         ).astype(jnp.float32)
-                        a_f = jnp.floor(byte_f * 0.0625)
-                        # DEFAULT precision (single-pass bf16 inputs) is
-                        # EXACT here: every operand is an integer < 2^8
-                        s_hi = jax.lax.dot_general(
-                            qf, a_f, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)
-                        scores_scr[:, pl.ds(2 * i * pblk, pblk)] = s_hi
-
-                        @pl.when((2 * i + 1) * pblk < length)
-                        def _():
-                            s_byte = jax.lax.dot_general(
-                                qf, byte_f, (((1,), (1,)), ((), ())),
+                for bi in range(bpp):
+                    r0 = bi * rows
+                    if quantize_queries:
+                        @pl.when(2 * i * pblk < len_bi[bi])
+                        def _(i=i, bi=bi, r0=r0):
+                            # Mosaic has no direct uint8 -> f32 cast
+                            byte_f = kmsb_scr[i % ps, bi].astype(
+                                jnp.int32).astype(jnp.float32)
+                            a_f = jnp.floor(byte_f * 0.0625)
+                            # DEFAULT precision (single-pass bf16 inputs)
+                            # is EXACT here: every operand is an integer
+                            # < 2^8
+                            s_hi = jax.lax.dot_general(
+                                qf_rows(bi), a_f, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT)
-                            scores_scr[:, pl.ds((2 * i + 1) * pblk, pblk)
-                                       ] = s_byte - 16.0 * s_hi
-                else:
-                    @pl.when(2 * i * pblk < length)
-                    def _(i=i):
-                        score_block(kblk_msb(i, True), scores_scr, 2 * i)
+                            scores_scr[r0:r0 + rows,
+                                       pl.ds(2 * i * pblk, pblk)] = s_hi
 
-                    @pl.when((2 * i + 1) * pblk < length)
-                    def _(i=i):
-                        score_block(kblk_msb(i, False), scores_scr,
-                                    2 * i + 1)
+                            @pl.when((2 * i + 1) * pblk < len_bi[bi])
+                            def _():
+                                s_byte = jax.lax.dot_general(
+                                    qf_rows(bi), byte_f,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+                                scores_scr[
+                                    r0:r0 + rows,
+                                    pl.ds((2 * i + 1) * pblk, pblk)
+                                ] = s_byte - 16.0 * s_hi
+                    else:
+                        @pl.when(2 * i * pblk < len_bi[bi])
+                        def _(i=i, bi=bi):
+                            score_block(bi, kblk_msb(i, True, bi),
+                                        scores_scr, 2 * i)
+
+                        @pl.when((2 * i + 1) * pblk < len_bi[bi])
+                        def _(i=i, bi=bi):
+                            score_block(bi, kblk_msb(i, False, bi),
+                                        scores_scr, 2 * i + 1)
                 if has_lsb2:
                     lsb2_io(i, do_wait=True)
                     for t_off in (0, 1):
                         t = 2 * i + t_off
-
-                        @pl.when(use6 & (t * pblk < length))
-                        def _(i=i, t=t, t_off=t_off):
-                            pk = klsb2_scr[i % ls].astype(jnp.int32)
-                            for qh in (0, 1):
-                                qg = t_off * 2 + qh
-                                l2 = (pk >> (6 - 2 * qg)) & 0x3
-                                l2 = (l2.astype(jnp.int8) if int_dots
-                                      else l2.astype(jnp.float32))
-                                s_l2 = jax.lax.dot_general(
-                                    q_mat, l2, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=acc,
-                                    precision=(_idot_prec if int_dots
-                                               else None)
-                                ).astype(jnp.float32)
-                                cds = pl.ds(t * pblk + qh * qblk, qblk)
-                                scores_scr[:, cds] = \
-                                    scores_scr[:, cds] * 4.0 + s_l2
+                        for bi in range(bpp):
+                            @pl.when(use6 & (t * pblk < len_bi[bi]))
+                            def _(i=i, t=t, t_off=t_off, bi=bi):
+                                pk = klsb2_scr[i % ls, bi].astype(jnp.int32)
+                                for qh in (0, 1):
+                                    qg = t_off * 2 + qh
+                                    l2 = (pk >> (6 - 2 * qg)) & 0x3
+                                    l2 = (l2.astype(jnp.int8) if int_dots
+                                          else l2.astype(jnp.float32))
+                                    s_l2 = jax.lax.dot_general(
+                                        q_rows(bi), l2,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=acc,
+                                        precision=(_idot_prec if int_dots
+                                                   else None)
+                                    ).astype(jnp.float32)
+                                    cds = pl.ds(t * pblk + qh * qblk, qblk)
+                                    r0 = bi * rows
+                                    scores_scr[r0:r0 + rows, cds] = \
+                                        scores_scr[r0:r0 + rows, cds] \
+                                        * 4.0 + s_l2
                     if i + ls < num_pblk:
                         lsb2_io(i + ls, do_wait=False)
                 if i + ps < num_pblk:
@@ -764,9 +920,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             for t in range(num_tblk):
                 kfull_io(t, do_wait=True, gates=gates)
 
-                @pl.when(t * pblk < length)
-                def _(t=t):
-                    score_block(kblk_full(t), target_scr, t)
+                for bi in range(bpp):
+                    @pl.when(t * pblk < len_bi[bi])
+                    def _(t=t, bi=bi):
+                        score_block(bi, kblk_full(t, bi), target_scr, t)
                 if t + ts < num_tblk:
                     kfull_io(t + ts, do_wait=False, gates=gates)
 
@@ -790,50 +947,73 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # scale/importance DMAs (started at instance entry) are consumed
         # only now — their latency hid behind the whole score pipeline
         if not sc_blocked:
-            ksc_read.wait()
-            vsc_read.wait()
-        ksc_scr[...] = jnp.where(and_app(col_h == idx), ksc_col,
+            for cpy in ksc_reads + vsc_reads:
+                cpy.wait()
+        # patch each member's appended column with its new-row scales
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (bpp, hpp, cap), 2)
+        b3_iota = jax.lax.broadcasted_iota(jnp.int32, (bpp, 1, 1), 0)
+        idx3 = jnp.full((bpp, 1, 1), idx_bi[0], jnp.int32)
+        for bi in range(1, bpp):
+            idx3 = jnp.where(b3_iota == bi, idx_bi[bi], idx3)
+        app_col3 = col3 == idx3
+        if has_appmask:
+            app3 = jnp.full((bpp, 1, 1), do_app_bi[0])
+            for bi in range(1, bpp):
+                app3 = jnp.where(b3_iota == bi, do_app_bi[bi], app3)
+            app_col3 = jnp.logical_and(app_col3, app3)
+        ksc_scr[...] = jnp.where(app_col3, ksc_col3,
                                  ksc_scr[...].astype(jnp.float32)
                                  ).astype(sc_dtype)
-        vsc_scr[...] = jnp.where(and_app(col_h == idx), vsc_col,
+        vsc_scr[...] = jnp.where(app_col3, vsc_col3,
                                  vsc_scr[...].astype(jnp.float32)
                                  ).astype(sc_dtype)
         if sc_blocked:
             # aliased VMEM blocks write back on instance exit
-            kscale_out[0, 0] = ksc_scr[...]
-            vscale_out[0, 0] = vsc_scr[...]
+            kscale_out[0, 0] = ksc_scr[0]
+            vscale_out[0, 0] = vsc_scr[0]
         else:
             # the scale planes are aliased in place, so HBM already holds
             # every unchanged column — write back only the (lane-aligned)
-            # window holding the appended column, not the whole plane
+            # window holding each member's appended column
             scwin = min(128, cap)
-            cstart = (idx // scwin) * scwin
+            cstart_bi = [(ix // scwin) * scwin for ix in idx_bi]
 
-            def sc_win(ref):
+            def sc_win(ref, bb, cstart):
                 if npj == 1:
-                    return ref.at[lv, b, :, pl.ds(cstart, scwin)]
-                return ref.at[lv, b, pl.ds(j * hpp, hpp),
+                    return ref.at[lv, bb, :, pl.ds(cstart, scwin)]
+                return ref.at[lv, bb, pl.ds(j * hpp, hpp),
                               pl.ds(cstart, scwin)]
 
-            ksc_wb = pltpu.make_async_copy(
-                ksc_scr.at[:, pl.ds(cstart, scwin)],
-                sc_win(kscale_out), sc_sem.at[3])
-            vsc_wb = pltpu.make_async_copy(
-                vsc_scr.at[:, pl.ds(cstart, scwin)],
-                sc_win(vscale_out), sc_sem.at[4])
-            ksc_wb.start()
-            vsc_wb.start()
+            sc_wbs = []
+            for bi in range(bpp):
+                sc_wbs.append(pltpu.make_async_copy(
+                    ksc_scr.at[bi, :, pl.ds(cstart_bi[bi], scwin)],
+                    sc_win(kscale_out, b0 + bi, cstart_bi[bi]),
+                    sc_sem.at[3, bi]))
+                sc_wbs.append(pltpu.make_async_copy(
+                    vsc_scr.at[bi, :, pl.ds(cstart_bi[bi], scwin)],
+                    sc_win(vscale_out, b0 + bi, cstart_bi[bi]),
+                    sc_sem.at[4, bi]))
+            for cpy in sc_wbs:
+                cpy.start()
 
-        # per-block scale slices (row r uses its head's scales); the
-        # full-capacity kscale_rows/vscale_rows materializations are gone —
-        # every consumer below reads a [rows, blk] slice of a LIVE block
+        # per-block scale slices in ROW space (row r uses its member's +
+        # head's scales); every consumer below reads a [R, blk] slice of
+        # a LIVE block
+        def _sc_rows(scr, lo, size):
+            parts = []
+            for bi in range(bpp):
+                pb = scr[bi, :, pl.ds(lo, size)].astype(jnp.float32)
+                parts.append(jnp.repeat(pb, group, axis=0)
+                             if group > 1 else pb)
+            return (jnp.concatenate(parts, axis=0) if bpp > 1
+                    else parts[0])
+
         def ksc_blk(lo, size):
-            kb = ksc_scr[:, pl.ds(lo, size)].astype(jnp.float32)
-            return jnp.repeat(kb, group, axis=0) if group > 1 else kb
+            return _sc_rows(ksc_scr, lo, size)
 
         def vsc_blk(lo, size):
-            vb = vsc_scr[:, pl.ds(lo, size)].astype(jnp.float32)
-            return jnp.repeat(vb, group, axis=0) if group > 1 else vb
+            return _sc_rows(vsc_scr, lo, size)
 
         if quant_enabled and mixed_profile:
             # scr-equivalent value per profile: n4 (x16), n6 (x4), or k8
@@ -908,23 +1088,26 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # decision is 1/denominator EXACTLY (the max column's e ==
         # exp(0) == 1), so no third pass is needed.
         # ------------------------------------------------------------------
-        col_p = jax.lax.broadcasted_iota(jnp.int32, (rows, pblk), 1)
+        col_p = jax.lax.broadcasted_iota(jnp.int32, (R, pblk), 1)
 
         def scale_pass():
             """scores_scr <- scaled+masked pass-1 scores (patched at the
-            appended column), block-gated; mrow_scr <- running row max."""
-            mrow_scr[...] = jnp.full((rows, 128), MASK_VALUE, jnp.float32)
+            appended column), block-gated on the GROUP's max length with
+            per-row exact masking; mrow_scr <- running row max.  Blocks a
+            short member never scored hold garbage in its rows — masked
+            to MASK_VALUE here before anything reads them."""
+            mrow_scr[...] = jnp.full((R, 128), MASK_VALUE, jnp.float32)
             for t in range(num_tblk):
-                @pl.when(t * pblk < length)
+                @pl.when(t * pblk < len_max)
                 def _(t=t):
                     colt = col_p + t * pblk
                     s = scores_scr[:, pl.ds(t * pblk, pblk)]
-                    s = jnp.where(and_app(colt == idx), patch, s)
+                    s = jnp.where(and_app_rows(colt == idx_rows), patch, s)
                     s = s * rs_mult
                     if has_off:
                         s = s + off2
                     s = s * ksc_blk(t * pblk, pblk)
-                    s = jnp.where(colt < length, s, MASK_VALUE)
+                    s = jnp.where(colt < len_rows, s, MASK_VALUE)
                     scores_scr[:, pl.ds(t * pblk, pblk)] = s
                     mrow_scr[...] = jnp.maximum(
                         mrow_scr[...], jnp.max(s, axis=-1, keepdims=True))
@@ -933,15 +1116,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             """Requant merge: firing rows take the scaled full-plane
             scores from scores2_scr (their gates were fetched); the rest
             keep scores_scr, which is already scaled."""
-            mrow_scr[...] = jnp.full((rows, 128), MASK_VALUE, jnp.float32)
+            mrow_scr[...] = jnp.full((R, 128), MASK_VALUE, jnp.float32)
             for t in range(num_tblk):
-                @pl.when(t * pblk < length)
+                @pl.when(t * pblk < len_max)
                 def _(t=t):
                     colt = col_p + t * pblk
                     s2 = scores2_scr[:, pl.ds(t * pblk, pblk)]
-                    s2 = jnp.where(and_app(colt == idx), patch_full, s2)
+                    s2 = jnp.where(and_app_rows(colt == idx_rows),
+                                   patch_full, s2)
                     s2 = (s2 * rs_full) * ksc_blk(t * pblk, pblk)
-                    s2 = jnp.where(colt < length, s2, MASK_VALUE)
+                    s2 = jnp.where(colt < len_rows, s2, MASK_VALUE)
                     s = jnp.where(fire_rows, s2,
                                   scores_scr[:, pl.ds(t * pblk, pblk)])
                     scores_scr[:, pl.ds(t * pblk, pblk)] = s
@@ -954,11 +1138,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             emv_scr <- running max of e*vscale (integer-P·V weight
             bound)."""
             m = jnp.max(mrow_scr[...], axis=-1, keepdims=True)
-            den_scr[...] = jnp.zeros((rows, 128), jnp.float32)
+            den_scr[...] = jnp.zeros((R, 128), jnp.float32)
             if pv_int8:
-                emv_scr[...] = jnp.zeros((rows, 128), jnp.float32)
+                emv_scr[...] = jnp.zeros((R, 128), jnp.float32)
             for t in range(num_tblk):
-                @pl.when(t * pblk < length)
+                @pl.when(t * pblk < len_max)
                 def _(t=t):
                     e = jnp.exp(scores_scr[:, pl.ds(t * pblk, pblk)] - m)
                     probs_scr[:, pl.ds(t * pblk, pblk)] = e
@@ -980,31 +1164,50 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # --- requant decision (RequantDecision.scala:69-76) --------------
         # max prob is pre-head-mask (only fully-dead groups zero), matching
         # the reference's RequantDecision placement before head masking
-        maxp_rows = 1.0 / row_den()                     # [rows, 1]
-        mp_h = jnp.zeros((hpp, 1), jnp.float32)
-        for h in range(hpp):
-            mp = jnp.max(jnp.where(head_of_row == h, maxp_rows, 0.0))
-            mp_h = mp_h + jnp.where(hpp_iota == h, mp, 0.0)
-        mp_h = mp_h * alive_hpp
-        maxp_ref[0] = jnp.broadcast_to(mp_h, (hpp, 128))
+        maxp_rows = 1.0 / row_den()                     # [R, 1]
+        mp_bi = []                                      # per member [hpp,1]
+        for bi in range(bpp):
+            mslice = maxp_rows[bi * rows:(bi + 1) * rows]
+            hrow = head_of_row[bi * rows:(bi + 1) * rows]
+            mp_h = jnp.zeros((hpp, 1), jnp.float32)
+            for h in range(hpp):
+                mp = jnp.max(jnp.where(hrow == h, mslice, 0.0))
+                mp_h = mp_h + jnp.where(hpp_iota == h, mp, 0.0)
+            mp_h = mp_h * alive3[bi]
+            mp_bi.append(mp_h)
+            maxp_ref[bi] = jnp.broadcast_to(mp_h, (hpp, 128))
 
         if do_requant:
-            need_h = (alive_hpp > 0) & (mp_h < requant_threshold)  # [hpp,1]
-            if mixed_profile:
-                # an 8-bit pass-1 already read the full plane
-                need_h = need_h & p1_msb
-            need_ref[0] = jnp.broadcast_to(need_h.astype(jnp.int32),
-                                           (hpp, 128))
-            fire_rows = (jnp.repeat(need_h, group, axis=0) if group > 1
-                         else need_h)                   # [rows, 1] bool
+            need_bi = []
+            for bi in range(bpp):
+                need_h = (alive3[bi] > 0) & \
+                    (mp_bi[bi] < requant_threshold)      # [hpp, 1]
+                if mixed_profile:
+                    # an 8-bit pass-1 already read the full plane
+                    need_h = need_h & p1_msb
+                need_bi.append(need_h)
+                need_ref[bi] = jnp.broadcast_to(need_h.astype(jnp.int32),
+                                                (hpp, 128))
+            # concat in f32: Mosaic cannot sublane-concat i1 masks (the
+            # lowering bitcasts vregs i1->i32, rejected on v5e)
+            fire_parts = [jnp.repeat(nh.astype(jnp.float32), group, axis=0)
+                          if group > 1 else nh.astype(jnp.float32)
+                          for nh in need_bi]
+            fire_rows = (jnp.concatenate(fire_parts, axis=0) if bpp > 1
+                         else fire_parts[0]) > 0.5      # [R, 1] bool
             # one packed scalar carries every per-head-group fire count
             # (single vector->scalar transfer); stride leaves room for up
-            # to gate_hpg firing heads per group
-            stride = max(1, gate_hpg).bit_length()
+            # to bpp*gate_hpg firing heads per group (union over members:
+            # the merged recompute fetch moves the group's bytes)
+            stride = max(1, bpp * gate_hpg).bit_length()
+            assert ngate * stride <= 22, \
+                "requant fire bits exceed exact-f32-sum range"
             gpow = jnp.exp2(
                 ((hpp_iota // gate_hpg) * stride).astype(jnp.float32))
-            rbits = jnp.sum(
-                jnp.where(need_h, gpow, 0.0)).astype(jnp.int32)
+            rbits = jnp.zeros((), jnp.int32)
+            for bi in range(bpp):
+                rbits = rbits + jnp.sum(
+                    jnp.where(need_bi[bi], gpow, 0.0)).astype(jnp.int32)
             any_need = rbits > 0
             gmask = (1 << stride) - 1
             gate_fire = [((rbits >> (g * stride)) & gmask) > 0
@@ -1023,18 +1226,20 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 merge_pass(fire_rows)
                 exp_pass()
         else:
-            need_ref[0] = jnp.zeros((hpp, 128), jnp.int32)
+            need_ref[...] = jnp.zeros((bpp, hpp, 128), jnp.int32)
 
         # final row statistics (the requant pass, when it ran, refreshed
         # the scratch accumulators in place)
         den = row_den()
-        inv_den = 1.0 / den                             # [rows, 1]
+        inv_den = 1.0 / den                             # [R, 1]
         m_fin = jnp.max(mrow_scr[...], axis=-1, keepdims=True)
-        wrow = hmask_rows * inv_den                     # [rows, 1]
+        wrow = hmask_rows * inv_den                     # [R, 1]
         # the appended column's probability from registers (its stored K
         # may race the fetch): e_idx = exp(s_idx - m)
-        ksc_col_rows = (jnp.repeat(ksc_col, group, axis=0)
-                        if group > 1 else ksc_col)      # [rows, 1]
+        _kc_parts = [jnp.repeat(ksc_col3[bi], group, axis=0)
+                     if group > 1 else ksc_col3[bi] for bi in range(bpp)]
+        ksc_col_rows = (jnp.concatenate(_kc_parts, axis=0) if bpp > 1
+                        else _kc_parts[0])              # [R, 1]
         s_idx = patch * rs_mult
         if has_off:
             s_idx = s_idx + off2
@@ -1043,13 +1248,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             s_idx2 = (patch_full * rs_full) * ksc_col_rows
             s_idx = jnp.where(jnp.logical_and(fire_rows, any_need),
                               s_idx2, s_idx)
-        e_idx = jnp.exp(s_idx - m_fin)                  # [rows, 1]
+        e_idx = jnp.exp(s_idx - m_fin)                  # [R, 1]
         if row_stats:
             # per-row softmax partials for split-K recombination: the
             # caller rescales this shard's output by exp(m_i - pmax(m))
             # and renormalizes with psum'd denominators (exact)
-            mrow_out[0] = jnp.broadcast_to(m_fin, (rows, 128))
-            drow_out[0] = jnp.broadcast_to(den, (rows, 128))
+            for bi in range(bpp):
+                mrow_out[bi] = jnp.broadcast_to(
+                    m_fin[bi * rows:(bi + 1) * rows], (rows, 128))
+                drow_out[bi] = jnp.broadcast_to(
+                    den[bi * rows:(bi + 1) * rows], (rows, 128))
 
         # --- local V pruning: exact per-row block keep mask + gated
         # coarse-grained fetch ---------------------------------------------
@@ -1063,9 +1271,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 jnp.int32, (pblk, vpt), 0) // v_block
             tcol = jax.lax.broadcasted_iota(jnp.int32, (pblk, vpt), 1)
             agg_t = (trow == tcol).astype(jnp.float32)  # [pblk, vpt]
-            mass_scr[...] = jnp.zeros((rows, num_vblk), jnp.float32)
+            mass_scr[...] = jnp.zeros((R, num_vblk), jnp.float32)
             for t in range(num_tblk):
-                @pl.when(t * pblk < length)
+                @pl.when(t * pblk < len_max)
                 def _(t=t):
                     mass_scr[:, pl.ds(t * vpt, vpt)] = jax.lax.dot_general(
                         probs_scr[:, t * pblk:(t + 1) * pblk], agg_t,
@@ -1073,14 +1281,22 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         preferred_element_type=jnp.float32)
             # e-scaled mass: the per-row 1/denominator factor changes
             # neither the per-row ranking, the kth threshold, nor mass>0
-            mass = mass_scr[...] * hmask_rows           # [rows, nvb]
+            mass = mass_scr[...] * hmask_rows           # [R, nvb]
             # per-layer value budget -> keep count (dynamic k: the
             # counting kth compares ranks against a traced scalar)
             keep_blocks = jnp.maximum(
                 1, -(-vkeep_ref[lv] // v_block))
-            kth = _kth_largest(mass, keep_blocks)       # [rows]
-            keep_gb = ((mass >= kth[..., None]) & (mass > 0.0)
-                       ).astype(jnp.float32)            # [rows, nvb]
+            # per-member chunks bound the all-pairs rank intermediate at
+            # [rows, nvb, nvb] regardless of the group size
+            if bpp == 1:
+                kth = _kth_largest(mass, keep_blocks)[..., None]
+            else:
+                kth = jnp.concatenate(
+                    [_kth_largest(mass[bi * rows:(bi + 1) * rows],
+                                  keep_blocks)[..., None]
+                     for bi in range(bpp)], axis=0)     # [R, 1]
+            keep_gb = ((mass >= kth) & (mass > 0.0)
+                       ).astype(jnp.float32)            # [R, nvb]
             # fetch block f iff any row keeps a v-block inside it (the
             # keep mask is applied per fired block inside the P·V loop).
             # The nfb gates are packed into ONE scalar bitmask (a single
@@ -1101,10 +1317,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # the appended token's own keep decision (for the register
             # patch below): its v-block's keep bit, per row
             nvb_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (rows, num_vblk), 1)
+                jnp.int32, (R, num_vblk), 1)
             kept_new = jnp.sum(
-                jnp.where(nvb_iota == idx // v_block, keep_gb, 0.0),
-                axis=-1, keepdims=True)                  # [rows, 1]
+                jnp.where(nvb_iota == idx_rows // v_block, keep_gb, 0.0),
+                axis=-1, keepdims=True)                  # [R, 1]
             # block 0 was fetched speculatively in the prologue
             for f in range(1, vs):
                 v_io(f, do_wait=False, extra_cond=(gbits & (1 << f)) > 0)
@@ -1117,123 +1333,152 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # block-gated: only LIVE columns update; dead columns keep their
         # old accumulator bytes (write-back is a no-op there) or, in
         # delta mode, the zero fill
+        imp_wbs = []
         if track_importance:
             col_hp = jax.lax.broadcasted_iota(jnp.int32, (hpp, pblk), 1)
             if accumulate_importance and not sc_blocked:
-                imp_read.wait()
+                for cpy in imp_reads:
+                    cpy.wait()
             if not accumulate_importance:
-                imp_scr[...] = jnp.zeros((hpp, cap), imp_dtype)
+                imp_scr[...] = jnp.zeros((bpp, hpp, cap), imp_dtype)
             drow = wrow if importance_kind == "prob" else hmask_rows
             for t in range(num_tblk):
-                @pl.when(t * pblk < length)
+                @pl.when(t * pblk < len_max)
                 def _(t=t):
                     ds_ = pl.ds(t * pblk, pblk)
                     if importance_kind == "prob":
                         dsrc = probs_scr[:, ds_] * drow
                     else:
                         colt = col_p + t * pblk
-                        dsrc = jnp.where(colt < length,
+                        dsrc = jnp.where(colt < len_rows,
                                          scores_scr[:, ds_], 0.0) * drow
-                    if group > 1:
-                        delta = jnp.sum(dsrc.reshape(hpp, group, pblk),
-                                        axis=1)         # [hpp, pblk]
-                    else:
-                        delta = dsrc
-                    if accumulate_importance:
-                        old = imp_scr[:, ds_].astype(jnp.float32)
-                        prev = jnp.where(
-                            and_app(col_hp + t * pblk == idx), 0.0, old)
-                        if importance_ema != 1.0:
-                            prev = prev * importance_ema
-                        imp_scr[:, ds_] = jnp.where(
-                            alive_hpp > 0.0, prev + delta, old
-                        ).astype(imp_dtype)
-                    else:
-                        imp_scr[:, ds_] = delta.astype(imp_dtype)
-        else:
-            imp_scr[...] = jnp.zeros((hpp, 128), imp_dtype)
-        if sc_blocked:
-            imp_out[0, 0] = imp_scr[...]
-        else:
-            if accumulate_importance:
-                imp_wb = pltpu.make_async_copy(imp_scr, sc_slice(imp_out),
-                                               sc_sem.at[5])
+                    for bi in range(bpp):
+                        dsrc_bi = dsrc[bi * rows:(bi + 1) * rows] \
+                            if bpp > 1 else dsrc
+                        if group > 1:
+                            delta = jnp.sum(
+                                dsrc_bi.reshape(hpp, group, pblk),
+                                axis=1)                 # [hpp, pblk]
+                        else:
+                            delta = dsrc_bi
+                        if accumulate_importance:
+                            old = imp_scr[bi, :, ds_].astype(jnp.float32)
+                            appm = col_hp + t * pblk == idx_bi[bi]
+                            if has_appmask:
+                                appm = jnp.logical_and(appm, do_app_bi[bi])
+                            prev = jnp.where(appm, 0.0, old)
+                            if importance_ema != 1.0:
+                                prev = prev * importance_ema
+                            imp_scr[bi, :, ds_] = jnp.where(
+                                alive3[bi] > 0.0, prev + delta, old
+                            ).astype(imp_dtype)
+                        else:
+                            imp_scr[bi, :, ds_] = delta.astype(imp_dtype)
+            if sc_blocked:
+                imp_out[0, 0] = imp_scr[0]
             else:
-                imp_wb = pltpu.make_async_copy(
-                    imp_scr,
-                    imp_out.at[0, b, :, :] if npj == 1 else
-                    imp_out.at[0, b, pl.ds(j * hpp, hpp), :],
-                    sc_sem.at[5])
-            imp_wb.start()
+                for bi in range(bpp):
+                    if accumulate_importance:
+                        imp_wbs.append(pltpu.make_async_copy(
+                            imp_scr.at[bi], sc_slice(imp_out, b0 + bi),
+                            sc_sem.at[5, bi]))
+                    else:
+                        imp_wbs.append(pltpu.make_async_copy(
+                            imp_scr.at[bi],
+                            imp_out.at[0, b0 + bi, :, :] if npj == 1 else
+                            imp_out.at[0, b0 + bi, pl.ds(j * hpp, hpp), :],
+                            sc_sem.at[5, bi]))
+                for cpy in imp_wbs:
+                    cpy.start()
+        # when importance tracking is off the wrapper discards the imp
+        # output entirely — no zero-fill, no write-back DMA
 
         # ------------------------------------------------------------------
         # Append modify + write start (RMW reads landed during phase A).
         # ------------------------------------------------------------------
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, slab), 0)
-        fmask = sub8 == (idx - fstart)
-        pmask = sub8 == (prow - pstart)
 
         if not skip_append:
-            def _app_modify_write():
-                pltpu.make_async_copy(app_slice(kfull_out, fstart),
-                                      kapp_scr, app_sem.at[0]).wait()
-                pltpu.make_async_copy(app_slice(vfull_out, fstart),
-                                      vapp_scr, app_sem.at[1]).wait()
-                if quant_enabled:
-                    pltpu.make_async_copy(app_slice(kmsb_out, pstart),
-                                          kmapp_scr, app_sem.at[2]).wait()
-                if vmsb_on:
-                    pltpu.make_async_copy(app_slice(vmsb_out, pstart),
-                                          vmapp_scr, app_sem.at[3]).wait()
-                for scr, q8row in ((kapp_scr, kq8), (vapp_scr, vq8)):
-                    scr[...] = jnp.where(
-                        fmask, jnp.broadcast_to(q8row, (8, slab)), scr[...]
-                    ).astype(jnp.int8)
-                nib_pairs = []
-                if quant_enabled:
-                    nib_pairs.append((kmapp_scr, kq8))
-                if vmsb_on:
-                    nib_pairs.append((vmapp_scr, vq8))
-                for scr, q8row in nib_pairs:
-                    old = scr[...].astype(jnp.int32)
-                    nib = jnp.broadcast_to(
-                        ((q8row.astype(jnp.int32) >> 4) & 0xF) ^ 8,
-                        (8, slab))
-                    newb = jnp.where(is_hi,
-                                     (nib << 4) | (old & 0x0F),
-                                     (old & jnp.int32(0xF0)) | nib)
-                    scr[...] = jnp.where(pmask, newb, old).astype(jnp.uint8)
-                if has_lsb2:
-                    # 2-bit field RMW (the masked bit-plane write of
-                    # SpAttenController.scala:230-232 at 2-bit granularity)
-                    pltpu.make_async_copy(app_slice(klsb2_out, l2start),
-                                          kl2app_scr, app_sem.at[4]).wait()
-                    old2 = kl2app_scr[...].astype(jnp.int32)
-                    f2 = jnp.broadcast_to(
-                        (kq8.astype(jnp.int32) >> 2) & 0x3, (8, slab))
-                    shift = (6 - 2 * qfld).astype(jnp.int32)
-                    m2 = jnp.int32(0x3) << shift
-                    new2 = (old2 & ~m2) | (f2 << shift)
-                    l2mask = sub8 == (l2row - l2start)
-                    kl2app_scr[...] = jnp.where(l2mask, new2, old2
-                                                ).astype(jnp.uint8)
-                pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
-                                      app_sem.at[0]).start()
-                pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
-                                      app_sem.at[1]).start()
-                if quant_enabled:
-                    pltpu.make_async_copy(kmapp_scr,
-                                          app_slice(kmsb_out, pstart),
-                                          app_sem.at[2]).start()
-                if vmsb_on:
-                    pltpu.make_async_copy(vmapp_scr,
-                                          app_slice(vmsb_out, pstart),
-                                          app_sem.at[3]).start()
-                if has_lsb2:
-                    pltpu.make_async_copy(kl2app_scr,
-                                          app_slice(klsb2_out, l2start),
-                                          app_sem.at[4]).start()
-            app_when(_app_modify_write)
+            for bi in range(bpp):
+                def _app_modify_write(bi=bi):
+                    bb = b0 + bi
+                    fmask = sub8 == (idx_bi[bi] - fstart_bi[bi])
+                    pmask = sub8 == (prow_bi[bi] - pstart_bi[bi])
+                    pltpu.make_async_copy(
+                        app_slice(kfull_out, fstart_bi[bi], bb),
+                        kapp_scr.at[bi], app_sem.at[0, bi]).wait()
+                    pltpu.make_async_copy(
+                        app_slice(vfull_out, fstart_bi[bi], bb),
+                        vapp_scr.at[bi], app_sem.at[1, bi]).wait()
+                    if quant_enabled:
+                        pltpu.make_async_copy(
+                            app_slice(kmsb_out, pstart_bi[bi], bb),
+                            kmapp_scr.at[bi], app_sem.at[2, bi]).wait()
+                    if vmsb_on:
+                        pltpu.make_async_copy(
+                            app_slice(vmsb_out, pstart_bi[bi], bb),
+                            vmapp_scr.at[bi], app_sem.at[3, bi]).wait()
+                    for scr, q8m in ((kapp_scr, kq8), (vapp_scr, vq8)):
+                        scr[bi] = jnp.where(
+                            fmask,
+                            jnp.broadcast_to(q8m[bi:bi + 1], (8, slab)),
+                            scr[bi]).astype(jnp.int8)
+                    nib_pairs = []
+                    if quant_enabled:
+                        nib_pairs.append((kmapp_scr, kq8))
+                    if vmsb_on:
+                        nib_pairs.append((vmapp_scr, vq8))
+                    for scr, q8m in nib_pairs:
+                        old = scr[bi].astype(jnp.int32)
+                        nib = jnp.broadcast_to(
+                            ((q8m[bi:bi + 1].astype(jnp.int32) >> 4)
+                             & 0xF) ^ 8, (8, slab))
+                        newb = jnp.where(ishi_bi[bi],
+                                         (nib << 4) | (old & 0x0F),
+                                         (old & jnp.int32(0xF0)) | nib)
+                        scr[bi] = jnp.where(pmask, newb, old
+                                            ).astype(jnp.uint8)
+                    if has_lsb2:
+                        # 2-bit field RMW (the masked bit-plane write of
+                        # SpAttenController.scala:230-232 at 2-bit
+                        # granularity)
+                        pltpu.make_async_copy(
+                            app_slice(klsb2_out, l2start_bi[bi], bb),
+                            kl2app_scr.at[bi], app_sem.at[4, bi]).wait()
+                        old2 = kl2app_scr[bi].astype(jnp.int32)
+                        f2 = jnp.broadcast_to(
+                            (kq8[bi:bi + 1].astype(jnp.int32) >> 2) & 0x3,
+                            (8, slab))
+                        shift = (6 - 2 * qfld_bi[bi]).astype(jnp.int32)
+                        m2 = jnp.int32(0x3) << shift
+                        new2 = (old2 & ~m2) | (f2 << shift)
+                        l2mask = sub8 == (l2row_bi[bi] - l2start_bi[bi])
+                        kl2app_scr[bi] = jnp.where(l2mask, new2, old2
+                                                   ).astype(jnp.uint8)
+                    pltpu.make_async_copy(
+                        kapp_scr.at[bi],
+                        app_slice(kfull_out, fstart_bi[bi], bb),
+                        app_sem.at[0, bi]).start()
+                    pltpu.make_async_copy(
+                        vapp_scr.at[bi],
+                        app_slice(vfull_out, fstart_bi[bi], bb),
+                        app_sem.at[1, bi]).start()
+                    if quant_enabled:
+                        pltpu.make_async_copy(
+                            kmapp_scr.at[bi],
+                            app_slice(kmsb_out, pstart_bi[bi], bb),
+                            app_sem.at[2, bi]).start()
+                    if vmsb_on:
+                        pltpu.make_async_copy(
+                            vmapp_scr.at[bi],
+                            app_slice(vmsb_out, pstart_bi[bi], bb),
+                            app_sem.at[3, bi]).start()
+                    if has_lsb2:
+                        pltpu.make_async_copy(
+                            kl2app_scr.at[bi],
+                            app_slice(klsb2_out, l2start_bi[bi], bb),
+                            app_sem.at[4, bi]).start()
+                app_when(bi, _app_modify_write)
 
         # ------------------------------------------------------------------
         # P·V: streamed per-fetch-block matmuls + block-diag extraction.
@@ -1242,11 +1487,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # unnormalized e plane (w = e * hmask/den * vscale, appended
         # column zeroed — its contribution is patched from registers).
         # ------------------------------------------------------------------
-        p_idx = e_idx * wrow * kept_new                 # [rows, 1]
+        p_idx = e_idx * wrow * kept_new                 # [R, 1]
         if has_appmask:
             # non-appending shards: the idx column is a normal stored
             # token — its contribution comes from the fetched plane
-            p_idx = jnp.where(do_app, p_idx, 0.0)
+            p_idx = jnp.where(app_rows, p_idx, 0.0)
         if pv_int8:
             # integer P·V: the stored int8 V rows feed the MXU DIRECTLY
             # (no [blk, slab] astype pass — the VPU cost that made dense
@@ -1259,7 +1504,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # an upper bound within one idx-column slack of the true max.
             wmax = jnp.max(emv_scr[...], axis=-1, keepdims=True) * wrow
             wrecip = 127.0 / jnp.maximum(wmax, 1e-30)
-        col_f = jax.lax.broadcasted_iota(jnp.int32, (rows, fblk), 1)
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (R, fblk), 1)
         if do_vprune:
             # keep-mask lane expansion constant for one fetch block:
             # [vpf, fblk] 0/1, applied per fired block (replaces a whole
@@ -1268,38 +1513,39 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             ecol = jax.lax.broadcasted_iota(jnp.int32, (vpf, fblk), 1)
             expand_f = (erow == ecol // v_block).astype(jnp.float32)
         pvacc_scr[...] = jnp.zeros(
-            (rows, slab), jnp.int32 if pv_int8 else jnp.float32)
+            (R, slab), jnp.int32 if pv_int8 else jnp.float32)
         if do_vprune:
             # consume the speculative sink-block DMA with ITS start
             # condition (issued before the keep mask existed)
-            @pl.when(any_alive & (length > 0))
+            @pl.when(any_alive & (len_max > 0))
             def _():
                 pltpu.make_async_copy(
-                    vfull_out.at[lv, b, pl.ds(0, fblk),
+                    vfull_out.at[lv, pl.ds(b0, bpp), pl.ds(0, fblk),
                                  pl.ds(lane0, slab)],
                     v_scr.at[0], v_sem.at[0]).wait()
         for f in range(nfb):
             if do_vprune:
-                gate_f = ((gbits & (1 << f)) > 0) & (f * fblk < length)
+                gate_f = ((gbits & (1 << f)) > 0) & (f * fblk < len_max)
             else:
-                gate_f = any_alive & (f * fblk < length)
+                gate_f = any_alive & (f * fblk < len_max)
 
             @pl.when(gate_f)
             def _(f=f):
                 if not (do_vprune and f == 0):   # spec block: waited above
                     pltpu.make_async_copy(
-                        vfull_out.at[lv, b, pl.ds(f * fblk, fblk),
+                        vfull_out.at[lv, pl.ds(b0, bpp),
+                                     pl.ds(f * fblk, fblk),
                                      pl.ds(lane0, slab)],
                         v_scr.at[f % vs], v_sem.at[f % vs]).wait()
                 eb = probs_scr[:, f * fblk:(f + 1) * fblk]
                 pb = (eb * wrow) * vsc_blk(f * fblk, fblk)
                 # zero the appended column (patched from registers) AND
-                # every column at/past `length`: a fetch block may span
-                # into never-written (garbage) pblk blocks when fblk does
-                # not divide pblk, and garbage * 0-keep-mask is NaN-unsafe
+                # every column at/past each row's length: a fetch block
+                # may span never-written (garbage) pblk blocks, and
+                # garbage * 0-keep-mask is NaN-unsafe
                 colt = col_f + f * fblk
-                pb = jnp.where(and_app(colt == idx) | (colt >= length),
-                               0.0, pb)
+                pb = jnp.where(and_app_rows(colt == idx_rows)
+                               | (colt >= len_rows), 0.0, pb)
                 if do_vprune:
                     keep_exp = jax.lax.dot_general(
                         keep_gb[:, f * vpf:(f + 1) * vpf], expand_f,
@@ -1309,15 +1555,21 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 if pv_int8:
                     pb8 = jnp.clip(jnp.round(pb * wrecip), 0.0, 127.0
                                    ).astype(jnp.int8)
-                    pvacc_scr[...] += jax.lax.dot_general(
-                        pb8, v_scr[f % vs], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                        precision=jax.lax.Precision.DEFAULT)
+                    for bi in range(bpp):
+                        r0 = bi * rows
+                        pvacc_scr[r0:r0 + rows] += jax.lax.dot_general(
+                            pb8[r0:r0 + rows], v_scr[f % vs, bi],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                            precision=jax.lax.Precision.DEFAULT)
                 else:
-                    pvacc_scr[...] += jax.lax.dot_general(
-                        pb, v_scr[f % vs].astype(jnp.float32),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    for bi in range(bpp):
+                        r0 = bi * rows
+                        pvacc_scr[r0:r0 + rows] += jax.lax.dot_general(
+                            pb[r0:r0 + rows],
+                            v_scr[f % vs, bi].astype(jnp.float32),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
             if f + vs < nfb:
                 if do_vprune:
                     v_io(f + vs, do_wait=False,
@@ -1339,9 +1591,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         if pv_int8:
             out_full = pvacc_scr[...].astype(jnp.float32) * (
-                wmax * (1.0 / 127.0))                   # [rows, slab]
+                wmax * (1.0 / 127.0))                   # [R, slab]
         else:
-            out_full = pvacc_scr[...]                   # [rows, slab]
+            out_full = pvacc_scr[...]                   # [R, slab]
         # block-diag extract: mask off-head chunks, fold chunks onto D
         # with a constant tiled-identity matmul (no lane reshapes)
         li_s = jax.lax.broadcasted_iota(jnp.int32, (slab, d), 0) % d
@@ -1349,37 +1601,52 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         fold = (li_s == li_d).astype(jnp.float32)       # [slab, d]
         out_rows = jax.lax.dot_general(
             out_full * bd_mask, fold, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [rows, d]
-        vnew_deq = jnp.broadcast_to(vq8 * vsc_lane, (rows, slab)) * bd_mask
+            preferred_element_type=jnp.float32)         # [R, d]
+        vnew_deq = rep_rows(vq8 * vsc_lane) * bd_mask   # [R, slab]
         vnew_rows = jax.lax.dot_general(
             vnew_deq, fold, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [rows, d]
-        out_ref[0] = out_rows + p_idx * vnew_rows
+            preferred_element_type=jnp.float32)         # [R, d]
+        final_rows = out_rows + p_idx * vnew_rows
+        if bpp == 1:
+            out_ref[0] = final_rows
+        else:
+            for bi in range(bpp):
+                out_ref[bi] = final_rows[bi * rows:(bi + 1) * rows]
 
         if not sc_blocked:
-            ksc_wb.wait()
-            vsc_wb.wait()
-            imp_wb.wait()
+            for cpy in sc_wbs:
+                cpy.wait()
+            for cpy in imp_wbs:
+                cpy.wait()
         if not skip_append:
-            def _app_drain():
-                # append writes drain last (latency hidden behind P·V)
-                pltpu.make_async_copy(kapp_scr, app_slice(kfull_out, fstart),
-                                      app_sem.at[0]).wait()
-                pltpu.make_async_copy(vapp_scr, app_slice(vfull_out, fstart),
-                                      app_sem.at[1]).wait()
-                if quant_enabled:
-                    pltpu.make_async_copy(kmapp_scr,
-                                          app_slice(kmsb_out, pstart),
-                                          app_sem.at[2]).wait()
-                if vmsb_on:
-                    pltpu.make_async_copy(vmapp_scr,
-                                          app_slice(vmsb_out, pstart),
-                                          app_sem.at[3]).wait()
-                if has_lsb2:
-                    pltpu.make_async_copy(kl2app_scr,
-                                          app_slice(klsb2_out, l2start),
-                                          app_sem.at[4]).wait()
-            app_when(_app_drain)
+            for bi in range(bpp):
+                def _app_drain(bi=bi):
+                    bb = b0 + bi
+                    # append writes drain last (latency hidden behind P·V)
+                    pltpu.make_async_copy(
+                        kapp_scr.at[bi],
+                        app_slice(kfull_out, fstart_bi[bi], bb),
+                        app_sem.at[0, bi]).wait()
+                    pltpu.make_async_copy(
+                        vapp_scr.at[bi],
+                        app_slice(vfull_out, fstart_bi[bi], bb),
+                        app_sem.at[1, bi]).wait()
+                    if quant_enabled:
+                        pltpu.make_async_copy(
+                            kmapp_scr.at[bi],
+                            app_slice(kmsb_out, pstart_bi[bi], bb),
+                            app_sem.at[2, bi]).wait()
+                    if vmsb_on:
+                        pltpu.make_async_copy(
+                            vmapp_scr.at[bi],
+                            app_slice(vmsb_out, pstart_bi[bi], bb),
+                            app_sem.at[3, bi]).wait()
+                    if has_lsb2:
+                        pltpu.make_async_copy(
+                            kl2app_scr.at[bi],
+                            app_slice(klsb2_out, l2start_bi[bi], bb),
+                            app_sem.at[4, bi]).wait()
+                app_when(bi, _app_drain)
 
     return kernel, (pblk, fblk, ps, ts, vs, ngate)
 
@@ -1429,6 +1696,7 @@ def fused_decode_attention(
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
+    _bpp_override: Optional[int] = None,
 ) -> Tuple[jax.Array, AttentionStats, qz.QuantizedKV, qz.QuantizedKV]:
     """One fused decode step.  Returns (out [B,Hq,1,D], stats,
     k_quant', v_quant') where the primed caches contain the appended row
@@ -1484,6 +1752,26 @@ def fused_decode_attention(
     pv_int8 = pv_int8 and (rows_p % 8 == 0 or 8 % rows_p == 0)
     if has_lsb2:
         assert cap >= 32, "6-bit profiles need cap >= 32 (8-row lsb2 RMW)"
+    _do_requant = quant_enabled and requant_threshold > 0.0
+    _vk = (v_keep,) if isinstance(v_keep, int) else tuple(v_keep)
+    _do_vprune = any(
+        0 < vk and max(1, -(-vk // v_block_size)) < cap // v_block_size
+        for vk in _vk)
+    if _bpp_override is not None:
+        bpp = _bpp_override
+    elif interpret or sc_blocked or b == 1:
+        bpp = 1
+    else:
+        bpp = _batches_per_program(
+            b, hpp, d, group, cap,
+            quant_on=quant_enabled, need_kfull=(
+                (not quant_enabled) or _do_requant or mixed_profile),
+            need_scores2=_do_requant, has_lsb2=has_lsb2,
+            do_vprune=_do_vprune, v_block=v_block_size,
+            sc_bytes=jnp.dtype(sc_dtype).itemsize,
+            imp_bytes=jnp.dtype(imp_dtype).itemsize,
+            track_imp=track_importance)
+    assert b % bpp == 0, f"batch {b} not divisible by group size {bpp}"
     kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
@@ -1497,7 +1785,7 @@ def fused_decode_attention(
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
         has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype,
         pv_int8=pv_int8, has_appmask=append_mask is not None,
-        row_stats=return_row_stats)
+        row_stats=return_row_stats, bpp=bpp)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1554,16 +1842,16 @@ def fused_decode_attention(
         sc_in = pl.BlockSpec(memory_space=pl.ANY)
 
     in_specs = [
-        pl.BlockSpec((1, rows_p, slab),
+        pl.BlockSpec((bpp, rows_p, slab),
                      lambda i, j, *_: (i, j, j),
                      memory_space=pltpu.VMEM),          # qbd
-        pl.BlockSpec((1, 1, slab), lambda i, j, *_: (i, 0, j),
+        pl.BlockSpec((bpp, 1, slab), lambda i, j, *_: (i, 0, j),
                      memory_space=pltpu.VMEM),          # k_new
-        pl.BlockSpec((1, 1, slab), lambda i, j, *_: (i, 0, j),
+        pl.BlockSpec((bpp, 1, slab), lambda i, j, *_: (i, 0, j),
                      memory_space=pltpu.VMEM),          # v_new
         sc_in,                                          # kscale [L,B,H,C]
         sc_in,                                          # vscale
-        pl.BlockSpec((1, hpp, group), lambda i, j, *_: (i, j, 0),
+        pl.BlockSpec((bpp, hpp, group), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # hmask
         (_imp_in_spec(imp_cols) if sc_blocked
          else pl.BlockSpec(memory_space=pl.ANY)),       # imp_in
@@ -1582,11 +1870,11 @@ def fused_decode_attention(
     n_planes = len(plane_ops)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     out_specs = [
-        pl.BlockSpec((1, rows_p, d), lambda i, j, *_: (i, j, 0),
+        pl.BlockSpec((bpp, rows_p, d), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # out
-        pl.BlockSpec((1, hpp, 128), lambda i, j, *_: (i, j, 0),
+        pl.BlockSpec((bpp, hpp, 128), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # maxp
-        pl.BlockSpec((1, hpp, 128), lambda i, j, *_: (i, j, 0),
+        pl.BlockSpec((bpp, hpp, 128), lambda i, j, *_: (i, j, 0),
                      memory_space=pltpu.VMEM),          # need
         (_imp_in_spec(imp_cols) if sc_blocked
          else pl.BlockSpec(memory_space=pl.ANY)),    # imp
@@ -1595,7 +1883,7 @@ def fused_decode_attention(
     ]
     out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
     if return_row_stats:
-        out_specs += [pl.BlockSpec((1, rows_p, 128),
+        out_specs += [pl.BlockSpec((bpp, rows_p, 128),
                                    lambda i, j, *_: (i, j, 0),
                                    memory_space=pltpu.VMEM)] * 2
     out_shape = [
@@ -1633,48 +1921,49 @@ def fused_decode_attention(
         * (1 << jnp.arange(npj * ngate, dtype=jnp.int32))[None, :],
         axis=1).astype(jnp.int32)
 
+    R_p = bpp * rows_p
     scratch = [
-        pltpu.VMEM((8, slab), jnp.int8),     # kapp
-        pltpu.VMEM((8, slab), jnp.int8),     # vapp
+        pltpu.VMEM((bpp, 8, slab), jnp.int8),     # kapp
+        pltpu.VMEM((bpp, 8, slab), jnp.int8),     # vapp
     ]
     qblk = max(1, pblk // 2)
     ls = max(2, min(-(-cap // (2 * pblk)), NSLOTS)) \
         if has_lsb2 and cap > 2 * pblk else 1
     if quant_on:
-        scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # kmapp
+        scratch.append(pltpu.VMEM((bpp, 8, slab), jnp.uint8))     # kmapp
     if has_lsb2:
-        scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # kl2app
+        scratch.append(pltpu.VMEM((bpp, 8, slab), jnp.uint8))     # kl2app
     if vmsb_on:
-        scratch.append(pltpu.VMEM((8, slab), jnp.uint8))     # vmapp
+        scratch.append(pltpu.VMEM((bpp, 8, slab), jnp.uint8))     # vmapp
     scratch += [
-        pltpu.VMEM((hpp, cap), sc_dtype),           # ksc slice
-        pltpu.VMEM((hpp, cap), sc_dtype),           # vsc slice
-        pltpu.VMEM((hpp, imp_cols), imp_dtype),     # imp slice
+        pltpu.VMEM((bpp, hpp, cap), sc_dtype),           # ksc slices
+        pltpu.VMEM((bpp, hpp, cap), sc_dtype),           # vsc slices
+        pltpu.VMEM((bpp, hpp, imp_cols), imp_dtype),     # imp slices
     ]
     if quant_on:
-        scratch.append(pltpu.VMEM((ps, pblk, slab), jnp.uint8))
+        scratch.append(pltpu.VMEM((ps, bpp, pblk, slab), jnp.uint8))
     if has_lsb2:
-        scratch.append(pltpu.VMEM((ls, qblk, slab), jnp.uint8))
+        scratch.append(pltpu.VMEM((ls, bpp, qblk, slab), jnp.uint8))
     if (not quant_on) or do_requant or mixed_profile:
-        scratch.append(pltpu.VMEM((ts, pblk, slab), jnp.int8))
+        scratch.append(pltpu.VMEM((ts, bpp, pblk, slab), jnp.int8))
     scratch += [
-        pltpu.VMEM((rows_p, cap), jnp.float32),    # scores
-        pltpu.VMEM((rows_p, cap), jnp.float32),    # probs (e)
-        pltpu.VMEM((rows_p, 128), jnp.float32),    # running row max
-        pltpu.VMEM((rows_p, 128), jnp.float32),    # denominator
+        pltpu.VMEM((R_p, cap), jnp.float32),    # scores
+        pltpu.VMEM((R_p, cap), jnp.float32),    # probs (e)
+        pltpu.VMEM((R_p, 128), jnp.float32),    # running row max
+        pltpu.VMEM((R_p, 128), jnp.float32),    # denominator
     ]
     if pv_int8:
-        scratch.append(pltpu.VMEM((rows_p, 128), jnp.float32))  # emv
+        scratch.append(pltpu.VMEM((R_p, 128), jnp.float32))  # emv
     if do_requant:
-        scratch.append(pltpu.VMEM((rows_p, cap), jnp.float32))
+        scratch.append(pltpu.VMEM((R_p, cap), jnp.float32))
     if do_vprune:
-        scratch.append(pltpu.VMEM((rows_p, cap // v_block_size),
+        scratch.append(pltpu.VMEM((R_p, cap // v_block_size),
                                   jnp.float32))
     scratch += [
-        pltpu.VMEM((vs, fblk, slab), jnp.int8),    # v slots
-        pltpu.VMEM((rows_p, slab),
+        pltpu.VMEM((vs, bpp, fblk, slab), jnp.int8),    # v slots
+        pltpu.VMEM((R_p, slab),
                    jnp.int32 if pv_int8 else jnp.float32),  # pv acc
-        pltpu.SemaphoreType.DMA((5,)),
+        pltpu.SemaphoreType.DMA((5, bpp)),
     ]
     if quant_on:
         scratch.append(pltpu.SemaphoreType.DMA((ps, ngate)))  # kmsb
@@ -1683,7 +1972,7 @@ def fused_decode_attention(
     scratch += [
         pltpu.SemaphoreType.DMA((ts, ngate)),
         pltpu.SemaphoreType.DMA((vs,)),
-        pltpu.SemaphoreType.DMA((6,)),
+        pltpu.SemaphoreType.DMA((6, bpp)),
     ]
 
     if quant_bits is None:
@@ -1694,7 +1983,7 @@ def fused_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=spo,
-        grid=(b, hkv // hpp),
+        grid=(b // bpp, hkv // hpp),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,

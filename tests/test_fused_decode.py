@@ -43,7 +43,7 @@ def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
              quant_enabled=True, v_keep=0, v_block_size=16,
              head_mask=None, importance_kind="prob",
              quantize_queries=False, importance_in=None,
-             track_importance=True, **mk):
+             track_importance=True, _bpp_override=None, **mk):
     q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(key, **mk)
     kwargs = dict(
         sm_scale=sm_scale, requant_threshold=requant_threshold,
@@ -62,7 +62,8 @@ def run_both(key, *, sm_scale=0.18, requant_threshold=0.0,
     ker_out, ker_stats, k2, v2 = fused_decode_attention(
         q, kq, vq, k_new, v_new, lengths,
         quantize_queries=quantize_queries, importance_in=importance_in,
-        track_importance=track_importance, interpret=True, **kwargs)
+        track_importance=track_importance, interpret=True,
+        _bpp_override=_bpp_override, **kwargs)
     return (ref_out, ref_stats, cache_ref), (ker_out, ker_stats,
                                              kvc.LayerKVCache(k=k2, v=v2))
 
@@ -393,3 +394,86 @@ def test_stacked_layer_mode_matches_per_layer_calls():
                                np.asarray(refs[li][1].importance_delta),
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_array_equal(imp[0], np.zeros_like(imp[0]))
+
+
+# ---------------------------------------------------------------------------
+# Batch-grouped programs (bpp > 1): one grid instance serves bpp batch
+# rows; every stream DMA moves the whole group in one descriptor.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bpp", [2, 4])
+def test_fused_batch_group_full_pipeline(bpp):
+    """bpp members with DIFFERENT lengths through the full pipeline
+    (requant + V-prune) must match the reference; rows of short members
+    past their own length must not leak.  The quantized-query variant is
+    compared against its own bpp=1 kernel run instead (the jnp reference
+    keeps f32 queries, so only loose comparisons are meaningful there —
+    see test_fused_int8_queries)."""
+    lengths = np.array([50, 31, 64, 7])
+    r, k = run_both(jax.random.PRNGKey(21), b=4, length=lengths,
+                    requant_threshold=0.6, v_keep=24, v_block_size=16,
+                    _bpp_override=bpp)
+    assert_match(r, k, lengths=jnp.asarray(lengths, jnp.int32))
+    # int8-query path: batch grouping must not change the numerics
+    qq = dict(requant_threshold=0.6, v_keep=24, v_block_size=16,
+              quantize_queries=True)
+    _, k1 = run_both(jax.random.PRNGKey(21), b=4, length=lengths,
+                     _bpp_override=1, **qq)
+    _, kb = run_both(jax.random.PRNGKey(21), b=4, length=lengths,
+                     _bpp_override=bpp, **qq)
+    np.testing.assert_allclose(np.asarray(kb[0]), np.asarray(k1[0]),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_fused_batch_group_gqa_head_mask():
+    hm = jnp.asarray([1.0, 1.0, 0.0, 1.0])          # head 1 of hkv=2 dead
+    lengths = np.array([40, 12])
+    r, k = run_both(jax.random.PRNGKey(22), b=2, hq=4, hkv=2,
+                    length=lengths, head_mask=hm, v_keep=16,
+                    _bpp_override=2)
+    assert_match(r, k, lengths=jnp.asarray(lengths, jnp.int32))
+
+
+def test_fused_batch_group_dense_mode():
+    lengths = np.array([60, 3])
+    r, k = run_both(jax.random.PRNGKey(23), b=2, length=lengths,
+                    quant_enabled=False, _bpp_override=2)
+    assert_match(r, k, lengths=jnp.asarray(lengths, jnp.int32),
+                 check_msb=False)
+
+
+def test_fused_batch_group_importance_accumulate():
+    import spatten_tpu.engine.kv_cache as kvc_mod
+    b, hkv, cap = 4, 2, 64
+    imp0 = jax.random.uniform(jax.random.PRNGKey(3), (b, hkv, cap))
+    lengths = np.array([50, 31, 20, 44])
+    r, k = run_both(jax.random.PRNGKey(24), b=b, hkv=hkv, cap=cap,
+                    length=lengths, importance_in=imp0,
+                    _bpp_override=4)
+    # reference accumulates: imp' = imp0 (appended col zeroed) + delta
+    (ref_out, ref_stats, _), (ker_out, ker_stats, _) = r, k
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-4)
+    idxs = lengths - 1
+    imp0_np = np.asarray(imp0).copy()
+    for bi in range(b):
+        imp0_np[bi, :, idxs[bi]] = 0.0
+    want = imp0_np + np.asarray(ref_stats.importance_delta)
+    np.testing.assert_allclose(np.asarray(ker_stats.importance_delta),
+                               want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_batch_group_auto_selection():
+    """_batches_per_program picks >1 for small caps and divides batch."""
+    from spatten_tpu.ops.fused_decode import _batches_per_program
+    bpp = _batches_per_program(
+        16, 4, 128, 1, 4096, quant_on=True, need_kfull=True,
+        need_scores2=True, has_lsb2=False, do_vprune=True, v_block=64,
+        sc_bytes=4, imp_bytes=4, track_imp=True)
+    assert bpp > 1 and 16 % bpp == 0
+    # huge cap still returns a valid (possibly 1) group size
+    bpp2 = _batches_per_program(
+        32, 4, 128, 1, 32768, quant_on=True, need_kfull=True,
+        need_scores2=True, has_lsb2=False, do_vprune=True, v_block=256,
+        sc_bytes=4, imp_bytes=2, track_imp=True)
+    assert bpp2 >= 1 and 32 % bpp2 == 0
