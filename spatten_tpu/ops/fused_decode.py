@@ -510,6 +510,23 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             vsc_scr[0] = vscale_in[0, 0]
             if accumulate_importance:
                 imp_scr[0] = imp_in[0, 0]
+        elif npj == 1:
+            # contiguous batch rows: ONE [bpp, hpp, C] descriptor per
+            # plane for the whole group (3 issues instead of 3*bpp)
+            ksc_reads = [pltpu.make_async_copy(
+                kscale_in.at[lv, pl.ds(b0, bpp), :, :], ksc_scr,
+                sc_sem.at[0, 0])]
+            vsc_reads = [pltpu.make_async_copy(
+                vscale_in.at[lv, pl.ds(b0, bpp), :, :], vsc_scr,
+                sc_sem.at[1, 0])]
+            for cpy in ksc_reads + vsc_reads:
+                cpy.start()
+            if accumulate_importance:
+                imp_reads = [pltpu.make_async_copy(
+                    imp_in.at[lv, pl.ds(b0, bpp), :, :], imp_scr,
+                    sc_sem.at[2, 0])]
+                for cpy in imp_reads:
+                    cpy.start()
         else:
             ksc_reads = [pltpu.make_async_copy(
                 sc_slice(kscale_in, b0 + bi), ksc_scr.at[bi],
@@ -612,8 +629,22 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _():
                     cp().wait() if do_wait else cp().start()
             else:
+                # all-gates-live fast path: ONE full-slab descriptor when
+                # every head group is live (the overwhelmingly common
+                # runtime case — per-gate splits exist to skip pruned
+                # heads' lanes, but each split costs a scalar-core issue
+                # and the instance is descriptor-issue-bound).  Start and
+                # wait branch on the same scalar gates, so they pair.
+                allg = gates[0]
+                for g in range(1, ngate):
+                    allg = allg & gates[g]
+
+                @pl.when(cond & allg)
+                def _():
+                    c = cp()
+                    c.wait() if do_wait else c.start()
                 for g in range(ngate):
-                    @pl.when(cond & gates[g])
+                    @pl.when(cond & gates[g] & jnp.logical_not(allg))
                     def _(g=g):
                         c = cp(g)
                         c.wait() if do_wait else c.start()
@@ -660,8 +691,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _():
                     cp().wait() if do_wait else cp().start()
             else:
+                allg = gates[0]
+                for g in range(1, ngate):
+                    allg = allg & gates[g]
+
+                @pl.when(cond & allg)
+                def _():
+                    c = cp()
+                    c.wait() if do_wait else c.start()
                 for g in range(ngate):
-                    @pl.when(cond & gates[g])
+                    @pl.when(cond & gates[g] & jnp.logical_not(allg))
                     def _(g=g):
                         c = cp(g)
                         c.wait() if do_wait else c.start()
