@@ -68,58 +68,31 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
         )                       # [L, B, Hkv, keep_max], [L, B]
         cached_rope = (cfg.engine.rope_mode == "cached"
                        and not cfg.model.use_abs_pos_emb)
-        if cached_rope:
-            from spatten_tpu.ops import rope as rope_ops
-            cos_t, sin_t = rope_ops.rope_table(
-                cap, cfg.model.head_dim, cfg.model.rope_theta)
-
-        def sel_batch(new, old):
-            # per-layer leaves are [B, ...]; select along batch (axis 0)
-            t = trigger.reshape((-1,) + (1,) * (new.ndim - 1))
-            return jnp.where(t, new, old).astype(old.dtype)
+        from spatten_tpu.pruning import compact
 
         def one_layer(l, carry):
-            """Prune layer l in place (dynamic_update on the carried
-            stacked planes).  Layer-at-a-time keeps the transient
-            footprint at one layer's planes — the whole-stack gather (and
-            especially the cached-K f32 re-rotation) would otherwise
-            materialize multi-GB intermediates at serving capacities."""
+            """Prune layer l in place via the fused compaction (gather +
+            moved-row-only delta re-rotation + requant + prefix repack,
+            streamed over pack-unit chunks — pruning/compact.py).
+            Layer-at-a-time keeps the transient at one chunk's f32;
+            untriggered sequences pass identity indices so their rewrite
+            is a bit-exact no-op (no dequant/requant round-trip)."""
             cache, imp = carry
             take = lambda x: jax.lax.dynamic_index_in_dim(
                 x, l, 0, keepdims=False)
             layer_cache = jax.tree.map(take, cache)
             kidx_l = take(keep_idx)                  # [B, Hkv, keep_max]
-            pruned = kvc.prune_layer(layer_cache, kidx_l)
-            if cached_rope:
-                # cached-rotated K: a survivor moved from slot kidx[i] to
-                # slot i must be re-rotated by the (non-positive) delta
-                new_slot = jnp.arange(keep_max, dtype=jnp.int32)
-                zpad = jnp.zeros((cap - keep_max,), jnp.int32)
-                delta = jnp.concatenate(
-                    [new_slot, zpad], axis=0) - jnp.concatenate(
-                    [kidx_l, jnp.zeros(
-                        kidx_l.shape[:-1] + (cap - keep_max,),
-                        jnp.int32)], axis=-1)            # [B, Hkv, C] <= 0
-                # slots past keep_count are dead (masked by length);
-                # clamping keeps the re-rotation a no-op there
-                delta = jnp.minimum(delta, 0)
-                pruned = pruned._replace(
-                    k=qz.rotate_rows_by_delta(pruned.k, delta,
-                                              cos_t, sin_t))
-            imp_l = take(imp)
-            (pruned_imp,) = token_pruning.prune_arrays(kidx_l, imp_l)
-            zpad = jnp.zeros(pruned_imp.shape[:-1] + (cap - keep_max,),
-                             pruned_imp.dtype)
-            pruned_imp = jnp.concatenate([pruned_imp, zpad], axis=-1)
-
-            merged_cache = jax.tree.map(sel_batch, pruned, layer_cache)
-            merged_imp = sel_batch(pruned_imp, imp_l)
+            ident = jnp.broadcast_to(
+                jnp.arange(keep_max, dtype=jnp.int32), kidx_l.shape)
+            kidx_l = jnp.where(trigger[:, None, None], kidx_l, ident)
+            new_cache, new_imp = compact.compact_layer(
+                layer_cache, take(imp), kidx_l, rotate_k=cached_rope,
+                rope_theta=cfg.model.rope_theta)
             cache = jax.tree.map(
                 lambda big, small: jax.lax.dynamic_update_index_in_dim(
                     big, small.astype(big.dtype), l, 0),
-                cache, merged_cache)
-            imp = jax.lax.dynamic_update_index_in_dim(imp, merged_imp,
-                                                      l, 0)
+                cache, new_cache)
+            imp = jax.lax.dynamic_update_index_in_dim(imp, new_imp, l, 0)
             return (cache, imp)
 
         cache, imp = jax.lax.fori_loop(0, num_layers, one_layer,

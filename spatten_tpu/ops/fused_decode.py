@@ -172,9 +172,18 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
     qblk = max(1, pblk // 2)
     fblk = _fetch_block(cap, v_block) if do_vprune else pblk
     nfb = cap // fblk
+    # requant fire-count packing (the kernel asserts
+    # ngate * bit_length(bpp*gate_hpg) <= 22, see _make_kernel): candidate
+    # groups that would overflow the exact-f32-sum bit budget are skipped
+    gate_hpg = max(1, -(-128 // head_dim))
+    if hpp % gate_hpg:
+        gate_hpg = hpp
+    ngate = hpp // gate_hpg
     fits = [1]
     for bpp in range(2, min(batch, 8) + 1):
         if batch % bpp:
+            continue
+        if need_scores2 and ngate * (bpp * gate_hpg).bit_length() > 22:
             continue
         R = bpp * rows
 
@@ -267,6 +276,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     ps = _slots(num_pblk, pblk)
     ts = _slots(num_tblk, pblk)
     vs = _slots(nfb, fblk)
+    # chunked + length-gated metadata streams (scale/importance planes):
+    # legal only when the pblk-column chunk is a lane-aligned DMA slice
+    sc_chunked = (not sc_blocked) and pblk % 128 == 0
 
     def kernel(*refs):
         it = iter(refs)
@@ -351,6 +363,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         kfull_sem = next(it)               # DMA (ts, ngate)
         v_sem = next(it)                   # DMA (vs,)
         sc_sem = next(it)                  # DMA (6,) scale/importance IO
+        if sc_chunked:
+            scm_sem = next(it)             # DMA (4, num_tblk): chunked
+                                           #   metadata streams
 
         bg = pl.program_id(0)              # batch-GROUP index
         j = pl.program_id(1)
@@ -505,11 +520,42 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 return ref.at[lv, bb, :, :]
             return ref.at[lv, bb, pl.ds(j * hpp, hpp), :]
 
+        # chunked metadata IO: pblk-column chunks of the [*, hpp, C]
+        # scale/importance planes, gated on the group's live window —
+        # only the live prefix moves (the full-capacity metadata DMA
+        # otherwise rivals the live KV bytes at serving shapes: round-3
+        # measured ~1/4 of spatten-mode traffic as length-independent
+        # metadata).  Dead chunks of the scratch hold stale bytes that
+        # every consumer masks (live-block gating + per-row length
+        # masks); columns past `length` are undefined by contract.
+        def sc_chunk_io(plane_ref, scr, p, t, do_wait, write=False):
+            @pl.when(t * pblk < len_max)
+            def _():
+                cds = pl.ds(t * pblk, pblk)
+                if npj == 1:
+                    pairs = [(plane_ref.at[lv, pl.ds(b0, bpp), :, cds],
+                              scr.at[:, :, cds], scm_sem.at[p, t])]
+                else:
+                    pairs = [(plane_ref.at[lv, b0 + bi,
+                                           pl.ds(j * hpp, hpp), cds],
+                              scr.at[bi, :, cds], scm_sem.at[p, t])
+                             for bi in range(bpp)]
+                for big, small, sem in pairs:
+                    cp = (pltpu.make_async_copy(small, big, sem) if write
+                          else pltpu.make_async_copy(big, small, sem))
+                    cp.wait() if do_wait else cp.start()
+
         if sc_blocked:
             ksc_scr[0] = kscale_in[0, 0]
             vsc_scr[0] = vscale_in[0, 0]
             if accumulate_importance:
                 imp_scr[0] = imp_in[0, 0]
+        elif sc_chunked:
+            for t in range(num_tblk):
+                sc_chunk_io(kscale_in, ksc_scr, 0, t, do_wait=False)
+                sc_chunk_io(vscale_in, vsc_scr, 1, t, do_wait=False)
+                if accumulate_importance:
+                    sc_chunk_io(imp_in, imp_scr, 2, t, do_wait=False)
         elif npj == 1:
             # contiguous batch rows: ONE [bpp, hpp, C] descriptor per
             # plane for the whole group (3 issues instead of 3*bpp)
@@ -985,7 +1031,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         # scale/importance DMAs (started at instance entry) are consumed
         # only now — their latency hid behind the whole score pipeline
-        if not sc_blocked:
+        if sc_chunked:
+            for t in range(num_tblk):
+                sc_chunk_io(kscale_in, ksc_scr, 0, t, do_wait=True)
+                sc_chunk_io(vscale_in, vsc_scr, 1, t, do_wait=True)
+        elif not sc_blocked:
             for cpy in ksc_reads + vsc_reads:
                 cpy.wait()
         # patch each member's appended column with its new-row scales
@@ -1064,8 +1114,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 moff = jnp.where(bits == 8, 0.0,
                                  jnp.where(bits == 6, mid6, mid4))
                 k6new = ((kq8.astype(jnp.int32) >> 2) & 0x3F) ^ 32
-                patch6 = jnp.sum(qf * k6new.astype(jnp.float32), axis=-1,
-                                 keepdims=True)
+                patch6 = jnp.sum(
+                    qf * rep_rows(k6new.astype(jnp.float32)),
+                    axis=-1, keepdims=True)
                 patch = jnp.where(bits == 8, patch_full,
                                   jnp.where(bits == 6, patch6, patch1))
             else:
@@ -1371,11 +1422,18 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # --- importance epilogue (cascade pruning signal) ----------------
         # block-gated: only LIVE columns update; dead columns keep their
         # old accumulator bytes (write-back is a no-op there) or, in
-        # delta mode, the zero fill
+        # delta mode, the zero fill.  Block gating is on the GROUP's
+        # len_max: a short member's columns in [len_bi, len_max) see the
+        # EMA decay + zero delta.  Importance past `length` is UNDEFINED
+        # by contract — every consumer (select_keep_indices_budgeted)
+        # masks on layer_lengths, and appended columns reset to zero.
         imp_wbs = []
         if track_importance:
             col_hp = jax.lax.broadcasted_iota(jnp.int32, (hpp, pblk), 1)
-            if accumulate_importance and not sc_blocked:
+            if accumulate_importance and sc_chunked:
+                for t in range(num_tblk):
+                    sc_chunk_io(imp_in, imp_scr, 2, t, do_wait=True)
+            elif accumulate_importance and not sc_blocked:
                 for cpy in imp_reads:
                     cpy.wait()
             if not accumulate_importance:
@@ -1415,6 +1473,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             imp_scr[bi, :, ds_] = delta.astype(imp_dtype)
             if sc_blocked:
                 imp_out[0, 0] = imp_scr[0]
+            elif sc_chunked and accumulate_importance:
+                # aliased accumulator: write back only the live chunks
+                # (HBM already holds every dead column's old bytes)
+                for t in range(num_tblk):
+                    sc_chunk_io(imp_out, imp_scr, 3, t, do_wait=False,
+                                write=True)
             else:
                 for bi in range(bpp):
                     if accumulate_importance:
@@ -1655,6 +1719,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if not sc_blocked:
             for cpy in sc_wbs:
                 cpy.wait()
+            if sc_chunked and accumulate_importance and track_importance:
+                for t in range(num_tblk):
+                    sc_chunk_io(imp_out, imp_scr, 3, t, do_wait=True,
+                                write=True)
             for cpy in imp_wbs:
                 cpy.wait()
         if not skip_append:
@@ -2013,6 +2081,9 @@ def fused_decode_attention(
         pltpu.SemaphoreType.DMA((vs,)),
         pltpu.SemaphoreType.DMA((6, bpp)),
     ]
+    if (not sc_blocked) and pblk % 128 == 0:
+        # chunked metadata streams (ksc/vsc/imp read + imp write)
+        scratch.append(pltpu.SemaphoreType.DMA((4, cap // pblk)))
 
     if quant_bits is None:
         qbits_arr = jnp.full((num_layers,),

@@ -477,3 +477,53 @@ def test_fused_batch_group_auto_selection():
         need_scores2=True, has_lsb2=False, do_vprune=True, v_block=256,
         sc_bytes=4, imp_bytes=2, track_imp=True)
     assert bpp2 >= 1 and 32 % bpp2 == 0
+
+
+def test_fused_batch_group_respects_requant_bit_budget():
+    """Auto bpp selection must honor the requant fire-count packing
+    constraint (ngate * bit_length(bpp*gate_hpg) <= 22) — regression:
+    hkv=8, d=128, cap=512, batch=8 with requant auto-picked bpp=4
+    (8 gates * 3 bits = 24 > 22) and crashed the kernel assert."""
+    from spatten_tpu.ops.fused_decode import _batches_per_program
+    bpp = _batches_per_program(
+        8, 8, 128, 1, 512, quant_on=True, need_kfull=True,
+        need_scores2=True, has_lsb2=False, do_vprune=False, v_block=16,
+        sc_bytes=4, imp_bytes=4, track_imp=True)
+    assert 8 * (bpp * 1).bit_length() <= 22
+    # and the end-to-end call no longer crashes
+    q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(
+        jax.random.PRNGKey(33), b=8, hq=8, hkv=8, cap=512, d=128,
+        length=[100, 31, 64, 7, 400, 12, 256, 1])
+    out, _, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, lengths, sm_scale=0.1,
+        requant_threshold=0.5, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_chunked_metadata_path():
+    """cap >= 256 makes pblk a lane-aligned DMA slice, activating the
+    chunked + length-gated scale/importance streams (round 4).  Varied
+    lengths leave dead chunks unfetched; numerics must be unchanged and
+    the importance accumulator's live prefix must still round-trip."""
+    b, hkv, cap = 2, 2, 256
+    imp0 = jax.random.uniform(jax.random.PRNGKey(40), (b, hkv, cap))
+    lengths = np.array([200, 37])
+    r, k = run_both(jax.random.PRNGKey(41), b=b, hkv=hkv, cap=cap,
+                    length=lengths, importance_in=imp0,
+                    requant_threshold=0.3, v_keep=64, v_block_size=16,
+                    _bpp_override=2)
+    (ref_out, ref_stats, cache_ref), (ker_out, ker_stats, cache_ker) = r, k
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-4)
+    assert_planes_match(cache_ref, cache_ker,
+                        jnp.asarray(lengths, jnp.int32))
+    # live prefix of the accumulator: imp0 (appended col zeroed) + delta
+    got = np.asarray(ker_stats.importance_delta)
+    want = np.asarray(imp0).copy()
+    for bi in range(b):
+        want[bi, :, lengths[bi] - 1] = 0.0
+    want = want + np.asarray(ref_stats.importance_delta)
+    for bi in range(b):
+        L = int(lengths[bi])
+        np.testing.assert_allclose(got[bi, :, :L], want[bi, :, :L],
+                                   atol=2e-5, rtol=1e-4)

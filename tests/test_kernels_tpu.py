@@ -161,3 +161,53 @@ def test_hw_6bit_profile():
         donate_argnums=(1, 2))
     ker_out, ker_stats, k2, v2 = step(q, kq, vq, k_new, v_new, lengths)
     check((ref_out, ref_stats), (ker_out, ker_stats))
+
+
+def test_hw_batch_group_bpp2():
+    """Batch-grouped programs (bpp=2) on hardware: merged [bpp, ...] DMA
+    descriptors, group-level gating, chunked metadata streams."""
+    ks = jax.random.split(jax.random.PRNGKey(8), 6)
+    b, hq, hkv, cap, d = 4, 4, 4, 2048, 128
+    q = jax.random.normal(ks[0], (b, hq, 1, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, cap, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, cap, d), jnp.float32)
+    k_new = jax.random.normal(ks[3], (b, hkv, 1, d), jnp.float32)
+    v_new = jax.random.normal(ks[4], (b, hkv, 1, d), jnp.float32)
+    kq, vq = qz.quantize(k), qz.quantize(v, with_msb=False)
+    cos, sin = rope_ops.rope_table(cap, d)
+    lengths = jnp.array([1500, 500, 2000, 64], jnp.int32)
+    imp0 = jax.random.uniform(ks[5], (b, hkv, cap), jnp.float32)
+    kwargs = dict(sm_scale=0.12, requant_threshold=0.02,
+                  quant_enabled=True, v_keep=512, v_block_size=64)
+    cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
+                                  k_new, v_new, lengths - 1)
+    ref_out, ref_stats = spatten_attention_reference(
+        q, cache_ref.k, cache_ref.v, cos, sin, lengths,
+        lengths[:, None] - 1, use_rope=False, **kwargs)
+    step = jax.jit(lambda *a: fused_decode_attention(
+        *a, importance_in=imp0, _bpp_override=2, **kwargs),
+        donate_argnums=(1, 2))
+    ker_out, ker_stats, k2, v2 = step(q, kq, vq, k_new, v_new, lengths)
+    check((ref_out, ref_stats), (ker_out, ker_stats))
+    # chunked in-place accumulate: live prefix = imp0 (app col 0) + delta
+    got = np.asarray(ker_stats.importance_delta)
+    want = np.asarray(imp0).copy()
+    ln = np.asarray(lengths)
+    for bi in range(b):
+        want[bi, :, ln[bi] - 1] = 0.0
+    want = want + np.asarray(ref_stats.importance_delta)
+    for bi in range(b):
+        L = int(ln[bi])
+        np.testing.assert_allclose(got[bi, :, :L], want[bi, :, :L],
+                                   atol=1e-2, rtol=5e-2)
+
+
+def test_hw_batch_group_rows_not_8_aligned():
+    """bpp=2 with hkv=12, d=64, group=1 (rows=12, rows%8 != 0): the
+    grouped score-scratch row slices are not sublane-aligned — Mosaic
+    must still lower them (ADVICE round 3)."""
+    ref, ker, _ = run_hw(jax.random.PRNGKey(9), b=2, hq=12, hkv=12,
+                         cap=1024, d=64, length=900,
+                         requant_threshold=0.02, v_keep=192,
+                         v_block_size=32)
+    check(ref, ker)

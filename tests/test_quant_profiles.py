@@ -281,3 +281,44 @@ def test_bf16_importance_matches_f32_pruning_decisions():
     t16 = run("bfloat16")
     # decode trajectories agree (identical pruning keeps identical tokens)
     assert (t32 == t16).mean() > 0.9, (t32, t16)
+
+
+@pytest.mark.parametrize("bpp", [2, 4])
+def test_fused_kernel_6bit_batch_group(bpp):
+    """6-bit mixed profile (has_lsb2) with batch grouping (bpp > 1): the
+    new-row patch6 term must expand each member's k6 row onto ITS rows
+    (regression: round-3 multiplied [R, slab] by [bpp, slab])."""
+    from spatten_tpu.engine import kv_cache as kvc
+    from spatten_tpu.ops.attention_ref import spatten_attention_reference
+    from spatten_tpu.ops.fused_decode import fused_decode_attention
+    from spatten_tpu.ops.rope import rope_table
+
+    b, hq, hkv, cap, d = 4, 4, 2, 64, 32
+    ks = jax.random.split(jax.random.PRNGKey(29), 5)
+    qh = jax.random.normal(ks[0], (b, hq, 1, d))
+    k = jax.random.normal(ks[1], (b, hkv, cap, d))
+    v = jax.random.normal(ks[2], (b, hkv, cap, d))
+    k_new = jax.random.normal(ks[3], (b, hkv, 1, d))
+    v_new = jax.random.normal(ks[4], (b, hkv, 1, d))
+    kq = qz.quantize(k, with_lsb2=True)
+    vq = qz.quantize(v)
+    cos, sin = rope_table(cap, d)
+    lengths = jnp.array([50, 23, 64, 9], jnp.int32)
+
+    kwargs = dict(sm_scale=0.2, requant_threshold=0.3, quant_enabled=True)
+    cache_ref = kvc.append_tokens(kvc.LayerKVCache(k=kq, v=vq),
+                                  k_new, v_new, lengths - 1)
+    ref_out, ref_stats = spatten_attention_reference(
+        qh, cache_ref.k, cache_ref.v, cos, sin, lengths,
+        lengths[:, None] - 1, use_rope=False,
+        pass1_bits=jnp.int32(6), **kwargs)
+    ker_out, ker_stats, k2, v2 = fused_decode_attention(
+        qh, kq, vq, k_new, v_new, lengths,
+        quant_bits=jnp.array([6], jnp.int32),
+        interpret=True, _bpp_override=bpp, **kwargs)
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ker_stats.need_requant),
+                                  np.asarray(ref_stats.need_requant))
+    np.testing.assert_array_equal(
+        np.asarray(qz.pack_lsb2(k2.full)), np.asarray(k2.lsb2))
