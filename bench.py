@@ -174,7 +174,7 @@ def warm_state(cfg, state):
         layer_lengths=layer_lengths)
 
 
-def warm_cache_content(cfg, state):
+def warm_cache_content(cfg, state, contrast: float = 19.0):
     """Fill the KV planes with synthetic content whose attention
     concentrates on the sink + recent-window tokens.
 
@@ -186,7 +186,9 @@ def warm_cache_content(cfg, state):
     cache is built on, kv_cache_token_pruning.py:36) — its own traces
     show value_fetch ~= 0.2x key_fetch on GPT-2.  K rows get random int8
     content; the concentration is carried by the per-token K scales
-    (sinks + recent tail ~20x the middle)."""
+    (sinks + recent tail `contrast`x the middle; contrast=1 is the
+    uniform worst case — the sensitivity sweep reports the speedup at
+    several contrasts so the synthetic choice is visible, VERDICT r3)."""
     import spatten_tpu.engine.kv_cache as kvc
     from spatten_tpu.ops import quantize as qz
 
@@ -213,7 +215,8 @@ def warm_cache_content(cfg, state):
         sink = t < jnp.maximum(ln // 20, 4)
         recent = (t >= (ln * 4) // 5) & (t < ln)
         sdt = jnp.dtype(cfg.quant.scale_dtype)
-        kscale = jnp.where(sink | recent, 0.57, 0.03).astype(sdt)
+        kscale = jnp.where(sink | recent, 0.57,
+                           0.57 / contrast).astype(sdt)
         kscale = jnp.broadcast_to(kscale, (L, bsz, m.num_kv_heads, cap))
         vscale = jnp.full((L, bsz, m.num_kv_heads, cap), 1.0 / 127, sdt)
         k = qz.QuantizedKV(full=full, msb=msb, scale=kscale)
@@ -223,7 +226,8 @@ def warm_cache_content(cfg, state):
     return state._replace(cache=fill(state.cache, state.layer_lengths))
 
 
-def time_decode(cfg, params, steps: int, repeats: int = 3):
+def time_decode(cfg, params, steps: int, repeats: int = 3,
+                contrast: float = 19.0):
     """Returns (tokens/sec, final_state).
 
     A scanned window of decode steps per dispatch — exactly how the
@@ -239,7 +243,7 @@ def time_decode(cfg, params, steps: int, repeats: int = 3):
     b = cfg.engine.max_batch_size
     state = init_state(cfg, batch=b)
     state = warm_state(cfg, state)
-    state = warm_cache_content(cfg, state)
+    state = warm_cache_content(cfg, state, contrast=contrast)
     token = jnp.zeros((b,), jnp.int32)
 
     # params MUST be an argument (not a closure capture): captured arrays
@@ -311,6 +315,38 @@ def measure_prune(cfg, params, reps: int = 8) -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def measure_prefill(cfg, params, prompt_len: int, reps: int = 2):
+    """(prefill tokens/s, TTFT ms): chunked prefill of a `prompt_len`
+    prompt for the full batch, exactly as generate() dispatches it.
+    TTFT = wall time from first chunk to last-token logits on host."""
+    import spatten_tpu.engine.generate as gen
+    from spatten_tpu.engine.state import init_state
+
+    b = cfg.engine.max_batch_size
+    tokens = jnp.ones((b, prompt_len), jnp.int32)
+
+    def run():
+        state = init_state(cfg, batch=b)
+        chunk = cfg.engine.prefill_chunk
+        pos = 0
+        while pos < prompt_len:
+            n = min(chunk, prompt_len - pos)
+            logits, state, _ = gen.prefill_chunk(
+                params, cfg, state, tokens[:, pos:pos + n])
+            pos += n
+        jax.device_get(logits[:, :1])
+
+    t0 = time.perf_counter()
+    run()
+    log(f"prefill {prompt_len}: compile+first {time.perf_counter()-t0:.1f}s")
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return b * prompt_len / best, best * 1e3
+
+
 def calibrate_requant(cfg, params, quantile=0.15):
     """Pick the requant threshold hitting a ~15% firing rate on this
     model+cache (the low-confidence fraction).  A randomly initialized
@@ -337,7 +373,8 @@ def calibrate_requant(cfg, params, quantile=0.15):
     return float(np.quantile(maxp, quantile))
 
 
-def run_point(cache: int, batch: int, steps: int, params):
+def run_point(cache: int, batch: int, steps: int, params,
+              primary: bool = False):
     """Measure one (cache, batch) serving point.  Returns a dict."""
     import numpy as np
 
@@ -352,9 +389,17 @@ def run_point(cache: int, batch: int, steps: int, params):
 
     log(f"[cap {cache} b {batch}] timing spatten engine...")
     tps_sp, end_state = time_decode(cfg_sp, params, steps)
-    # pull the scalar out and DROP the multi-GB end state before the dense
-    # engine (and later measure_prune) allocate their own full states
+    # honest telemetry from the measured run itself (not the calibration
+    # quantile): requant events per (step, layer, seq, kv-head) over
+    # every executed step (warm-up + timed windows)
+    total_steps = steps * 4          # 1 warm window + 3 timed repeats
+    m = cfg_sp.model
+    denom = total_steps * m.num_layers * batch * m.num_kv_heads
+    requant_rate = float(np.asarray(end_state.requant_events)) / denom
     head_keep = float(np.asarray(end_state.head_mask).mean())
+    head_keep_per_layer = [
+        round(float(x), 3)
+        for x in np.asarray(end_state.head_mask).mean(axis=1)]
     del end_state
     log(f"[cap {cache} b {batch}] spatten: {tps_sp:.1f} tok/s; dense...")
     tps_dn, dn_state = time_decode(cfg_dn, params, steps)
@@ -366,7 +411,7 @@ def run_point(cache: int, batch: int, steps: int, params):
     headroom = cfg_sp.engine.cache_capacity - p.cache_size
 
     scale = BENCH_LAYERS / FULL_LAYERS
-    return {
+    point = {
         "cache_capacity": cache, "batch": batch,
         "spatten_tok_s": round(tps_sp * scale, 2),
         "dense_int8_tok_s": round(tps_dn * scale, 2),
@@ -374,9 +419,41 @@ def run_point(cache: int, batch: int, steps: int, params):
         "prune_ms_per_event": round(prune_ms, 3),
         "prune_ms_amortized": round(prune_ms / max(headroom, 1), 5),
         "requant_threshold": thr,
-        "requant_rate": 0.15,      # threshold calibrated to this quantile
+        "requant_rate": round(requant_rate, 4),   # measured over the run
         "head_keep_fraction": round(head_keep, 3),
+        "head_keep_per_layer": head_keep_per_layer,
     }
+    if primary and not os.environ.get("SPATTEN_BENCH_NO_EXTRAS"):
+        # attention-concentration sensitivity (same compiled program,
+        # different cache content): speedup at uniform / 5x / 19x scales
+        sens = {}
+        for contrast in (1.0, 5.0, 19.0):
+            t_sp, st = time_decode(cfg_sp, params, steps,
+                                   contrast=contrast)
+            del st
+            sens[f"contrast_{contrast:g}x"] = round(t_sp / tps_dn, 3)
+            log(f"[sens] contrast {contrast:g}x: vs_baseline "
+                f"{t_sp / tps_dn:.3f}")
+        point["vs_baseline_by_contrast"] = sens
+        # measured prefill: TTFT + tokens/s, spatten vs dense (SURVEY
+        # prices the encoder/prefill regime via bert.cpp:17-242)
+        prefill = {}
+        for plen in (2048, 8192):
+            if plen > cache:
+                continue
+            sp_tps, sp_ttft = measure_prefill(cfg_sp, params, plen)
+            dn_tps, dn_ttft = measure_prefill(cfg_dn, params, plen)
+            prefill[str(plen)] = {
+                "spatten_tok_s": round(sp_tps * scale, 1),
+                "dense_tok_s": round(dn_tps * scale, 1),
+                "spatten_ttft_ms": round(sp_ttft / scale, 1),
+                "dense_ttft_ms": round(dn_ttft / scale, 1),
+            }
+            log(f"[prefill {plen}] spatten {sp_tps:.0f} tok/s "
+                f"(TTFT {sp_ttft:.0f} ms), dense {dn_tps:.0f} tok/s "
+                f"(TTFT {dn_ttft:.0f} ms)")
+        point["prefill"] = prefill
+    return point
 
 
 def main():
@@ -396,9 +473,10 @@ def main():
     params = jax.device_put(jax.device_get(quantize_params(params)))
 
     results = []
-    for spec in points.split(","):
+    for i, spec in enumerate(points.split(",")):
         cache, batch = (int(x) for x in spec.split("x"))
-        results.append(run_point(cache, batch, steps, params))
+        results.append(run_point(cache, batch, steps, params,
+                                 primary=(i == 0)))
 
     primary = results[0]
     print(json.dumps({

@@ -21,14 +21,25 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save(path: str, params: Any, state: Optional[DecodeState] = None
-         ) -> None:
-    """Write params (and optionally the live decode state) to `path`."""
+def save(path: str, params: Any, state: Optional[DecodeState] = None,
+         extra: Any = None) -> None:
+    """Write params (and optionally the live decode state, plus any small
+    `extra` pytree — e.g. a supervisor's loop cursor) to `path`."""
     ckpt = _checkpointer()
     payload = {"params": params}
     if state is not None:
         payload["state"] = state._asdict()
+    if extra is not None:
+        payload["extra"] = extra
     ckpt.save(os.path.abspath(path), payload)
+
+
+def restore_with_extra(path: str
+                       ) -> Tuple[Any, Optional[DecodeState], Any]:
+    """Read (params, state-or-None, extra-or-None) from `path`."""
+    params, state = restore(path)
+    payload = _checkpointer().restore(os.path.abspath(path))
+    return params, state, payload.get("extra")
 
 
 def restore(path: str) -> Tuple[Any, Optional[DecodeState]]:

@@ -188,10 +188,20 @@ def generate(
     chunk = cfg.engine.prefill_chunk
     pos = 0
     last_logits = None
+    from spatten_tpu.utils import debug as dbg
     while pos < prompt_len:
         n = min(chunk, prompt_len - pos)
-        last_logits, state, _ = prefill_chunk(
-            params, cfg, state, prompt[:, pos:pos + n])
+        if pos == 0 and dbg.enabled():
+            # SPATTEN_DEBUG=1: the first prefill chunk runs under
+            # checkify float checks — numeric corruption (NaN escaping a
+            # masked region, a zero softmax denominator) raises at the
+            # producing op instead of surfacing as garbage tokens
+            last_logits, state, _ = dbg.checkify_step(
+                functools.partial(prefill_chunk, params, cfg),
+                state, prompt[:, pos:pos + n])
+        else:
+            last_logits, state, _ = prefill_chunk(
+                params, cfg, state, prompt[:, pos:pos + n])
         pos += n
 
     head_compact = None

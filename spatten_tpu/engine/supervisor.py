@@ -1,0 +1,137 @@
+"""Supervised (restartable) decoding: health check -> restore -> resume.
+
+Composes the pieces SURVEY.md §5 lists separately — the multi-host
+heartbeat (`parallel.multihost.health_check`) and the decode-state
+checkpoint (`engine.checkpoint`) — into one serving loop: decode runs in
+windows; after each window the live state snapshots; before each window
+the supervisor runs a health probe, and on failure restores the latest
+snapshot and resumes exactly where it left off.  The reference has
+neither (its sims abort on assert); restartable decode is what makes the
+engine deployable on preemptible TPU pods.
+
+Determinism contract: the resumed run replays the interrupted window
+from its snapshot, so the emitted token stream is identical to an
+uninterrupted run (greedy or fixed-rng sampling) —
+tests/test_supervisor.py kills a window mid-flight and asserts equality.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatten_tpu.config import SpAttenConfig
+from spatten_tpu.engine import checkpoint, generate as gen
+
+
+def generate_supervised(
+    params,
+    cfg: SpAttenConfig,
+    prompt: jax.Array,            # int32 [B, prompt_len]
+    max_new_tokens: int,
+    ckpt_dir: str,
+    *,
+    window: int = 32,
+    health: Optional[Callable[[], bool]] = None,   # default: all-device
+                                  #   heartbeat (multihost.health_check)
+    max_restarts: int = 8,
+) -> jax.Array:
+    """Greedy decode with per-window snapshots and failure recovery.
+
+    Returns int32 [B, max_new_tokens].  Each window of up to `window`
+    tokens runs through the same jitted path as `engine.generate`
+    (capacity-triggered cascade prune + head-mask update at the window
+    boundary); after a window completes, (state, next token, emitted
+    tokens) snapshot to `ckpt_dir`.  A failed `health()` probe before a
+    window triggers restore-from-latest and the window replays.
+    """
+    if health is None:
+        from spatten_tpu.parallel.multihost import health_check
+        health = health_check
+    cfg.validate()
+    b, _ = prompt.shape
+    os.makedirs(ckpt_dir, exist_ok=True)
+    marker = os.path.join(ckpt_dir, "LATEST")
+
+    def snap_path(c):
+        return os.path.join(ckpt_dir, f"supervised-{c}")
+
+    def write_snapshot(c, params, state, extra):
+        """Write snapshot c, publish it in LATEST, drop older snapshots
+        (orbax refuses to overwrite, so snapshots rotate by cursor)."""
+        import shutil
+        p = snap_path(c)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        checkpoint.save(p, params, state, extra=extra)
+        with open(marker, "w") as f:
+            f.write(str(c))
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("supervised-") and name != f"supervised-{c}":
+                shutil.rmtree(os.path.join(ckpt_dir, name))
+
+    def read_snapshot():
+        with open(marker) as f:
+            c = int(f.read().strip())
+        return checkpoint.restore_with_extra(snap_path(c))
+
+    # prefill + first token (cheap relative to decode; a failure here
+    # restarts from scratch, which is the uninterrupted behavior)
+    state = gen.init_state(cfg, batch=b)
+    chunk = cfg.engine.prefill_chunk
+    pos = 0
+    last_logits = None
+    while pos < prompt.shape[1]:
+        n = min(chunk, prompt.shape[1] - pos)
+        last_logits, state, _ = gen.prefill_chunk(
+            params, cfg, state, prompt[:, pos:pos + n])
+        pos += n
+    token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    # fixed-size emitted buffer + cursor (orbax rejects zero-size arrays)
+    nwin = -(-max_new_tokens // window)
+    emitted = np.zeros((b, nwin * window), np.int32)
+    count = 0
+    write_snapshot(0, params, state,
+                   extra={"token": token, "emitted": emitted,
+                          "count": np.int32(count)})
+
+    @jax.jit
+    def decode_window(params, state, token, n_arr):
+        del n_arr
+        state, _ = gen.maybe_prune(cfg, state, window)
+        state = gen.maybe_update_head_mask(cfg, state, window=window)
+
+        def body(carry, _):
+            state, token = carry
+            logits, state, _ = gen.transformer.forward(
+                params, cfg, state, token[:, None])
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (state, nxt), token
+
+        (state, token), toks = jax.lax.scan(
+            body, (state, token), None, length=window)
+        return state, token, toks.T                   # [B, window]
+
+    restarts = 0
+    while count < max_new_tokens:
+        if not health():
+            if restarts >= max_restarts:
+                raise RuntimeError(
+                    f"supervised decode: {restarts} restarts exhausted")
+            restarts += 1
+            params, state, extra = read_snapshot()
+            token = jnp.asarray(extra["token"])
+            emitted = np.asarray(extra["emitted"]).astype(np.int32)
+            count = int(extra["count"])
+            continue
+        state, token, toks = decode_window(params, state, token, None)
+        emitted[:, count:count + window] = np.asarray(toks)
+        count += window
+        write_snapshot(count, params, state,
+                       extra={"token": token, "emitted": emitted,
+                              "count": np.int32(count)})
+    return jnp.asarray(emitted[:, :max_new_tokens])

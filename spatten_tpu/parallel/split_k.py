@@ -124,14 +124,17 @@ def split_k_decode_fused(
     k_quant: qz.QuantizedKV,   # planes [B, n*Cl(/2), Hkv*D]; each shard's
     v_quant: qz.QuantizedKV,   #   Cl-token slice packed SHARD-LOCALLY
                                #   (qz.quantize per slice, then concat)
-    k_new: jax.Array,          # [B, Hkv, 1, D] — appended by `owner` only
-    v_new: jax.Array,
+    k_new: jax.Array,          # [B, Hkv, 1, D] — appended by the shard
+    v_new: jax.Array,          #   owning the tail slot
     local_lengths: jax.Array,  # int32 [n, B] live tokens per shard; the
                                #   owner's count INCLUDES the new token
     mesh: Mesh,
     axis: str = "kv",
     sm_scale: float = 1.0,
-    owner: int = -1,           # shard that appends (default: the last)
+    importance_in=None,        # [B, Hkv, n*Cl] token-axis-sharded cascade
+                               #   accumulator, updated EXACTLY (globally-
+                               #   normalized probabilities) when group==1
+    importance_ema: float = 1.0,
     interpret: bool = False,
     **spatten_kwargs,          # quant_enabled, v_keep, head_mask, ... —
                                #   applied SHARD-LOCALLY
@@ -146,35 +149,208 @@ def split_k_decode_fused(
                               / sum_i den_i*exp(m_i-m)
 
     which is exact for any shard count.  Every shard must hold >= 1 live
-    token.  Returns (out [B,Hq,1,D], k_quant', v_quant') with the owner's
-    shard updated in place.
+    token.  The appending shard is derived per sequence from the global
+    length (slot ``glob-1`` lands in shard ``(glob-1)//Cl``), so a decode
+    loop crosses shard boundaries without retracing.
+
+    SpAtten telemetry (SURVEY §2.9 SP/CP):
+    * ``importance_in`` accumulates the EXACT globally-normalized
+      probability mass per token: each shard's kernel returns its local
+      delta (e / den_local) and the recombination weight rescales it by
+      ``den_local * exp(m_local - m_glob) / den_glob`` before the add.
+      Exact for MHA (group == 1 — the reference's GPT-2 geometry and the
+      Llama-2-7B TP shard); under GQA the kernel sums the group's rows
+      before the per-row rescale is known, so the delta falls back to
+      the shard-local normalization (a per-shard confidence domain, like
+      requant below).
+    * requant telemetry (max_prob / need_requant) returns per shard,
+      stacked [n, B, Hkv] — shard-local confidence domains.
+
+    Returns (out [B,Hq,1,D], k', v', imp', maxp [n,B,Hkv],
+    need [n,B,Hkv]); imp' is None when importance_in is None.
     """
     n = mesh.shape[axis]
-    own = owner % n
+    cl = k_quant.tokens // n
+    hq = q.shape[1]
+    hkv = k_quant.heads
+    group = hq // hkv
+    track_imp = importance_in is not None
 
-    def shard_fn(q, kq, vq, k_new, v_new, lens_l):
+    def shard_fn(q, kq, vq, k_new, v_new, lens_all, imp_l):
         sid = jax.lax.axis_index(axis)
-        b = lens_l.shape[-1]
-        appm = jnp.broadcast_to((sid == own).astype(jnp.int32), (b,))
+        glob = jnp.sum(lens_all, axis=0)                # [B] incl. new
+        appm = ((glob - 1) // cl) == sid                # [B]
+        lens_l = lens_all[sid]                          # [B]
         out, stats, k2, v2, (m, den) = fused_decode_attention(
-            q, kq, vq, k_new, v_new, lens_l[0],
+            q, kq, vq, k_new, v_new, lens_l,
             sm_scale=sm_scale, append_mask=appm, return_row_stats=True,
+            track_importance=track_imp, importance_ema=1.0,
             interpret=interpret, **spatten_kwargs)
         m_g = jax.lax.pmax(m, axis)                     # [B, Hq]
         w = jnp.exp(m - m_g) * den
         num = jax.lax.psum(out * w[:, :, None, None], axis)
         den_g = jax.lax.psum(w, axis)
         out_g = num / jnp.maximum(den_g, 1e-30)[:, :, None, None]
-        return out_g, k2, v2
+        if track_imp:
+            # delta_local = e / den_local (per token, group-summed);
+            # exact global probability = delta_local * w / den_glob
+            if group == 1:
+                corr = (w / jnp.maximum(den_g, 1e-30))[:, :, None]
+            else:
+                corr = 1.0                   # shard-local domain (GQA)
+            delta = stats.importance_delta * corr       # [B, Hkv, Cl]
+            prev = imp_l.astype(jnp.float32)
+            if importance_ema != 1.0:
+                prev = prev * importance_ema
+            # the appended column starts a fresh accumulator row
+            col = sid * cl + jnp.arange(cl)[None, None, :]
+            appcol = (col == (glob - 1)[:, None, None]) \
+                & appm[:, None, None]
+            prev = jnp.where(appcol, 0.0, prev)
+            imp2 = (prev + delta).astype(imp_l.dtype)
+        else:
+            imp2 = imp_l
+        maxp = stats.max_prob[None]                     # [1, B, Hkv]
+        need = stats.need_requant[None].astype(jnp.int32)
+        return out_g, k2, v2, imp2, maxp, need
 
     ks = _kv_specs(k_quant, axis)
     vs = _kv_specs(v_quant, axis)
-    return jax.jit(jax.shard_map(
+    imp_arg = (importance_in if track_imp
+               else jnp.zeros((q.shape[0], hkv, n * cl), jnp.float32))
+    out_g, k2, v2, imp2, maxp, need = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), ks, vs, P(), P(), P(axis, None)),
-        out_specs=(P(), ks, vs),
+        in_specs=(P(), ks, vs, P(), P(), P(), P(None, None, axis)),
+        out_specs=(P(), ks, vs, P(None, None, axis),
+                   P(axis, None, None), P(axis, None, None)),
         check_vma=False,
-    ))(q, k_quant, v_quant, k_new, v_new, local_lengths)
+    ))(q, k_quant, v_quant, k_new, v_new, local_lengths, imp_arg)
+    return out_g, k2, v2, (imp2 if track_imp else None), maxp, need
+
+
+def split_k_prune(
+    k_quant: qz.QuantizedKV,   # planes [B, n*Cl(/2), Hkv*D] token-sharded
+    v_quant: qz.QuantizedKV,
+    importance: jax.Array,     # [B, Hkv, n*Cl] token-axis sharded
+    local_lengths: jax.Array,  # int32 [n, B]
+    mesh: Mesh,
+    axis: str = "kv",
+    *,
+    start_size: int,
+    important_size: int,
+    recent_size: int,
+    rotate_k: bool = False,    # cached-rope mode: re-rotate moved keys
+    rope_theta: float = 10000.0,
+):
+    """Cascade token pruning over a kv-sharded cache (SURVEY §2.9).
+
+    Selection is GLOBAL (per-head top-k over the full token axis — the
+    importance plane is the smallest, so GSPMD's implicit all-gather of
+    it is cheap); compaction is a gather along the sharded token axis
+    (GSPMD inserts the cross-shard collectives), after which the kept
+    tokens sit contiguously from global slot 0 — shard i holds slots
+    [i*Cl, (i+1)*Cl) as before, so the ``global slot = sid*Cl + col``
+    invariant and the owner-derivation in ``split_k_decode_fused`` keep
+    working.  The packed nibble planes re-pack SHARD-LOCALLY afterwards
+    (each shard's msb layout is pack_unit(Cl)-blocked).
+
+    Returns (k', v', imp', local_lengths') with keep_total =
+    start + important + recent live tokens.
+    """
+    from spatten_tpu.pruning import token_pruning
+
+    n = mesh.shape[axis]
+    b, cap, f = k_quant.full.shape
+    hkv = k_quant.heads
+    d = f // hkv
+    cl = cap // n
+    glob_lengths = jnp.sum(local_lengths, axis=0)         # [B]
+    keep_total = start_size + important_size + recent_size
+
+    keep_idx = token_pruning.select_keep_indices(
+        importance.astype(jnp.float32), glob_lengths[:, None],
+        start_size, important_size, recent_size, 0)       # [B, Hkv, keep]
+
+    def gather_tm(full):
+        """Gather kept rows of a token-major plane, zero-pad to cap."""
+        full4 = full.reshape(b, cap, hkv, d)
+        idx_t = keep_idx.transpose(0, 2, 1)               # [B, keep, Hkv]
+        g = jnp.take_along_axis(full4, idx_t[..., None], axis=1)
+        g = g.reshape(b, keep_total, f)
+        pad = jnp.zeros((b, cap - keep_total, f), full.dtype)
+        return jnp.concatenate([g, pad], axis=1), g
+
+    kf_new, kg = gather_tm(k_quant.full)
+    ksc_g = jnp.take_along_axis(k_quant.scale, keep_idx, axis=-1)
+    if rotate_k:
+        # moved rows (delta < 0) re-rotate by their slot delta and
+        # requantize; unmoved rows stay bit-exact
+        new_slot = jnp.arange(keep_total, dtype=jnp.int32)
+        delta = jnp.minimum(new_slot[None, None, :] - keep_idx, 0)
+        d_t = delta.transpose(0, 2, 1)                    # [B, keep, Hkv]
+        moved = d_t < 0
+        sc_t = ksc_g.transpose(0, 2, 1).astype(jnp.float32)
+        x = kg.reshape(b, keep_total, hkv, d).astype(jnp.float32) \
+            * sc_t[..., None]
+        inv_freq = 1.0 / (rope_theta ** (
+            jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+        ang = (-d_t).astype(jnp.float32)[..., None] * inv_freq
+        ang = jnp.concatenate([ang, ang], axis=-1)
+        cc, ss = jnp.cos(ang), jnp.sin(ang)
+        half = d // 2
+        rot = jnp.concatenate([-x[..., half:], x[..., :half]], -1)
+        y = x * cc - rot * ss
+        amax = jnp.max(jnp.abs(y), axis=-1)
+        sc_new = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q8r = jnp.clip(jnp.round(y / sc_new[..., None]),
+                       -127, 127).astype(jnp.int8)
+        kg4 = kg.reshape(b, keep_total, hkv, d)
+        kg = jnp.where(moved[..., None], q8r, kg4).reshape(
+            b, keep_total, f)
+        sc_t = jnp.where(moved, sc_new, sc_t)
+        ksc_g = sc_t.transpose(0, 2, 1).astype(ksc_g.dtype)
+        pad = jnp.zeros((b, cap - keep_total, f), jnp.int8)
+        kf_new = jnp.concatenate([kg, pad], axis=1)
+    vf_new, _ = gather_tm(v_quant.full)
+    vsc_g = jnp.take_along_axis(v_quant.scale, keep_idx, axis=-1)
+
+    def pad_sc(g, dtype):
+        pad = jnp.ones((b, hkv, cap - keep_total), dtype)
+        return jnp.concatenate([g.astype(dtype), pad], axis=-1)
+
+    ksc_new = pad_sc(ksc_g, k_quant.scale.dtype)
+    vsc_new = pad_sc(vsc_g, v_quant.scale.dtype)
+    imp_g = jnp.take_along_axis(importance, keep_idx, axis=-1)
+    imp_new = jnp.concatenate(
+        [imp_g, jnp.zeros((b, hkv, cap - keep_total), importance.dtype)],
+        axis=-1)
+
+    # shard-local nibble repack (pack_unit(Cl) layout per shard)
+    def repack(full_local):
+        return qz.pack_msb(full_local)
+
+    def repack2(full_local):
+        return qz.pack_lsb2(full_local)
+
+    tok_spec = P(None, axis, None)
+    kmsb_new = None if k_quant.msb is None else jax.jit(jax.shard_map(
+        repack, mesh=mesh, in_specs=(tok_spec,), out_specs=tok_spec,
+        check_vma=False))(kf_new)
+    klsb2_new = None if k_quant.lsb2 is None else jax.jit(jax.shard_map(
+        repack2, mesh=mesh, in_specs=(tok_spec,), out_specs=tok_spec,
+        check_vma=False))(kf_new)
+    vmsb_new = None if v_quant.msb is None else jax.jit(jax.shard_map(
+        repack, mesh=mesh, in_specs=(tok_spec,), out_specs=tok_spec,
+        check_vma=False))(vf_new)
+
+    k2 = qz.QuantizedKV(full=kf_new, msb=kmsb_new, scale=ksc_new,
+                        lsb2=klsb2_new)
+    v2 = qz.QuantizedKV(full=vf_new, msb=vmsb_new, scale=vsc_new,
+                        lsb2=None)
+    shard_base = jnp.arange(n, dtype=jnp.int32)[:, None] * cl
+    local2 = jnp.clip(keep_total - shard_base, 0, cl)     # [n, 1]
+    local2 = jnp.broadcast_to(local2, (n, b))
+    return k2, v2, imp_new, local2
 
 
 def quantize_sharded(x: jax.Array, n: int, with_msb: bool = True

@@ -86,3 +86,36 @@ def test_dp_only_mesh(cfg):
     eng = ShardedEngine(c, mesh)
     toks = eng.generate(eng.shard_params(params), prompt, max_new_tokens=4)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref.tokens))
+
+
+def test_sharded_replicated_state_consistent(cfg, mesh):
+    """SPMD consistency assert (SURVEY §5 sanitizer row): state the
+    program treats as replicated — head masks, the requant counter —
+    must hold identical bytes on every shard after prefill + decode."""
+    from spatten_tpu.utils import debug as dbg
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(2))
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (4, 12), 0, 255)
+    eng = ShardedEngine(cfg, mesh)
+    sharded_params = eng.shard_params(params)
+    eng.generate(sharded_params, prompt, max_new_tokens=6)
+    state = eng.last_state if hasattr(eng, "last_state") else None
+    if state is None:
+        # generate() may not retain state; run the step fns directly
+        state = eng.init_sharded_state()
+        prefill = eng.prefill_step()
+        tokens = jax.device_put(np.asarray(prompt),
+                                eng.named(jax.sharding.PartitionSpec(
+                                    "data", None)))
+        _, state = prefill(sharded_params, state, tokens)
+    checked = 0
+    for name in state._fields:
+        leaf = getattr(state, name)
+        for sub in jax.tree.leaves(leaf):
+            if (hasattr(sub, "sharding")
+                    and sub.sharding.is_fully_replicated
+                    and sub.dtype != jnp.int8):
+                mism = dbg.replicated_mismatch(sub)
+                assert mism == 0.0, \
+                    f"{name} diverged across shards by {mism}"
+                checked += 1
+    assert checked > 0, "no replicated leaves found to check"

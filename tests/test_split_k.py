@@ -80,7 +80,7 @@ def test_split_k_fused_kernel_matches_reference(n):
     glob_lengths = (n - 1) * cl + own_live                  # [B]
 
     mesh = make_kv_mesh(n)
-    out, k2, v2 = split_k_decode_fused(
+    out, k2, v2, _, _, _ = split_k_decode_fused(
         q, kq, vq, k_new, v_new, local_lengths, mesh, sm_scale=0.18,
         quant_enabled=True, interpret=True)
 
@@ -104,3 +104,120 @@ def test_split_k_fused_kernel_matches_reference(n):
     for bb in range(b):
         L = int(glob_lengths[bb])
         np.testing.assert_array_equal(got_full[bb, :L], want_full[bb, :L])
+
+
+def test_split_k_importance_telemetry_exact_mha():
+    """SpAtten telemetry on the sharded cache (VERDICT r3 item 4): with
+    group == 1 the per-shard importance deltas rescale to EXACT global
+    probabilities — the accumulated sharded importance must match the
+    unsharded fused kernel's accumulator on the live prefix."""
+    if jax.device_count() < 4:
+        pytest.skip("needs virtual device mesh")
+    from spatten_tpu.ops.fused_decode import fused_decode_attention
+    n, b, h, d, cl = 4, 2, 2, 32, 64
+    cap = n * cl
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = jax.random.normal(ks[0], (b, h, 1, d))
+    k = jax.random.normal(ks[1], (b, h, cap, d))
+    v = jax.random.normal(ks[2], (b, h, cap, d))
+    k_new = jax.random.normal(ks[3], (b, h, 1, d))
+    v_new = jax.random.normal(ks[4], (b, h, 1, d))
+    kq = quantize_sharded(k, n)
+    vq = quantize_sharded(v, n, with_msb=False)
+    imp0 = jax.random.uniform(jax.random.PRNGKey(12), (b, h, cap))
+    own_live = jnp.array([20, 41], jnp.int32)
+    local_lengths = jnp.concatenate(
+        [jnp.full((n - 1, b), cl, jnp.int32), own_live[None]], axis=0)
+    glob = (n - 1) * cl + own_live
+
+    mesh = make_kv_mesh(n)
+    out, k2, v2, imp2, maxp, need = split_k_decode_fused(
+        q, kq, vq, k_new, v_new, local_lengths, mesh, sm_scale=0.18,
+        quant_enabled=True, importance_in=imp0, interpret=True)
+    assert maxp.shape == (n, b, h) and need.shape == (n, b, h)
+
+    # unsharded oracle: globally-packed planes, in-place accumulate
+    kq_g = qz.quantize(k)
+    vq_g = qz.quantize(v, with_msb=False)
+    _, stats_g, _, _ = fused_decode_attention(
+        q, kq_g, vq_g, k_new, v_new, glob, sm_scale=0.18,
+        quant_enabled=True, importance_in=imp0, interpret=True)
+    want = np.asarray(stats_g.importance_delta)
+    got = np.asarray(imp2)
+    for bb in range(b):
+        L = int(glob[bb])
+        np.testing.assert_allclose(got[bb, :, :L], want[bb, :, :L],
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_split_k_prune_event_and_continue():
+    """Cascade pruning on the kv-sharded cache: decode, prune (global
+    selection + cross-shard gather + shard-local repack), decode again —
+    every step matches the unsharded reference over the same kept set."""
+    if jax.device_count() < 4:
+        pytest.skip("needs virtual device mesh")
+    from spatten_tpu.parallel.split_k import split_k_prune
+    n, b, h, d, cl = 4, 2, 2, 32, 64
+    cap = n * cl
+    ks = jax.random.split(jax.random.PRNGKey(21), 5)
+    q = jax.random.normal(ks[0], (b, h, 1, d))
+    k = jax.random.normal(ks[1], (b, h, cap, d))
+    v = jax.random.normal(ks[2], (b, h, cap, d))
+    kq = quantize_sharded(k, n)
+    vq = quantize_sharded(v, n, with_msb=False)
+    imp = jax.random.uniform(jax.random.PRNGKey(22), (b, h, cap))
+    # cache nearly full everywhere
+    glob0 = jnp.full((b,), cap - 2, jnp.int32)
+    start, important, recent = 4, 96, 28
+    keep_total = start + important + recent
+
+    k2, v2, imp2, local2 = split_k_prune(
+        kq, vq, imp, jnp.stack([jnp.clip(glob0 - i * cl, 0, cl)
+                                for i in range(n)]), make_kv_mesh(n),
+        start_size=start, important_size=important, recent_size=recent)
+    # expected: plain gather of the same keep set
+    from spatten_tpu.pruning.token_pruning import select_keep_indices
+    keep_idx = select_keep_indices(imp, glob0[:, None], start, important,
+                                   recent, 0)
+    kf4 = np.asarray(kq.full).reshape(b, cap, h, d)
+    got = np.asarray(k2.full).reshape(b, cap, h, d)
+    ki = np.asarray(keep_idx)
+    for bb in range(b):
+        for hh in range(h):
+            np.testing.assert_array_equal(
+                got[bb, :keep_total, hh], kf4[bb, ki[bb, hh], hh])
+    # shard-local msb layout: each shard's slice equals a local pack
+    kmsb = np.asarray(k2.msb)
+    for i in range(n):
+        want_local = np.asarray(qz.pack_msb(
+            k2.full[:, i * cl:(i + 1) * cl]))
+        np.testing.assert_array_equal(
+            kmsb[:, i * (cl // 2):(i + 1) * (cl // 2)], want_local)
+    np.testing.assert_array_equal(
+        np.asarray(local2),
+        np.stack([np.clip(keep_total - i * cl, 0, cl) * np.ones(b, np.int32)
+                  for i in range(n)]))
+
+    # decode over the pruned sharded cache still matches the reference
+    k_new = jax.random.normal(ks[3], (b, h, 1, d))
+    v_new = jax.random.normal(ks[4], (b, h, 1, d))
+    local3 = np.asarray(local2).copy()
+    owner = keep_total // cl
+    local3[owner] += 1                       # append slot
+    out, k3, v3, _, _, _ = split_k_decode_fused(
+        q, k2, v2, k_new, v_new, jnp.asarray(local3), make_kv_mesh(n),
+        sm_scale=0.18, quant_enabled=True, interpret=True)
+    glob1 = jnp.full((b,), keep_total + 1, jnp.int32)
+    cache_ref = kvc.append_tokens(
+        kvc.LayerKVCache(
+            k=qz.QuantizedKV(full=k2.full, msb=qz.pack_msb(k2.full),
+                             scale=k2.scale),
+            v=qz.QuantizedKV(full=v2.full, msb=None, scale=v2.scale)),
+        k_new, v_new, glob1 - 1)
+    cos, sin = rope_table(cap, d)
+    want_out, _ = spatten_attention_reference(
+        q, cache_ref.k, cache_ref.v, cos, sin, glob1,
+        glob1[:, None] - 1, use_rope=False, sm_scale=0.18,
+        quant_enabled=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=3e-5, rtol=1e-4)

@@ -122,7 +122,7 @@ def train(steps=1200):
 
 def engine_cfg(*, spatten: bool, cap: int, budget: int,
                layer_bits=None, requant: bool = True,
-               v_keep_ratio: float = 0.5):
+               v_keep_ratio: float = 0.5, v_block: int = 4):
     from spatten_tpu.config import (
         EngineConfig, PruningConfig, QuantConfig, SpAttenConfig,
     )
@@ -130,7 +130,8 @@ def engine_cfg(*, spatten: bool, cap: int, budget: int,
     if spatten:
         pruning = PruningConfig(start_size=4, important_size=budget,
                                 recent_size=budget, enable_v_pruning=True,
-                                v_keep_ratio=v_keep_ratio, v_block_size=4)
+                                v_keep_ratio=v_keep_ratio,
+                                v_block_size=v_block)
         quant = QuantConfig(enabled=True, enable_requant=requant,
                             requant_threshold=0.15 if requant else 0.0,
                             layer_bits=layer_bits)
@@ -188,6 +189,19 @@ def main():
     point("  profile mixed (6,8,4) per layer",
           engine_cfg(spatten=True, cap=cap, budget=budget,
                      layer_bits=(6, 8, 4)))
+
+    # V-pruning granularity sweep (VERDICT r3 item 6): fixed keep ratio
+    # and v budget, coarsening v_block from 4 to cap/8 tokens.  The bench
+    # runs v_block = cap/128, FINER relative granularity than the
+    # coarsest point here — if ppl holds at cap/8 blocks, the serving
+    # granularity is safe a fortiori.
+    budget = int(EVAL_LEN * 0.5 / 2)
+    for vb in (4, 16, 32, 64):
+        capv = max(cap_for(budget), vb * 8)
+        capv = -(-capv // vb) * vb
+        point(f"  v_block {vb} (cap {capv}, keep~0.5, vkeep 0.5)",
+              engine_cfg(spatten=True, cap=capv, budget=budget,
+                         v_block=vb))
 
     # streaming regime: 2.5x the trained context — the rolling pruned
     # cache keeps key positions in the trained range and beats dense RoPE
