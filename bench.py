@@ -120,12 +120,14 @@ def build_cfg(spatten: bool, cache: int, batch: int):
         )
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True,
-                            pv_int8=True,
-                            # f32 scales measure faster than bf16 here:
-                            # the kernel reads scale slices per LIVE block
-                            # and the bf16->f32 converts outweigh the
-                            # halved DMA bytes
-                            scale_dtype="float32")
+                            pv_int8=True, probs_bf16=True,
+                            # bf16 scales: the kernel converts scale
+                            # slices to f32 per live block EITHER way
+                            # (_sc_rows astype), so the halved scratch +
+                            # halved metadata DMA is now free (round 4;
+                            # the round-2 "f32 faster" note predates the
+                            # rung-gated metadata ladder)
+                            scale_dtype="bfloat16")
     else:
         # honest dense-int8 baseline: the SAME fused kernel in dense mode
         # (length-gated K and V fetch, int8 KV + int8 queries on the
@@ -135,7 +137,7 @@ def build_cfg(spatten: bool, cache: int, batch: int):
                                 enable_v_pruning=False)
         quant = QuantConfig(enabled=False, enable_requant=False,
                             quantize_queries=True, pv_int8=True,
-                            scale_dtype="float32")
+                            probs_bf16=True, scale_dtype="bfloat16")
     return SpAttenConfig(
         model=shard_model_cfg(), pruning=pruning, quant=quant,
         engine=EngineConfig(max_batch_size=batch, cache_capacity=cache,
@@ -285,34 +287,51 @@ def time_decode(cfg, params, steps: int, repeats: int = 3,
     return b * steps / best, carry[0]
 
 
-def measure_prune(cfg, params, reps: int = 8) -> float:
-    """Milliseconds per cascade-prune event (the compaction gather +
-    cached-K re-rotation), measured by forcing the trigger every
-    iteration of a scanned window."""
+def measure_prune(cfg, params, reps: int = 8):
+    """(worst_ms, steady_ms) per cascade-prune event.
+
+    worst: every layer triggers at once (a cold cache filling for the
+    first time).  steady: ONE layer triggers — the steady-state serving
+    stall, since per-layer budgets refill at different rates and events
+    naturally stagger (engine/generate.maybe_prune round 4)."""
     import spatten_tpu.engine.generate as gen
     from spatten_tpu.engine.state import init_state
 
     if not cfg.pruning.enable_token_pruning:
-        return 0.0
+        return 0.0, 0.0
     b = cfg.engine.max_batch_size
     cap = cfg.engine.cache_capacity
-    state = warm_cache_content(cfg, warm_state(cfg, init_state(cfg, batch=b)))
+    L = cfg.model.num_layers
 
-    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-    def prune_window(state, n):
-        def body(st, _):
-            st = st._replace(lengths=jnp.full((b,), cap, jnp.int32))
-            st2, _ = gen.maybe_prune(cfg, st, 1)
-            return st2, ()
-        state, _ = jax.lax.scan(body, state, None, length=n)
-        return state
+    def run(layer_sel):
+        state = warm_cache_content(
+            cfg, warm_state(cfg, init_state(cfg, batch=b)))
 
-    state = prune_window(state, reps)
-    jax.device_get(state.lengths)
-    t0 = time.perf_counter()
-    state = prune_window(state, reps)
-    jax.device_get(state.lengths)
-    return (time.perf_counter() - t0) / reps * 1e3
+        @functools.partial(jax.jit, static_argnums=(1,),
+                           donate_argnums=(0,))
+        def prune_window(state, n):
+            def body(st, _):
+                ll = jnp.where(layer_sel[:, None],
+                               jnp.full((L, b), cap, jnp.int32),
+                               st.layer_lengths)
+                st = st._replace(
+                    layer_lengths=ll,
+                    lengths=jnp.max(ll, axis=0))
+                st2, _ = gen.maybe_prune(cfg, st, 1)
+                return st2, ()
+            state, _ = jax.lax.scan(body, state, None, length=n)
+            return state
+
+        state = prune_window(state, reps)
+        jax.device_get(state.lengths)
+        t0 = time.perf_counter()
+        state = prune_window(state, reps)
+        jax.device_get(state.lengths)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    worst = run(jnp.ones((L,), bool))
+    steady = run(jnp.zeros((L,), bool).at[0].set(True))
+    return worst, steady
 
 
 def measure_prefill(cfg, params, prompt_len: int, reps: int = 2):
@@ -406,7 +425,7 @@ def run_point(cache: int, batch: int, steps: int, params,
     del dn_state
     log(f"[cap {cache} b {batch}] dense: {tps_dn:.1f} tok/s")
 
-    prune_ms = measure_prune(cfg_sp, params)
+    prune_ms, prune_steady_ms = measure_prune(cfg_sp, params)
     p = cfg_sp.pruning
     headroom = cfg_sp.engine.cache_capacity - p.cache_size
 
@@ -417,6 +436,7 @@ def run_point(cache: int, batch: int, steps: int, params,
         "dense_int8_tok_s": round(tps_dn * scale, 2),
         "vs_baseline": round(tps_sp / tps_dn, 3),
         "prune_ms_per_event": round(prune_ms, 3),
+        "prune_ms_steady_event": round(prune_steady_ms, 3),
         "prune_ms_amortized": round(prune_ms / max(headroom, 1), 5),
         "requant_threshold": thr,
         "requant_rate": round(requant_rate, 4),   # measured over the run

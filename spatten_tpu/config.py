@@ -145,6 +145,14 @@ class QuantConfig:
     # quantized and dense (int8-KV) modes — it is a compute-precision
     # knob, not a storage one.
     pv_int8: bool = False
+    # Store the kernel's unnormalized-probability (e) scratch plane in
+    # bfloat16 instead of f32.  The e plane only feeds 8-bit P·V weights
+    # (pv_int8), block-mass ranking, and the importance accumulator
+    # (itself bf16 in serving configs), so the 8-bit mantissa costs ~the
+    # same error as pv_int8's own weight quantization — and it halves
+    # the largest [rows, C] VMEM scratch, which is what lets the kernel
+    # group more batch rows per grid instance at serving capacities.
+    probs_bf16: bool = False
 
     @property
     def disabled(self) -> "QuantConfig":

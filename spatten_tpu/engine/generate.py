@@ -52,7 +52,14 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
     p = cfg.pruning
     cap = state.capacity
     num_layers = cfg.model.num_layers
-    trigger = state.lengths + num_coming > cap                     # [B]
+    # PER-LAYER triggers (round 4): layers refill at different rates (a
+    # deep layer keeps ~0.14x of capacity and takes ~7x longer to refill
+    # than layer 0), so prune events naturally stagger — each event
+    # compacts only the overflowing layer(s) instead of all L at once.
+    # This cuts the serving stall ~L-fold at steady state AND prunes deep
+    # layers ~budget-proportionally less often.
+    trigger_layer = state.layer_lengths + num_coming > cap       # [L, B]
+    trigger = jnp.any(trigger_layer, axis=0)                       # [B]
 
     if not p.enable_token_pruning:
         return state, jnp.zeros_like(trigger)
@@ -61,14 +68,18 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
     keep_max = p.cache_size
 
     def do_prune(st: DecodeState) -> DecodeState:
-        keep_idx, keep_count = token_pruning.select_keep_indices_budgeted(
-            st.importance, st.layer_lengths,
-            p.start_size, budgets, p.important_size, p.recent_size,
-            num_coming=0,
-        )                       # [L, B, Hkv, keep_max], [L, B]
         cached_rope = (cfg.engine.rope_mode == "cached"
                        and not cfg.model.use_abs_pos_emb)
         from spatten_tpu.pruning import compact
+
+        # keep_count needs no top_k — pure arithmetic (the selection's
+        # own count formula, token_pruning.py): the expensive per-head
+        # top_k runs only inside a TRIGGERED layer's branch
+        recent_keep = p.recent_size
+        recent_begin = st.layer_lengths - recent_keep          # [L, B]
+        n_imp = jnp.minimum(budgets[:, None],
+                            jnp.maximum(recent_begin - p.start_size, 0))
+        keep_count = p.start_size + n_imp + recent_keep        # [L, B]
 
         def one_layer(l, carry):
             """Prune layer l in place via the fused compaction (gather +
@@ -76,30 +87,46 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
             streamed over pack-unit chunks — pruning/compact.py).
             Layer-at-a-time keeps the transient at one chunk's f32;
             untriggered sequences pass identity indices so their rewrite
-            is a bit-exact no-op (no dequant/requant round-trip)."""
+            is a bit-exact no-op (no dequant/requant round-trip), and a
+            layer with NO triggered sequence skips both the selection
+            top_k and the compaction entirely (per-layer staggering: the
+            common steady-state event touches one layer, not L)."""
             cache, imp = carry
             take = lambda x: jax.lax.dynamic_index_in_dim(
                 x, l, 0, keepdims=False)
-            layer_cache = jax.tree.map(take, cache)
-            kidx_l = take(keep_idx)                  # [B, Hkv, keep_max]
-            ident = jnp.broadcast_to(
-                jnp.arange(keep_max, dtype=jnp.int32), kidx_l.shape)
-            kidx_l = jnp.where(trigger[:, None, None], kidx_l, ident)
-            new_cache, new_imp = compact.compact_layer(
-                layer_cache, take(imp), kidx_l, rotate_k=cached_rope,
-                rope_theta=cfg.model.rope_theta)
-            cache = jax.tree.map(
-                lambda big, small: jax.lax.dynamic_update_index_in_dim(
-                    big, small.astype(big.dtype), l, 0),
-                cache, new_cache)
-            imp = jax.lax.dynamic_update_index_in_dim(imp, new_imp, l, 0)
-            return (cache, imp)
+            trig_l = take(trigger_layer)                       # [B]
+
+            def prune_this(carry):
+                cache, imp = carry
+                layer_cache = jax.tree.map(take, cache)
+                kidx_l, _ = token_pruning.select_keep_indices_budgeted(
+                    take(imp)[None], take(st.layer_lengths)[None],
+                    p.start_size, jnp.take(budgets, l)[None],
+                    p.important_size, p.recent_size, num_coming=0)
+                kidx_l = kidx_l[0]                   # [B, Hkv, keep_max]
+                ident = jnp.broadcast_to(
+                    jnp.arange(keep_max, dtype=jnp.int32), kidx_l.shape)
+                kidx_l = jnp.where(trig_l[:, None, None], kidx_l, ident)
+                new_cache, new_imp = compact.compact_layer(
+                    layer_cache, take(imp), kidx_l, rotate_k=cached_rope,
+                    rope_theta=cfg.model.rope_theta)
+                cache = jax.tree.map(
+                    lambda big, small:
+                    jax.lax.dynamic_update_index_in_dim(
+                        big, small.astype(big.dtype), l, 0),
+                    cache, new_cache)
+                imp = jax.lax.dynamic_update_index_in_dim(imp, new_imp,
+                                                          l, 0)
+                return (cache, imp)
+
+            return jax.lax.cond(jnp.any(trig_l), prune_this,
+                                lambda c: c, carry)
 
         cache, imp = jax.lax.fori_loop(0, num_layers, one_layer,
                                        (st.cache, st.importance))
-        layer_lengths = jnp.where(trigger[None, :], keep_count,
+        layer_lengths = jnp.where(trigger_layer, keep_count,
                                   st.layer_lengths)
-        lengths = jnp.where(trigger, keep_count.max(axis=0), st.lengths)
+        lengths = jnp.max(layer_lengths, axis=0)
         return st._replace(cache=cache, importance=imp, lengths=lengths,
                            layer_lengths=layer_lengths)
 

@@ -426,6 +426,7 @@ def run_layers(
                             else None),
                 quantize_queries=q.quantize_queries,
                 pv_int8=q.pv_int8,
+                probs_bf16=q.probs_bf16,
                 track_importance=track_importance,
                 importance_ema=p.importance_ema,
                 **attn_kwargs(hmask_l),

@@ -72,6 +72,10 @@ import os as _os
 
 PBLK_TARGET = 1024   # packed-K fetch rows per DMA (must match qz.pack_unit)
 _XINST = not _os.environ.get("SPATTEN_NO_XINST")   # cross-instance prefetch
+# Sharing the msb/full stream buffer measured ~30x SLOWER on v5e (the
+# requant stream's reuse of pass-1's slots appears to defeat Mosaic's
+# DMA/compute overlap) — kept as an opt-in experiment only.
+_NO_SHARE = not _os.environ.get("SPATTEN_SHARE_KSTREAM")
 NSLOTS = 4      # rotating VMEM slots per DMA stream (depth of the
                 # manual prefetch pipeline; K/V planes stream through
                 # these instead of residing whole in VMEM)
@@ -104,7 +108,7 @@ def _heads_per_program(hkv: int, cap: int, head_dim: int, group: int = 1
         # per-stream slots are capped at ~2 MB (mirrors _slots below)
         slots = max(2, min(NSLOTS, (2 * 1024 * 1024) // (pblk * slab)))
         stream = slab * pblk * slots * 3           # msb + kfull + v slots
-        planes = rows * cap * 4 * 3                # scores/probs/scores2
+        planes = rows * cap * 4 * 2                # scores + probs
         scales = h * cap * 4 * 3                   # ksc + vsc + imp slices
         if stream + planes + scales <= budget:
             best = h
@@ -131,15 +135,15 @@ def _kth_largest(x: jax.Array, k: int) -> jax.Array:
 def _fetch_block(cap: int, v_block: int, target: int = 256) -> int:
     """V fetch-DMA granularity: a multiple of v_block dividing cap,
     as close to `target` rows as possible.  The block count is capped at
-    24 so the per-block fetch gates pack exactly into one f32-summed
-    int32 bitmask."""
+    48 so the per-block fetch gates pack exactly into TWO f32-summed
+    int32 bitmask words (24 exact bits each)."""
     best = v_block
     m = v_block
     while m <= min(cap, target):
         if cap % m == 0:
             best = m
         m += v_block
-    while cap // best > 24:
+    while cap // best > 48:
         m = best + v_block
         while cap % m or m % v_block:
             m += v_block
@@ -151,7 +155,8 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
                          cap: int, *, quant_on: bool, need_kfull: bool,
                          need_scores2: bool, has_lsb2: bool,
                          do_vprune: bool, v_block: int, sc_bytes: int,
-                         imp_bytes: int, track_imp: bool) -> int:
+                         imp_bytes: int, track_imp: bool,
+                         e_bytes: int = 4) -> int:
     """Batch rows per kernel program (`bpp`).
 
     Grid instances run sequentially on the core and each one pays fixed
@@ -163,8 +168,14 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
     instance cost, at the price of group-level fetch gating (a K/V block
     moves if ANY member needs it).  Returns the largest divisor of
     `batch` (capped at 8) whose combined VMEM footprint fits, preferring
-    int8-tileable row counts."""
-    budget = 11 * 1024 * 1024
+    int8-tileable row counts.
+
+    The budget is aggressive (v5e VMEM is ~16 MB/core): with the shared
+    msb/full stream buffer, the folded requant merge, and the bf16
+    e-plane, bpp=4 fits the serving shapes where the round-3 kernel was
+    held at 2 — halving the instance-serialization cost that bounds the
+    decode step."""
+    budget = 13 * 1024 * 1024
     slab = hpp * head_dim
     rows = hpp * group
     half = cap // 2
@@ -185,6 +196,14 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
             continue
         if need_scores2 and ngate * (bpp * gate_hpg).bit_length() > 22:
             continue
+        # column-space pass bound: the [R, cap] VPU passes (scale, exp,
+        # importance) and the group-union overfetch grow with R*cap;
+        # measured on v5e, groups beyond R*cap ~ 128K trade away more in
+        # pass time + unioned fetch bytes than they save in per-instance
+        # overhead (bpp4 at cap 16384 regressed 3.8 -> 4.3 ms/step while
+        # bpp4 at cap 8192 improved 1.56x -> 1.72x)
+        if bpp * rows * cap > 128 * 1024:
+            continue
         R = bpp * rows
 
         def slots(nblk, blk):
@@ -194,15 +213,21 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
                               (2 * 1024 * 1024) // (bpp * blk * slab)))
 
         mem = 0
+        # msb and full-plane streams SHARE one slot buffer in quant mode
+        # (never live at once); dense mode has only the full stream
+        kslots = 0
         if quant_on:
-            mem += slots(num_pblk, pblk) * bpp * pblk * slab
+            kslots = slots(num_pblk, pblk)
+        kf_mem = 0
+        if need_kfull:
+            kfb = pblk // 2 if (quant_on and pblk % 256 == 0) else pblk
+            kf_mem = slots(cap // kfb, kfb) * bpp * kfb * slab
+        mem += kslots * bpp * pblk * slab + kf_mem
         if has_lsb2:
             ls = max(2, min(num_pblk, NSLOTS)) if num_pblk > 1 else 1
             mem += ls * bpp * qblk * slab
-        if need_kfull:
-            mem += slots(2 * num_pblk, pblk) * bpp * pblk * slab
         mem += slots(nfb, fblk) * bpp * fblk * slab      # V slots
-        mem += R * cap * 4 * (2 + (1 if need_scores2 else 0))
+        mem += R * cap * (4 + e_bytes)  # scores + e (no scores2)
         mem += bpp * 8 * cap * sc_bytes * 2      # scale scratch (8-padded)
         if track_imp:
             mem += bpp * 8 * cap * imp_bytes
@@ -226,7 +251,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  mixed_profile: bool = False, has_lsb2: bool = False,
                  imp_dtype=jnp.float32, sc_dtype=jnp.float32,
                  pv_int8: bool = False, has_appmask: bool = False,
-                 row_stats: bool = False, bpp: int = 1):
+                 row_stats: bool = False, bpp: int = 1,
+                 probs_bf16: bool = False):
+    e_dtype = jnp.bfloat16 if probs_bf16 else jnp.float32
     half = cap // 2
     pblk, num_pblk = _even_blocks(half, PBLK_TARGET)
     num_tblk = 2 * num_pblk
@@ -274,11 +301,24 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                           (2 * 1024 * 1024) // (bpp * blk * slab)))
 
     ps = _slots(num_pblk, pblk)
-    ts = _slots(num_tblk, pblk)
+    # full-plane stream granularity: in quant mode the stream only runs
+    # on requant-firing instances (and 8-bit profile layers), so smaller
+    # kfblk blocks trade a few extra descriptors there for slot VMEM
+    # everywhere; dense mode keeps pblk blocks (it IS the hot pass)
+    kfblk = pblk // 2 if (quant_enabled and pblk % 256 == 0) else pblk
+    nkfb = cap // kfblk
+    ts = _slots(nkfb, kfblk)
     vs = _slots(nfb, fblk)
-    # chunked + length-gated metadata streams (scale/importance planes):
-    # legal only when the pblk-column chunk is a lane-aligned DMA slice
+    # length-gated metadata streams (scale/importance planes): legal
+    # only when the prefix rungs are lane-aligned DMA slices.  Rung
+    # sizes are pblk-aligned so every live-block update falls inside
+    # the fetched prefix.
     sc_chunked = (not sc_blocked) and pblk % 128 == 0
+    _lad = _os.environ.get("SPATTEN_SC_LADDER", "rw")
+    sc_ladder_read = sc_chunked and ("r" in _lad)
+    sc_ladder_write = sc_chunked and ("w" in _lad)
+    sc_rungs = sorted({-(-num_tblk // 8) * pblk, -(-num_tblk // 4) * pblk,
+                       -(-num_tblk // 2) * pblk, num_tblk * pblk})
 
     def kernel(*refs):
         it = iter(refs)
@@ -326,7 +366,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if row_stats:
             mrow_out = next(it)            # [1, rows, 128] f32 row max
             drow_out = next(it)            # [1, rows, 128] f32 denominator
-        kapp_scr = next(it)                # (8, slab) int8
+        kapp_scr = next(it)                # (8, slab) int8 (uint8 view
+                                           #   when the kfull plane is)
         vapp_scr = next(it)
         if quant_enabled:
             kmapp_scr = next(it)           # (8, slab) uint8
@@ -338,19 +379,28 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         vsc_scr = next(it)
         imp_scr = next(it)                 # (hpp, C or 128) f32
         if quant_enabled:
-            kmsb_scr = next(it)            # [ps, pblk, slab] uint8 slots
+            kmsb_scr = next(it)            # [S, pblk, slab] uint8 slots
         if has_lsb2:
             klsb2_scr = next(it)           # [ls, qblk, slab] uint8 slots
-        if (not quant_enabled) or do_requant or mixed_profile:
-            kfull_scr = next(it)           # [ts, pblk, slab] int8 slots
+        if (not quant_enabled) or (_NO_SHARE
+                                   and (do_requant or mixed_profile)):
+            kfull_scr = next(it)           # [ts, kfblk, slab] int8 slots
+        elif do_requant or mixed_profile:
+            # the full-plane stream SHARES the msb slot buffer: pass-1
+            # (msb) and the requant/8-bit stream (full) are never live
+            # at once — the successor's prologue prefetch is issued
+            # after the requant section for the same reason.  The kfull
+            # HBM plane arrives as a uint8 VIEW (wrapper bitcast), so
+            # every copy is uint8->uint8; int8-ness is recovered by a
+            # bitcast at the single compute read (kblk_full).
+            kfull_scr = kmsb_scr
         scores_scr = next(it)              # [rows, C] f32
-        probs_scr = next(it)               # [rows, C] f32 (UNNORMALIZED e)
+        probs_scr = next(it)               # [rows, C] UNNORMALIZED e
+                                           #   (f32, or bf16 opt-in)
         mrow_scr = next(it)                # (rows, 128) f32 running max
         den_scr = next(it)                 # (rows, 128) f32 denominator
         if pv_int8:
             emv_scr = next(it)             # (rows, 128) f32 max(e*vscale)
-        if do_requant:
-            scores2_scr = next(it)         # [rows, C] f32 (full-plane pass)
         if do_vprune:
             mass_scr = next(it)            # [rows, nvb] f32 block masses
         v_scr = next(it)                   # [vs, fblk, slab] int8 slots
@@ -364,8 +414,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         v_sem = next(it)                   # DMA (vs,)
         sc_sem = next(it)                  # DMA (6,) scale/importance IO
         if sc_chunked:
-            scm_sem = next(it)             # DMA (4, num_tblk): chunked
-                                           #   metadata streams
+            scm_sem = next(it)             # DMA (4, nrungs): prefix-rung
+                                           #   metadata ladder
 
         bg = pl.program_id(0)              # batch-GROUP index
         j = pl.program_id(1)
@@ -461,7 +511,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # SURVEY.md §2.8).  Scalar-prefetched so one instance can also
         # issue its SUCCESSOR's gated prologue fetches (cross-instance
         # pipelining).
-        gmask_all = (1 << ngate) - 1
+        # all-ones for ngate >= 32: (1 << 32) - 1 overflows int32 (hit in
+        # interpret mode, where hpp == hkv can reach 32 on 7B configs)
+        gmask_all = -1 if ngate >= 32 else (1 << ngate) - 1
 
         def gates_of(bb0, jj):
             """(any, [per-gate bool]) liveness gates of the batch GROUP
@@ -520,42 +572,54 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 return ref.at[lv, bb, :, :]
             return ref.at[lv, bb, pl.ds(j * hpp, hpp), :]
 
-        # chunked metadata IO: pblk-column chunks of the [*, hpp, C]
-        # scale/importance planes, gated on the group's live window —
-        # only the live prefix moves (the full-capacity metadata DMA
-        # otherwise rivals the live KV bytes at serving shapes: round-3
-        # measured ~1/4 of spatten-mode traffic as length-independent
-        # metadata).  Dead chunks of the scratch hold stale bytes that
-        # every consumer masks (live-block gating + per-row length
+        # length-gated metadata IO: the [*, hpp, C] scale/importance
+        # planes move as ONE descriptor per plane sized to the smallest
+        # static prefix rung (cap/8, cap/4, cap/2, cap) covering the
+        # group's live window.  Full-capacity metadata DMA rivals the
+        # live KV bytes at serving shapes (round-3: ~1/4 of spatten-mode
+        # traffic was length-independent metadata), but fine-grained
+        # chunking would ADD descriptor issues to an issue-bound
+        # instance — the rung ladder bounds over-fetch at 2x live while
+        # keeping exactly one issue per plane (rungs are mutually
+        # exclusive).  Scratch beyond the fetched rung holds stale bytes
+        # that every consumer masks (live-block gating + per-row length
         # masks); columns past `length` are undefined by contract.
-        def sc_chunk_io(plane_ref, scr, p, t, do_wait, write=False):
-            @pl.when(t * pblk < len_max)
-            def _():
-                cds = pl.ds(t * pblk, pblk)
-                if npj == 1:
-                    pairs = [(plane_ref.at[lv, pl.ds(b0, bpp), :, cds],
-                              scr.at[:, :, cds], scm_sem.at[p, t])]
-                else:
-                    pairs = [(plane_ref.at[lv, b0 + bi,
-                                           pl.ds(j * hpp, hpp), cds],
-                              scr.at[bi, :, cds], scm_sem.at[p, t])
-                             for bi in range(bpp)]
-                for big, small, sem in pairs:
-                    cp = (pltpu.make_async_copy(small, big, sem) if write
-                          else pltpu.make_async_copy(big, small, sem))
-                    cp.wait() if do_wait else cp.start()
+        def sc_ladder_io(plane_ref, scr, p, do_wait, write=False):
+            prev = 0
+            for ri, r in enumerate(sc_rungs):
+                cond = (len_max > prev)
+                if r < cap:
+                    cond = cond & (len_max <= r)
+                prev = r
+
+                @pl.when(cond)
+                def _(r=r, ri=ri):
+                    cds = pl.ds(0, r)
+                    if npj == 1:
+                        pairs = [(plane_ref.at[lv, pl.ds(b0, bpp),
+                                               :, cds],
+                                  scr.at[:, :, cds], scm_sem.at[p, ri])]
+                    else:
+                        pairs = [(plane_ref.at[lv, b0 + bi,
+                                               pl.ds(j * hpp, hpp), cds],
+                                  scr.at[bi, :, cds], scm_sem.at[p, ri])
+                                 for bi in range(bpp)]
+                    for big, small, sem in pairs:
+                        cp = (pltpu.make_async_copy(small, big, sem)
+                              if write
+                              else pltpu.make_async_copy(big, small, sem))
+                        cp.wait() if do_wait else cp.start()
 
         if sc_blocked:
             ksc_scr[0] = kscale_in[0, 0]
             vsc_scr[0] = vscale_in[0, 0]
             if accumulate_importance:
                 imp_scr[0] = imp_in[0, 0]
-        elif sc_chunked:
-            for t in range(num_tblk):
-                sc_chunk_io(kscale_in, ksc_scr, 0, t, do_wait=False)
-                sc_chunk_io(vscale_in, vsc_scr, 1, t, do_wait=False)
-                if accumulate_importance:
-                    sc_chunk_io(imp_in, imp_scr, 2, t, do_wait=False)
+        elif sc_ladder_read:
+            sc_ladder_io(kscale_in, ksc_scr, 0, do_wait=False)
+            sc_ladder_io(vscale_in, vsc_scr, 1, do_wait=False)
+            if accumulate_importance:
+                sc_ladder_io(imp_in, imp_scr, 2, do_wait=False)
         elif npj == 1:
             # contiguous batch rows: ONE [bpp, hpp, C] descriptor per
             # plane for the whole group (3 issues instead of 3*bpp)
@@ -653,19 +717,20 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         succ_tgt = (nb0, nj_ * slab, len_succ, any_succ,
                     gates_succ if head_gating else None)
 
-        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates, bb0, ll):
-            """Fetch block i of `plane` (all bpp group members, one
-            descriptor) into slot i%|scr| (or wait it)."""
+        def k_stream_io(plane, scr, sem, i, do_wait, cond, gates, bb0,
+                        ll, blk=pblk):
+            """Fetch block i (`blk` rows) of `plane` (all bpp group
+            members, one descriptor) into slot i%|scr| (or wait it)."""
             slot = i % scr.shape[0]
 
             def cp(g=None):
                 if g is None:
                     return pltpu.make_async_copy(
                         plane.at[lv, pl.ds(bb0, bpp),
-                                 pl.ds(i * pblk, pblk), pl.ds(ll, slab)],
+                                 pl.ds(i * blk, blk), pl.ds(ll, slab)],
                         scr.at[slot], sem.at[slot, 0])
                 return pltpu.make_async_copy(
-                    plane.at[lv, pl.ds(bb0, bpp), pl.ds(i * pblk, pblk),
+                    plane.at[lv, pl.ds(bb0, bpp), pl.ds(i * blk, blk),
                              pl.ds(ll + g * glanes, glanes)],
                     scr.at[slot, :, :, pl.ds(g * glanes, glanes)],
                     sem.at[slot, g])
@@ -753,11 +818,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         def kfull_io(i, do_wait, gates, tgt=None):
             bb0, ll, len_t, any_t, _ = self_tgt if tgt is None else tgt
-            cond = (i * pblk < len_t)
+            cond = (i * kfblk < len_t)
             if gates is None and head_gating is False:
                 cond = cond & any_t
             k_stream_io(kfull_out, kfull_scr, kfull_sem, i, do_wait, cond,
-                        gates, bb0, ll)
+                        gates, bb0, ll, blk=kfblk)
 
         def v_io(f, do_wait, extra_cond=None, tgt=None):
             bb0, ll, len_t, _, _ = self_tgt if tgt is None else tgt
@@ -885,12 +950,12 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         def qf_rows(bi):
             return qf[bi * rows:(bi + 1) * rows] if bpp > 1 else qf
 
-        def score_block(bi, kblk, target_scr, t):
+        def score_block(bi, kblk, target_scr, t, blk=pblk):
             s_blk = jax.lax.dot_general(
                 q_rows(bi), kblk, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc,
                 precision=_idot_prec if int_dots else None)
-            target_scr[bi * rows:(bi + 1) * rows, pl.ds(t * pblk, pblk)] \
+            target_scr[bi * rows:(bi + 1) * rows, pl.ds(t * blk, blk)] \
                 = s_blk.astype(jnp.float32)
 
         def kblk_msb(i, hi, bi):
@@ -906,6 +971,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         def kblk_full(t, bi):
             rows_k = kfull_scr[t % ts, bi]
+            if quant_enabled and not _NO_SHARE:  # uint8 bytes -> int8
+                rows_k = jax.lax.bitcast_convert_type(rows_k, jnp.int8)
             return rows_k if int_dots else rows_k.astype(jnp.float32)
 
         def msb_scores_pipeline():
@@ -1002,14 +1069,15 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     msb_io(i + ps, do_wait=False)
 
         def kfull_scores_pipeline(target_scr, gates):
-            for t in range(num_tblk):
+            for t in range(nkfb):
                 kfull_io(t, do_wait=True, gates=gates)
 
                 for bi in range(bpp):
-                    @pl.when(t * pblk < len_bi[bi])
+                    @pl.when(t * kfblk < len_bi[bi])
                     def _(t=t, bi=bi):
-                        score_block(bi, kblk_full(t, bi), target_scr, t)
-                if t + ts < num_tblk:
+                        score_block(bi, kblk_full(t, bi), target_scr, t,
+                                    blk=kfblk)
+                if t + ts < nkfb:
                     kfull_io(t + ts, do_wait=False, gates=gates)
 
         # --- pass 1: QK on the profile's plane set (4/6-bit nibble paths
@@ -1031,10 +1099,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
 
         # scale/importance DMAs (started at instance entry) are consumed
         # only now — their latency hid behind the whole score pipeline
-        if sc_chunked:
-            for t in range(num_tblk):
-                sc_chunk_io(kscale_in, ksc_scr, 0, t, do_wait=True)
-                sc_chunk_io(vscale_in, vsc_scr, 1, t, do_wait=True)
+        if sc_ladder_read:
+            sc_ladder_io(kscale_in, ksc_scr, 0, do_wait=True)
+            sc_ladder_io(vscale_in, vsc_scr, 1, do_wait=True)
         elif not sc_blocked:
             for cpy in ksc_reads + vsc_reads:
                 cpy.wait()
@@ -1141,32 +1208,6 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         off2 = (rowscale * qsum) * moff_sm if has_off else None  # [rows, 1]
         rs_full = rowscale * sm_scale
 
-        # pass-1 K slots are idle from here on (requant uses its own
-        # stream in quant mode): fill the successor's K pipeline so it
-        # starts computing immediately — this overlaps the remainder of
-        # this instance (softmax, requant, P·V) with the next one's fill.
-        # The successor shares this launch's layer, hence its profile.
-        @pl.when(has_succ)
-        def _():
-            if quant_enabled:
-                for i in range(ps):
-                    msb_io(i, do_wait=False, tgt=succ_tgt)
-                if has_lsb2:
-                    for i in range(ls):
-                        lsb2_io(i, do_wait=False, tgt=succ_tgt)
-                if mixed_profile:
-                    # bits == 8 never requants, so the kfull slots stay
-                    # free for the successor's full-plane pass-1
-                    @pl.when(p1_full8)
-                    def _():
-                        for i in range(ts):
-                            kfull_io(i, do_wait=False,
-                                     gates=succ_tgt[4], tgt=succ_tgt)
-            else:
-                for i in range(ts):
-                    kfull_io(i, do_wait=False,
-                             gates=succ_tgt[4], tgt=succ_tgt)
-
         # ------------------------------------------------------------------
         # Live-window epilogue: every column-space pass below runs per
         # LIVE pblk block (gated on `length`), never over the full
@@ -1202,25 +1243,43 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     mrow_scr[...] = jnp.maximum(
                         mrow_scr[...], jnp.max(s, axis=-1, keepdims=True))
 
-        def merge_pass(fire_rows):
-            """Requant merge: firing rows take the scaled full-plane
-            scores from scores2_scr (their gates were fetched); the rest
-            keep scores_scr, which is already scaled."""
+        def kfull_merge_pipeline(gates, fire_rows):
+            """Requant recompute FOLDED into the full-plane stream: per
+            live block, rescore on the streamed int8 rows and merge the
+            firing rows in place — no second [R, cap] score plane, no
+            separate merge pass (halves the requant VPU work and frees
+            R*cap*4 bytes of VMEM for batch grouping).  Rows of members
+            past their own length and rows whose gate did not fire see
+            garbage raw scores; both are masked (len mask / fire_rows
+            select) exactly as the two-pass version masked its scores2
+            garbage."""
             mrow_scr[...] = jnp.full((R, 128), MASK_VALUE, jnp.float32)
-            for t in range(num_tblk):
-                @pl.when(t * pblk < len_max)
+            col_k = jax.lax.broadcasted_iota(jnp.int32, (R, kfblk), 1)
+            for t in range(nkfb):
+                kfull_io(t, do_wait=True, gates=gates)
+
+                @pl.when(t * kfblk < len_max)
                 def _(t=t):
-                    colt = col_p + t * pblk
-                    s2 = scores2_scr[:, pl.ds(t * pblk, pblk)]
+                    parts = [jax.lax.dot_general(
+                        q_rows(bi), kblk_full(t, bi),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=acc,
+                        precision=_idot_prec if int_dots else None
+                    ).astype(jnp.float32) for bi in range(bpp)]
+                    raw = (jnp.concatenate(parts, axis=0) if bpp > 1
+                           else parts[0])                # [R, kfblk]
+                    colt = col_k + t * kfblk
                     s2 = jnp.where(and_app_rows(colt == idx_rows),
-                                   patch_full, s2)
-                    s2 = (s2 * rs_full) * ksc_blk(t * pblk, pblk)
+                                   patch_full, raw)
+                    s2 = (s2 * rs_full) * ksc_blk(t * kfblk, kfblk)
                     s2 = jnp.where(colt < len_rows, s2, MASK_VALUE)
                     s = jnp.where(fire_rows, s2,
-                                  scores_scr[:, pl.ds(t * pblk, pblk)])
-                    scores_scr[:, pl.ds(t * pblk, pblk)] = s
+                                  scores_scr[:, pl.ds(t * kfblk, kfblk)])
+                    scores_scr[:, pl.ds(t * kfblk, kfblk)] = s
                     mrow_scr[...] = jnp.maximum(
                         mrow_scr[...], jnp.max(s, axis=-1, keepdims=True))
+                if t + ts < nkfb:
+                    kfull_io(t + ts, do_wait=False, gates=gates)
 
         def exp_pass():
             """probs_scr <- UNNORMALIZED e = exp(s - m) per live block
@@ -1235,7 +1294,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 @pl.when(t * pblk < len_max)
                 def _(t=t):
                     e = jnp.exp(scores_scr[:, pl.ds(t * pblk, pblk)] - m)
-                    probs_scr[:, pl.ds(t * pblk, pblk)] = e
+                    probs_scr[:, pl.ds(t * pblk, pblk)] = \
+                        e.astype(e_dtype)
                     den_scr[...] = den_scr[...] + jnp.sum(
                         e, axis=-1, keepdims=True)
                     if pv_int8:
@@ -1288,20 +1348,34 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # one packed scalar carries every per-head-group fire count
             # (single vector->scalar transfer); stride leaves room for up
             # to bpp*gate_hpg firing heads per group (union over members:
-            # the merged recompute fetch moves the group's bytes)
+            # the merged recompute fetch moves the group's bytes).  When
+            # the counts don't fit the exact-f32-sum range (many gates,
+            # e.g. interpret mode's hpp == hkv == 32), fall back to one
+            # vector->scalar reduction per gate — slower issue, same
+            # semantics (auto-bpp avoids this regime on the perf path).
             stride = max(1, bpp * gate_hpg).bit_length()
-            assert ngate * stride <= 22, \
-                "requant fire bits exceed exact-f32-sum range"
-            gpow = jnp.exp2(
-                ((hpp_iota // gate_hpg) * stride).astype(jnp.float32))
-            rbits = jnp.zeros((), jnp.int32)
-            for bi in range(bpp):
-                rbits = rbits + jnp.sum(
-                    jnp.where(need_bi[bi], gpow, 0.0)).astype(jnp.int32)
-            any_need = rbits > 0
-            gmask = (1 << stride) - 1
-            gate_fire = [((rbits >> (g * stride)) & gmask) > 0
-                         for g in range(ngate)]
+            if ngate * stride <= 22:
+                # exact int32 shifts (exp2 is inexact for exponents >=
+                # 13 on some backends — see the V-gate packing above)
+                gpow = jnp.left_shift(
+                    jnp.int32(1), (hpp_iota // gate_hpg) * stride)
+                rbits = jnp.zeros((), jnp.int32)
+                for bi in range(bpp):
+                    rbits = rbits + jnp.sum(
+                        jnp.where(need_bi[bi], gpow, jnp.int32(0)))
+                any_need = rbits > 0
+                gmask = (1 << stride) - 1
+                gate_fire = [((rbits >> (g * stride)) & gmask) > 0
+                             for g in range(ngate)]
+            else:
+                need_any = need_bi[0].astype(jnp.float32)
+                for bi in range(1, bpp):
+                    need_any = need_any + need_bi[bi].astype(jnp.float32)
+                any_need = jnp.sum(need_any) > 0.0
+                gate_fire = [
+                    jnp.sum(jnp.where(
+                        (hpp_iota // gate_hpg) == g, need_any, 0.0)) > 0.0
+                    for g in range(ngate)]
 
             @pl.when(any_need)
             def _requant():
@@ -1312,11 +1386,37 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 # requant loop; bytes move only for heads that fired.
                 for i in range(ts):
                     kfull_io(i, do_wait=False, gates=gate_fire)
-                kfull_scores_pipeline(scores2_scr, gate_fire)
-                merge_pass(fire_rows)
+                kfull_merge_pipeline(gate_fire, fire_rows)
                 exp_pass()
         else:
             need_ref[...] = jnp.zeros((bpp, hpp, 128), jnp.int32)
+
+        # K slots idle from here (pass-1 consumed them; a firing requant
+        # has drained its shared-slot stream): fill the successor's K
+        # pipeline so it starts computing immediately — overlapping the
+        # rest of this instance (importance epilogue, V fetch, P·V) with
+        # the next one's fill.  Issued after the requant section because
+        # the full-plane stream SHARES the msb slot buffer.
+        @pl.when(has_succ)
+        def _():
+            if quant_enabled:
+                for i in range(ps):
+                    msb_io(i, do_wait=False, tgt=succ_tgt)
+                if has_lsb2:
+                    for i in range(ls):
+                        lsb2_io(i, do_wait=False, tgt=succ_tgt)
+                if mixed_profile:
+                    # bits == 8 never requants, so the slots stay free
+                    # for the successor's full-plane pass-1
+                    @pl.when(p1_full8)
+                    def _():
+                        for i in range(ts):
+                            kfull_io(i, do_wait=False,
+                                     gates=succ_tgt[4], tgt=succ_tgt)
+            else:
+                for i in range(ts):
+                    kfull_io(i, do_wait=False,
+                             gates=succ_tgt[4], tgt=succ_tgt)
 
         # final row statistics (the requant pass, when it ran, refreshed
         # the scratch accumulators in place)
@@ -1366,7 +1466,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 @pl.when(t * pblk < len_max)
                 def _(t=t):
                     mass_scr[:, pl.ds(t * vpt, vpt)] = jax.lax.dot_general(
-                        probs_scr[:, t * pblk:(t + 1) * pblk], agg_t,
+                        probs_scr[:, t * pblk:(t + 1) * pblk],
+                        agg_t.astype(e_dtype),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
             # e-scaled mass: the per-row 1/denominator factor changes
@@ -1389,9 +1490,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                        ).astype(jnp.float32)            # [R, nvb]
             # fetch block f iff any row keeps a v-block inside it (the
             # keep mask is applied per fired block inside the P·V loop).
-            # The nfb gates are packed into ONE scalar bitmask (a single
-            # vector->scalar transfer); per-block tests are then scalar
-            # bit ops instead of nfb vector reductions.
+            # The nfb gates pack into one int32 word per 24 blocks;
+            # per-block tests are then scalar bit ops instead of nfb
+            # vector reductions.
             kept_any = jnp.max(keep_gb, axis=0, keepdims=True)   # [1, nvb]
             vrow = jax.lax.broadcasted_iota(jnp.int32, (num_vblk, nfb), 0)
             vcol = jax.lax.broadcasted_iota(jnp.int32, (num_vblk, nfb), 1)
@@ -1399,11 +1500,22 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             cnt = jax.lax.dot_general(                   # [1, nfb] counts
                 kept_any, group_vf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            pow2 = jnp.exp2(jax.lax.broadcasted_iota(
-                jnp.int32, (1, nfb), 1).astype(jnp.float32))
-            gbits = jnp.sum(
-                jnp.where(cnt > 0.0, pow2, 0.0)
-            ).astype(jnp.int32)                          # scalar bitmask
+            # EXACT integer packing: jnp.exp2 is a polynomial on some
+            # backends and returns e.g. 8192.004 for exp2(13) — summing
+            # those drops bits after the int cast.  Integer shifts + an
+            # int32 sum are exact by construction.
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (1, nfb), 1)
+            gb_words = []
+            for w in range(-(-nfb // 24)):
+                pw = jnp.where(
+                    (gidx >= w * 24) & (gidx < (w + 1) * 24),
+                    jnp.left_shift(jnp.int32(1), gidx - w * 24),
+                    jnp.int32(0))
+                gb_words.append(jnp.sum(
+                    jnp.where(cnt > 0.0, pw, jnp.int32(0))))
+
+            def vgate(f):
+                return (gb_words[f // 24] & (1 << (f % 24))) > 0
             # the appended token's own keep decision (for the register
             # patch below): its v-block's keep bit, per row
             nvb_iota = jax.lax.broadcasted_iota(
@@ -1413,10 +1525,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 axis=-1, keepdims=True)                  # [R, 1]
             # block 0 was fetched speculatively in the prologue
             for f in range(1, vs):
-                v_io(f, do_wait=False, extra_cond=(gbits & (1 << f)) > 0)
+                v_io(f, do_wait=False, extra_cond=vgate(f))
         else:
             keep_gb = None
-            gbits = None
+            vgate = None
             kept_new = 1.0
 
         # --- importance epilogue (cascade pruning signal) ----------------
@@ -1430,9 +1542,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         imp_wbs = []
         if track_importance:
             col_hp = jax.lax.broadcasted_iota(jnp.int32, (hpp, pblk), 1)
-            if accumulate_importance and sc_chunked:
-                for t in range(num_tblk):
-                    sc_chunk_io(imp_in, imp_scr, 2, t, do_wait=True)
+            if accumulate_importance and sc_ladder_read:
+                sc_ladder_io(imp_in, imp_scr, 2, do_wait=True)
             elif accumulate_importance and not sc_blocked:
                 for cpy in imp_reads:
                     cpy.wait()
@@ -1444,7 +1555,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 def _(t=t):
                     ds_ = pl.ds(t * pblk, pblk)
                     if importance_kind == "prob":
-                        dsrc = probs_scr[:, ds_] * drow
+                        dsrc = probs_scr[:, ds_].astype(jnp.float32) \
+                            * drow
                     else:
                         colt = col_p + t * pblk
                         dsrc = jnp.where(colt < len_rows,
@@ -1473,12 +1585,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             imp_scr[bi, :, ds_] = delta.astype(imp_dtype)
             if sc_blocked:
                 imp_out[0, 0] = imp_scr[0]
-            elif sc_chunked and accumulate_importance:
-                # aliased accumulator: write back only the live chunks
-                # (HBM already holds every dead column's old bytes)
-                for t in range(num_tblk):
-                    sc_chunk_io(imp_out, imp_scr, 3, t, do_wait=False,
-                                write=True)
+            elif sc_ladder_write and accumulate_importance:
+                # aliased accumulator: write back only the live prefix
+                # rung (HBM already holds every dead column's old bytes)
+                sc_ladder_io(imp_out, imp_scr, 3, do_wait=False,
+                             write=True)
             else:
                 for bi in range(bpp):
                     if accumulate_importance:
@@ -1522,10 +1633,16 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             app_slice(vmsb_out, pstart_bi[bi], bb),
                             vmapp_scr.at[bi], app_sem.at[3, bi]).wait()
                     for scr, q8m in ((kapp_scr, kq8), (vapp_scr, vq8)):
-                        scr[bi] = jnp.where(
+                        row8 = jnp.where(
                             fmask,
                             jnp.broadcast_to(q8m[bi:bi + 1], (8, slab)),
-                            scr[bi]).astype(jnp.int8)
+                            (jax.lax.bitcast_convert_type(
+                                scr[bi], jnp.int8).astype(jnp.float32)
+                             if scr.dtype == jnp.uint8 else scr[bi])
+                        ).astype(jnp.int8)
+                        scr[bi] = (jax.lax.bitcast_convert_type(
+                            row8, jnp.uint8)
+                            if scr.dtype == jnp.uint8 else row8)
                     nib_pairs = []
                     if quant_enabled:
                         nib_pairs.append((kmapp_scr, kq8))
@@ -1628,7 +1745,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     v_scr.at[0], v_sem.at[0]).wait()
         for f in range(nfb):
             if do_vprune:
-                gate_f = ((gbits & (1 << f)) > 0) & (f * fblk < len_max)
+                gate_f = vgate(f) & (f * fblk < len_max)
             else:
                 gate_f = any_alive & (f * fblk < len_max)
 
@@ -1640,7 +1757,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                                      pl.ds(f * fblk, fblk),
                                      pl.ds(lane0, slab)],
                         v_scr.at[f % vs], v_sem.at[f % vs]).wait()
-                eb = probs_scr[:, f * fblk:(f + 1) * fblk]
+                eb = probs_scr[:, f * fblk:(f + 1) * fblk
+                               ].astype(jnp.float32)
                 pb = (eb * wrow) * vsc_blk(f * fblk, fblk)
                 # zero the appended column (patched from registers) AND
                 # every column at/past each row's length: a fetch block
@@ -1675,8 +1793,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             preferred_element_type=jnp.float32)
             if f + vs < nfb:
                 if do_vprune:
-                    v_io(f + vs, do_wait=False,
-                         extra_cond=(gbits & (1 << (f + vs))) > 0)
+                    v_io(f + vs, do_wait=False, extra_cond=vgate(f + vs))
                 else:
                     v_io(f + vs, do_wait=False, extra_cond=any_alive)
         # V slots idle: fill the successor's V pipeline (with V pruning
@@ -1719,10 +1836,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         if not sc_blocked:
             for cpy in sc_wbs:
                 cpy.wait()
-            if sc_chunked and accumulate_importance and track_importance:
-                for t in range(num_tblk):
-                    sc_chunk_io(imp_out, imp_scr, 3, t, do_wait=True,
-                                write=True)
+            if (sc_ladder_write and accumulate_importance
+                    and track_importance):
+                sc_ladder_io(imp_out, imp_scr, 3, do_wait=True,
+                             write=True)
             for cpy in imp_wbs:
                 cpy.wait()
         if not skip_append:
@@ -1755,7 +1872,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                             app_sem.at[4, bi]).wait()
                 app_when(bi, _app_drain)
 
-    return kernel, (pblk, fblk, ps, ts, vs, ngate)
+    return kernel, (pblk, fblk, ps, ts, vs, ngate, kfblk)
 
 
 def fused_decode_attention(
@@ -1800,6 +1917,12 @@ def fused_decode_attention(
     return_row_stats: bool = False,   # also return (m, den) [B, Hq] per
                                    #   q-head row: the flash partials for
                                    #   exact split-K recombination
+    probs_bf16: bool = False,      # bf16 e-plane scratch: halves the
+                                   #   largest [rows, C] VMEM plane (more
+                                   #   batch rows per instance); the e
+                                   #   plane only feeds 8-bit P·V
+                                   #   weights, mass ranking, and the
+                                   #   (bf16) importance accumulator
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
@@ -1864,6 +1987,7 @@ def fused_decode_attention(
     _do_vprune = any(
         0 < vk and max(1, -(-vk // v_block_size)) < cap // v_block_size
         for vk in _vk)
+    _bpp_max = int(_os.environ.get("SPATTEN_BPP_MAX", "0"))
     if _bpp_override is not None:
         bpp = _bpp_override
     elif interpret or sc_blocked or b == 1:
@@ -1877,9 +2001,12 @@ def fused_decode_attention(
             do_vprune=_do_vprune, v_block=v_block_size,
             sc_bytes=jnp.dtype(sc_dtype).itemsize,
             imp_bytes=jnp.dtype(imp_dtype).itemsize,
-            track_imp=track_importance)
+            track_imp=track_importance,
+            e_bytes=2 if probs_bf16 else 4)
+        while _bpp_max and bpp > _bpp_max:
+            bpp = max(d for d in range(1, bpp) if b % d == 0)
     assert b % bpp == 0, f"batch {b} not divisible by group size {bpp}"
-    kernel, (pblk, fblk, ps, ts, vs, ngate) = _make_kernel(
+    kernel, (pblk, fblk, ps, ts, vs, ngate, kfblk) = _make_kernel(
         cap=cap, group=group, head_dim=d, hpp=hpp, sm_scale=sm_scale,
         requant_threshold=requant_threshold, quant_enabled=quant_enabled,
         v_keep=v_keep, v_block=v_block_size,
@@ -1892,7 +2019,7 @@ def fused_decode_attention(
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
         has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype,
         pv_int8=pv_int8, has_appmask=append_mask is not None,
-        row_stats=return_row_stats, bpp=bpp)
+        row_stats=return_row_stats, bpp=bpp, probs_bf16=probs_bf16)
 
     rows_total = hq
     # block-diagonal queries: qbd[b, r, h*D:(h+1)*D] = q[b, r] iff r is in
@@ -1970,7 +2097,13 @@ def fused_decode_attention(
         plane_ops.append((k_quant.msb, jnp.uint8))
     if has_lsb2:
         plane_ops.append((k_quant.lsb2, jnp.uint8))
-    plane_ops.append((k_quant.full, jnp.int8))
+    kfull_shared = quant_on and (_do_requant or mixed_profile) \
+        and not _NO_SHARE
+    if kfull_shared:
+        plane_ops.append((jax.lax.bitcast_convert_type(
+            k_quant.full, jnp.uint8), jnp.uint8))
+    else:
+        plane_ops.append((k_quant.full, jnp.int8))
     if vmsb_on:
         plane_ops.append((v_quant.msb, jnp.uint8))
     plane_ops.append((v_quant.full, jnp.int8))
@@ -2030,7 +2163,11 @@ def fused_decode_attention(
 
     R_p = bpp * rows_p
     scratch = [
-        pltpu.VMEM((bpp, 8, slab), jnp.int8),     # kapp
+        pltpu.VMEM((bpp, 8, slab),
+                   jnp.uint8 if (quant_on and (_do_requant
+                                               or mixed_profile)
+                                 and not _NO_SHARE)
+                   else jnp.int8),                # kapp (follows plane)
         pltpu.VMEM((bpp, 8, slab), jnp.int8),     # vapp
     ]
     qblk = max(1, pblk // 2)
@@ -2048,21 +2185,23 @@ def fused_decode_attention(
         pltpu.VMEM((bpp, hpp, imp_cols), imp_dtype),     # imp slices
     ]
     if quant_on:
-        scratch.append(pltpu.VMEM((ps, bpp, pblk, slab), jnp.uint8))
+        # shared msb/full stream slots (see _make_kernel kfull_scr)
+        _need_full = (do_requant or mixed_profile) and not _NO_SHARE
+        scratch.append(pltpu.VMEM((max(ps, ts) if _need_full else ps,
+                                   bpp, pblk, slab), jnp.uint8))
     if has_lsb2:
         scratch.append(pltpu.VMEM((ls, bpp, qblk, slab), jnp.uint8))
-    if (not quant_on) or do_requant or mixed_profile:
-        scratch.append(pltpu.VMEM((ts, bpp, pblk, slab), jnp.int8))
+    if (not quant_on) or (_NO_SHARE and (do_requant or mixed_profile)):
+        scratch.append(pltpu.VMEM((ts, bpp, kfblk, slab), jnp.int8))
     scratch += [
         pltpu.VMEM((R_p, cap), jnp.float32),    # scores
-        pltpu.VMEM((R_p, cap), jnp.float32),    # probs (e)
+        pltpu.VMEM((R_p, cap),
+                   jnp.bfloat16 if probs_bf16 else jnp.float32),  # e
         pltpu.VMEM((R_p, 128), jnp.float32),    # running row max
         pltpu.VMEM((R_p, 128), jnp.float32),    # denominator
     ]
     if pv_int8:
         scratch.append(pltpu.VMEM((R_p, 128), jnp.float32))  # emv
-    if do_requant:
-        scratch.append(pltpu.VMEM((R_p, cap), jnp.float32))
     if do_vprune:
         scratch.append(pltpu.VMEM((R_p, cap // v_block_size),
                                   jnp.float32))
@@ -2082,8 +2221,11 @@ def fused_decode_attention(
         pltpu.SemaphoreType.DMA((6, bpp)),
     ]
     if (not sc_blocked) and pblk % 128 == 0:
-        # chunked metadata streams (ksc/vsc/imp read + imp write)
-        scratch.append(pltpu.SemaphoreType.DMA((4, cap // pblk)))
+        # prefix-rung metadata ladder (ksc/vsc/imp read + imp write)
+        num_tblk_w = cap // pblk
+        nrungs = len({-(-num_tblk_w // 8), -(-num_tblk_w // 4),
+                      -(-num_tblk_w // 2), num_tblk_w})
+        scratch.append(pltpu.SemaphoreType.DMA((4, nrungs)))
 
     if quant_bits is None:
         qbits_arr = jnp.full((num_layers,),
@@ -2129,6 +2271,8 @@ def fused_decode_attention(
     kmsb2 = planes2.pop(0) if quant_on else k_quant.msb
     klsb2_2 = planes2.pop(0) if has_lsb2 else k_quant.lsb2
     kfull2 = planes2.pop(0)
+    if kfull_shared:
+        kfull2 = jax.lax.bitcast_convert_type(kfull2, jnp.int8)
     vmsb2 = planes2.pop(0) if vmsb_on else v_quant.msb
     vfull2 = planes2.pop(0)
 

@@ -527,3 +527,32 @@ def test_fused_chunked_metadata_path():
         L = int(lengths[bi])
         np.testing.assert_allclose(got[bi, :, :L], want[bi, :, :L],
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_fused_v_gate_two_word_bitmask():
+    """nfb > 24 V fetch blocks (cap 8192, fblk 256 -> 32 gates) pack
+    into TWO bitmask words; gating must stay exact (round 4)."""
+    from spatten_tpu.ops.fused_decode import _fetch_block
+    assert _fetch_block(8192, 64) == 256           # 32 blocks > 24
+    r, k = run_both(jax.random.PRNGKey(50), b=1, hq=2, hkv=2, cap=8192,
+                    d=32, length=[7000], v_keep=1024, v_block_size=64)
+    assert_match(r, k)
+
+
+def test_fused_probs_bf16_close_to_f32():
+    """bf16 e-plane: tracks the f32 kernel within the bf16 mantissa step
+    (the e plane only feeds P·V weights / mass ranking / importance)."""
+    q, kq, vq, k_new, v_new, cos, sin, lengths = make_inputs(
+        jax.random.PRNGKey(60))
+    kwargs = dict(sm_scale=0.18, requant_threshold=0.15,
+                  quant_enabled=True, v_keep=24, v_block_size=16,
+                  interpret=True)
+    out_f, sf, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, lengths, **kwargs)
+    out_b, sb, _, _ = fused_decode_attention(
+        q, kq, vq, k_new, v_new, lengths, probs_bf16=True, **kwargs)
+    f = np.asarray(out_f)
+    err = np.abs(np.asarray(out_b) - f)
+    assert float(err.max()) <= 0.02 * max(1.0, float(np.abs(f).max()))
+    np.testing.assert_array_equal(np.asarray(sb.need_requant),
+                                  np.asarray(sf.need_requant))
