@@ -264,6 +264,14 @@ class EngineConfig:
     param_dtype: str = "bfloat16"
     activation_dtype: str = "bfloat16"
     use_pallas: bool = True          # fused kernels vs jnp reference path
+    # Prefill scores at full precision (skip the 4-bit pass-1 + requant
+    # double-pass and the V-prune masking) while still building the
+    # quantized cache and exact importance.  Pass-1 nibble scoring is a
+    # DECODE bandwidth optimization — prefill reads each K row once
+    # either way and is MXU-bound, so the approximation there costs ~3x
+    # prefill throughput for zero fetch savings (the reference's
+    # encoder-regime pricing, bert.cpp:17-242, is dense compute too).
+    prefill_fp_score: bool = True
     # RoPE placement for cached keys:
     #   "read"   — store K unrotated, rotate at attention time (exact
     #              reference pos-shift semantics, modify_llama.py:90-104);

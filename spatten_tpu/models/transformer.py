@@ -480,10 +480,23 @@ def run_layers(
 
         layer_cache = append_tokens(layer_cache, kh, vh, lengths_l)
         if s > 1:
-            # streaming-blocks prefill: O(S + C) memory, exact semantics
+            # streaming-blocks prefill: O(S + C) memory.  With
+            # prefill_fp_score (default), the prompt pass scores at full
+            # precision and skips requant + V-prune masking — pass-1
+            # nibble scoring is a decode BANDWIDTH optimization; prefill
+            # is MXU-bound and reads each K row once either way
+            # (measured ~3x prefill throughput, round 4).
+            pkw = dict(kwargs)
+            if e.prefill_fp_score:
+                # V-prune MASKING stays (importance parity with the
+                # stepped path is a cascade contract); only the scoring
+                # precision ladder is skipped
+                pkw["quant_enabled"] = False
+                pkw["requant_threshold"] = 0.0
+                pkw.pop("pass1_bits", None)
             attn_out, stats = prefill_attention(
                 qh, layer_cache.k, layer_cache.v, cos, sin,
-                lengths_l + s, pos_l, sm_scale=sm_scale, **kwargs)
+                lengths_l + s, pos_l, sm_scale=sm_scale, **pkw)
         else:
             attn_out, stats = spatten_attention_reference(
                 qh, layer_cache.k, layer_cache.v, cos, sin,

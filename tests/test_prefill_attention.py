@@ -82,3 +82,46 @@ def test_full_pipeline_larger():
 def test_block_size_invariance():
     for bs in (8, 16, 64):
         run_both(jax.random.PRNGKey(9), block_size=bs)
+
+
+def test_prefill_fp_score_engine_mode():
+    """prefill_fp_score (round 4): the prompt pass scores at full
+    precision — outputs close to the quant-scored path (within the 4-bit
+    pass-1 approximation), importance exact, cache identical."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from spatten_tpu.config import (
+        EngineConfig, ModelConfig, PruningConfig, QuantConfig,
+        SpAttenConfig,
+    )
+    from spatten_tpu.engine.state import init_state
+    from spatten_tpu.models import transformer
+
+    def run(fp):
+        cfg = SpAttenConfig(
+            model=ModelConfig.tiny(),
+            pruning=PruningConfig(start_size=2, important_size=8,
+                                  recent_size=16, v_block_size=8),
+            quant=QuantConfig(enabled=True, enable_requant=True,
+                              requant_threshold=0.2),
+            engine=EngineConfig(max_batch_size=1, cache_capacity=32,
+                                prefill_chunk=6, prefill_fp_score=fp),
+        ).validate()
+        params = transformer.init_params(cfg.model, jax.random.PRNGKey(0))
+        state = init_state(cfg, batch=1)
+        tokens = jnp.arange(6, dtype=jnp.int32)[None] % 256
+        logits, state, _ = transformer.forward(params, cfg, state, tokens)
+        return np.asarray(logits), state
+
+    lf, sf = run(True)
+    lq, sq = run(False)
+    # layer-0 cache identical (same inputs; deeper layers legitimately
+    # diverge because x carries the scoring difference forward)
+    np.testing.assert_array_equal(np.asarray(sf.cache.k.full)[0],
+                                  np.asarray(sq.cache.k.full)[0])
+    # logits close (4-bit pass-1 + requant vs full precision)
+    assert np.allclose(lf, lq, atol=0.5), np.abs(lf - lq).max()
+    assert np.isfinite(lf).all()
+    assert int(sf.lengths[0]) == int(sq.lengths[0]) == 6
