@@ -318,7 +318,9 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     sc_ladder_read = sc_chunked and ("r" in _lad)
     sc_ladder_write = sc_chunked and ("w" in _lad)
     sc_rungs = sorted({-(-num_tblk // 8) * pblk, -(-num_tblk // 4) * pblk,
-                       -(-num_tblk // 2) * pblk, num_tblk * pblk})
+                       -(-(3 * num_tblk) // 8) * pblk,
+                       -(-num_tblk // 2) * pblk,
+                       -(-(3 * num_tblk) // 4) * pblk, num_tblk * pblk})
 
     def kernel(*refs):
         it = iter(refs)
@@ -2224,7 +2226,8 @@ def fused_decode_attention(
         # prefix-rung metadata ladder (ksc/vsc/imp read + imp write)
         num_tblk_w = cap // pblk
         nrungs = len({-(-num_tblk_w // 8), -(-num_tblk_w // 4),
-                      -(-num_tblk_w // 2), num_tblk_w})
+                      -(-(3 * num_tblk_w) // 8), -(-num_tblk_w // 2),
+                      -(-(3 * num_tblk_w) // 4), num_tblk_w})
         scratch.append(pltpu.SemaphoreType.DMA((4, nrungs)))
 
     if quant_bits is None:
