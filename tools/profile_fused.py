@@ -39,7 +39,8 @@ def main():
 
     def t(name, cfg):
         b = cfg.engine.max_batch_size
-        tps = time_decode(cfg, params, steps)
+        tps, _state = time_decode(cfg, params, steps)
+        del _state
         ms = b * 1e3 / tps
         print(f"{name:<44s} {ms:8.2f} ms/step", flush=True)
         return ms
@@ -47,7 +48,7 @@ def main():
     variants = {
         "dense (honest baseline)": cfg_dn,
         "spatten FULL": cfg_sp,
-        "  - importance (track off)": dataclasses.replace(
+        "  - token pruning (DENSE lengths)": dataclasses.replace(
             cfg_sp, pruning=dataclasses.replace(
                 cfg_sp.pruning, enable_token_pruning=False)),
         "  - requant (msb only)": dataclasses.replace(
