@@ -118,8 +118,16 @@ def build_cfg(spatten: bool, cache: int, batch: int):
             # mantissa ranking signal is comparable fidelity
             importance_dtype="bfloat16",
         )
+        # per-layer QuantProfile (SpAtten.scala:71-74 as data): e.g.
+        # SPATTEN_BENCH_LAYER_BITS=4,4,8,8,8,8,8,8 keeps the 4-bit +
+        # requant ladder on the bandwidth-bound shallow layers and reads
+        # int8 directly on the latency-bound deep (small-live) layers
+        lb = os.environ.get("SPATTEN_BENCH_LAYER_BITS")
+        layer_bits = (tuple(int(x) for x in lb.split(","))
+                      if lb else None)
         quant = QuantConfig(enabled=True, enable_requant=True,
                             requant_threshold=0.05, quantize_queries=True,
+                            layer_bits=layer_bits,
                             pv_int8=True, probs_bf16=True,
                             # bf16 scales: the kernel converts scale
                             # slices to f32 per live block EITHER way

@@ -156,7 +156,7 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
                          need_scores2: bool, has_lsb2: bool,
                          do_vprune: bool, v_block: int, sc_bytes: int,
                          imp_bytes: int, track_imp: bool,
-                         e_bytes: int = 4) -> int:
+                         e_bytes: int = 4, mixed: bool = False) -> int:
     """Batch rows per kernel program (`bpp`).
 
     Grid instances run sequentially on the core and each one pays fixed
@@ -220,7 +220,8 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
             kslots = slots(num_pblk, pblk)
         kf_mem = 0
         if need_kfull:
-            kfb = pblk // 2 if (quant_on and pblk % 256 == 0) else pblk
+            kfb = (pblk // 2 if (quant_on and not mixed
+                                 and pblk % 256 == 0) else pblk)
             kf_mem = slots(cap // kfb, kfb) * bpp * kfb * slab
         mem += kslots * bpp * pblk * slab + kf_mem
         if has_lsb2:
@@ -305,7 +306,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     # on requant-firing instances (and 8-bit profile layers), so smaller
     # kfblk blocks trade a few extra descriptors there for slot VMEM
     # everywhere; dense mode keeps pblk blocks (it IS the hot pass)
-    kfblk = pblk // 2 if (quant_enabled and pblk % 256 == 0) else pblk
+    # half blocks only when the full-plane stream is requant-only: an
+    # 8-bit mixed-profile layer streams kfull as its HOT pass-1, where
+    # doubling descriptors costs more than the slot VMEM buys
+    kfblk = (pblk // 2 if (quant_enabled and not mixed_profile
+                           and pblk % 256 == 0) else pblk)
     nkfb = cap // kfblk
     ts = _slots(nkfb, kfblk)
     vs = _slots(nfb, fblk)
@@ -2004,7 +2009,7 @@ def fused_decode_attention(
             sc_bytes=jnp.dtype(sc_dtype).itemsize,
             imp_bytes=jnp.dtype(imp_dtype).itemsize,
             track_imp=track_importance,
-            e_bytes=2 if probs_bf16 else 4)
+            e_bytes=2 if probs_bf16 else 4, mixed=mixed_profile)
         while _bpp_max and bpp > _bpp_max:
             bpp = max(d for d in range(1, bpp) if b % d == 0)
     assert b % bpp == 0, f"batch {b} not divisible by group size {bpp}"
