@@ -28,16 +28,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-VOCAB = 64
-PERIOD = 12
-SEQ = 256          # trained context == eval context: the dense baseline
-EVAL_LEN = 256     # must be in-distribution for deltas to be meaningful
-STREAM_LEN = 640   # 2.5x context: the StreamingLLM regime (rolling cache
-                   # beats dense RoPE extrapolation)
+# PPL_MODEL=tiny (default) | mid — "mid" is a 6-layer, 8-head char-LM
+# trained at a 512-token context (VERDICT r3: make the ppl-delta claim
+# at non-toy scale within this weights-free environment)
+_SCALE = os.environ.get("PPL_MODEL", "tiny")
+if _SCALE == "mid":
+    VOCAB = 128
+    PERIOD = 16
+    SEQ = 512
+    EVAL_LEN = 512
+    STREAM_LEN = 1280
+else:
+    VOCAB = 64
+    PERIOD = 12
+    SEQ = 256      # trained context == eval context: the dense baseline
+    EVAL_LEN = 256  # must be in-distribution for deltas to be meaningful
+    STREAM_LEN = 640  # 2.5x context: the StreamingLLM regime
 
 
 def model_cfg():
     from spatten_tpu.config import ModelConfig
+    if _SCALE == "mid":
+        return ModelConfig(
+            vocab_size=VOCAB, hidden_size=256, num_layers=6,
+            num_heads=8, num_kv_heads=8, head_dim=32,
+            intermediate_size=512, max_position_embeddings=2048,
+        )
     return ModelConfig(
         vocab_size=VOCAB, hidden_size=64, num_layers=3, num_heads=4,
         num_kv_heads=4, head_dim=16, intermediate_size=128,
@@ -168,7 +184,8 @@ def main():
     # cascade keep-ratio sweep (full pipeline: 4-bit pass-1 + requant +
     # V pruning), cache = ratio * eval context
     def cap_for(budget):
-        return min(512, -(-(2 * budget + 32) // 8) * 8)
+        return min(1024 if _SCALE == "mid" else 512,
+                   -(-(2 * budget + 32) // 8) * 8)
 
     for ratio in (0.75, 0.5, 0.35, 0.25, 0.15):
         budget = max(8, int(EVAL_LEN * ratio / 2))
@@ -209,8 +226,9 @@ def main():
     # design targets, modify_llama.py:90-104)
     stream_text = np.asarray(make_batch(jax.random.PRNGKey(7), 1,
                                         STREAM_LEN)[0])
-    sd = evaluate_perplexity(params, engine_cfg(spatten=False, cap=1024,
-                                                budget=0), stream_text)
+    sd = evaluate_perplexity(params, engine_cfg(
+        spatten=False, cap=2048 if _SCALE == "mid" else 1024,
+        budget=0), stream_text)
     rows.append((f"dense @ {STREAM_LEN} (2.5x trained ctx)",
                  sd.perplexity))
     ss = evaluate_perplexity(
