@@ -238,7 +238,8 @@ def warm_cache_content(cfg, state, contrast: float = 19.0):
 
 def time_decode(cfg, params, steps: int, repeats: int = 3,
                 contrast: float = 19.0):
-    """Returns (tokens/sec, final_state).
+    """Returns (tokens/sec, final_state); final_state.requant_events
+    accumulates over exactly steps * (1 + repeats) executed steps.
 
     A scanned window of decode steps per dispatch — exactly how the
     serving engine's generate() dispatches: the capacity-triggered prune
@@ -418,8 +419,9 @@ def run_point(cache: int, batch: int, steps: int, params,
     tps_sp, end_state = time_decode(cfg_sp, params, steps)
     # honest telemetry from the measured run itself (not the calibration
     # quantile): requant events per (step, layer, seq, kv-head) over
-    # every executed step (warm-up + timed windows)
-    total_steps = steps * 4          # 1 warm window + 3 timed repeats
+    # every executed step (1 warm window + time_decode's default
+    # 3 timed repeats — keep in sync with its `repeats`)
+    total_steps = steps * 4
     m = cfg_sp.model
     denom = total_steps * m.num_layers * batch * m.num_kv_heads
     requant_rate = float(np.asarray(end_state.requant_events)) / denom
@@ -454,8 +456,8 @@ def run_point(cache: int, batch: int, steps: int, params,
     if primary and not os.environ.get("SPATTEN_BENCH_NO_EXTRAS"):
         # attention-concentration sensitivity (same compiled program,
         # different cache content): speedup at uniform / 5x / 19x scales
-        sens = {}
-        for contrast in (1.0, 5.0, 19.0):
+        sens = {"contrast_19x": round(tps_sp / tps_dn, 3)}  # = headline
+        for contrast in (1.0, 5.0):
             t_sp, st = time_decode(cfg_sp, params, steps,
                                    contrast=contrast)
             del st

@@ -24,9 +24,13 @@ def _checkpointer():
 def save(path: str, params: Any, state: Optional[DecodeState] = None,
          extra: Any = None) -> None:
     """Write params (and optionally the live decode state, plus any small
-    `extra` pytree — e.g. a supervisor's loop cursor) to `path`."""
+    `extra` pytree — e.g. a supervisor's loop cursor) to `path`.
+
+    `params=None` writes a state-only snapshot (the supervisor rotates
+    these every window; rewriting immutable multi-GB weights each time
+    would dominate the snapshot cadence)."""
     ckpt = _checkpointer()
-    payload = {"params": params}
+    payload = {} if params is None else {"params": params}
     if state is not None:
         payload["state"] = state._asdict()
     if extra is not None:
@@ -36,9 +40,10 @@ def save(path: str, params: Any, state: Optional[DecodeState] = None,
 
 def restore_with_extra(path: str
                        ) -> Tuple[Any, Optional[DecodeState], Any]:
-    """Read (params, state-or-None, extra-or-None) from `path`."""
-    params, state = restore(path)
+    """Read (params, state-or-None, extra-or-None) from `path` with a
+    single checkpoint read (the payload holds all three)."""
     payload = _checkpointer().restore(os.path.abspath(path))
+    params, state = _payload_to_state(payload)
     return params, state, payload.get("extra")
 
 
@@ -46,7 +51,11 @@ def restore(path: str) -> Tuple[Any, Optional[DecodeState]]:
     """Read (params, state-or-None) from `path`."""
     ckpt = _checkpointer()
     payload = ckpt.restore(os.path.abspath(path))
-    params = payload["params"]
+    return _payload_to_state(payload)
+
+
+def _payload_to_state(payload) -> Tuple[Any, Optional[DecodeState]]:
+    params = payload.get("params")
     state = None
     if "state" in payload and payload["state"] is not None:
         d = payload["state"]

@@ -60,14 +60,16 @@ def generate_supervised(
     def snap_path(c):
         return os.path.join(ckpt_dir, f"supervised-{c}")
 
-    def write_snapshot(c, params, state, extra):
-        """Write snapshot c, publish it in LATEST, drop older snapshots
-        (orbax refuses to overwrite, so snapshots rotate by cursor)."""
+    def write_snapshot(c, state, extra):
+        """Write a STATE-ONLY snapshot c (params are immutable and were
+        written once to `params/`), publish it in LATEST, drop older
+        snapshots (orbax refuses to overwrite, so snapshots rotate by
+        cursor)."""
         import shutil
         p = snap_path(c)
         if os.path.exists(p):
             shutil.rmtree(p)
-        checkpoint.save(p, params, state, extra=extra)
+        checkpoint.save(p, None, state, extra=extra)
         with open(marker, "w") as f:
             f.write(str(c))
         for name in os.listdir(ckpt_dir):
@@ -95,7 +97,10 @@ def generate_supervised(
     nwin = -(-max_new_tokens // window)
     emitted = np.zeros((b, nwin * window), np.int32)
     count = 0
-    write_snapshot(0, params, state,
+    params_path = os.path.join(ckpt_dir, "params")
+    if not os.path.exists(params_path):
+        checkpoint.save(params_path, params)   # written ONCE
+    write_snapshot(0, state,
                    extra={"token": token, "emitted": emitted,
                           "count": np.int32(count)})
 
@@ -123,7 +128,10 @@ def generate_supervised(
                 raise RuntimeError(
                     f"supervised decode: {restarts} restarts exhausted")
             restarts += 1
-            params, state, extra = read_snapshot()
+            # snapshots are state-only; the in-memory params are the
+            # immutable weights (a cross-process restart restores them
+            # from `<ckpt_dir>/params` before calling this function)
+            _p, state, extra = read_snapshot()
             token = jnp.asarray(extra["token"])
             emitted = np.asarray(extra["emitted"]).astype(np.int32)
             count = int(extra["count"])
@@ -131,7 +139,7 @@ def generate_supervised(
         state, token, toks = decode_window(params, state, token, None)
         emitted[:, count:count + window] = np.asarray(toks)
         count += window
-        write_snapshot(count, params, state,
+        write_snapshot(count, state,
                        extra={"token": token, "emitted": emitted,
                               "count": np.int32(count)})
     return jnp.asarray(emitted[:, :max_new_tokens])

@@ -309,8 +309,10 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
     # half blocks only when the full-plane stream is requant-only: an
     # 8-bit mixed-profile layer streams kfull as its HOT pass-1, where
     # doubling descriptors costs more than the slot VMEM buys
+    # (sharing reuses the pblk-sized msb slots, so the halving only
+    # applies on the default separate-buffer path)
     kfblk = (pblk // 2 if (quant_enabled and not mixed_profile
-                           and pblk % 256 == 0) else pblk)
+                           and _NO_SHARE and pblk % 256 == 0) else pblk)
     nkfb = cap // kfblk
     ts = _slots(nkfb, kfblk)
     vs = _slots(nfb, fblk)

@@ -241,6 +241,10 @@ def split_k_prune(
     recent_size: int,
     rotate_k: bool = False,    # cached-rope mode: re-rotate moved keys
     rope_theta: float = 10000.0,
+    trigger=None,              # bool [B]: sequences to prune (None =
+                               #   all).  Untriggered sequences use
+                               #   identity indices (bit-exact rewrite)
+                               #   and keep their live lengths.
 ):
     """Cascade token pruning over a kv-sharded cache (SURVEY §2.9).
 
@@ -266,10 +270,19 @@ def split_k_prune(
     cl = cap // n
     glob_lengths = jnp.sum(local_lengths, axis=0)         # [B]
     keep_total = start_size + important_size + recent_size
+    if trigger is None:
+        trigger = jnp.ones((b,), bool)
+    trigger = jnp.asarray(trigger, bool)
 
     keep_idx = token_pruning.select_keep_indices(
         importance.astype(jnp.float32), glob_lengths[:, None],
         start_size, important_size, recent_size, 0)       # [B, Hkv, keep]
+    # untriggered sequences rewrite identically (the selection formula
+    # is only meaningful when length + num_coming > keep_total —
+    # select_keep_indices' documented caller contract)
+    ident = jnp.broadcast_to(
+        jnp.arange(keep_total, dtype=jnp.int32), keep_idx.shape)
+    keep_idx = jnp.where(trigger[:, None, None], keep_idx, ident)
 
     def gather_tm(full):
         """Gather kept rows of a token-major plane, zero-pad to cap."""
@@ -284,30 +297,16 @@ def split_k_prune(
     ksc_g = jnp.take_along_axis(k_quant.scale, keep_idx, axis=-1)
     if rotate_k:
         # moved rows (delta < 0) re-rotate by their slot delta and
-        # requantize; unmoved rows stay bit-exact
+        # requantize; unmoved rows stay bit-exact (shared helper with
+        # the unsharded fused compaction — pruning/compact.py)
+        from spatten_tpu.pruning.compact import rotate_moved_rows
         new_slot = jnp.arange(keep_total, dtype=jnp.int32)
         delta = jnp.minimum(new_slot[None, None, :] - keep_idx, 0)
         d_t = delta.transpose(0, 2, 1)                    # [B, keep, Hkv]
-        moved = d_t < 0
-        sc_t = ksc_g.transpose(0, 2, 1).astype(jnp.float32)
-        x = kg.reshape(b, keep_total, hkv, d).astype(jnp.float32) \
-            * sc_t[..., None]
-        inv_freq = 1.0 / (rope_theta ** (
-            jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-        ang = (-d_t).astype(jnp.float32)[..., None] * inv_freq
-        ang = jnp.concatenate([ang, ang], axis=-1)
-        cc, ss = jnp.cos(ang), jnp.sin(ang)
-        half = d // 2
-        rot = jnp.concatenate([-x[..., half:], x[..., :half]], -1)
-        y = x * cc - rot * ss
-        amax = jnp.max(jnp.abs(y), axis=-1)
-        sc_new = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q8r = jnp.clip(jnp.round(y / sc_new[..., None]),
-                       -127, 127).astype(jnp.int8)
-        kg4 = kg.reshape(b, keep_total, hkv, d)
-        kg = jnp.where(moved[..., None], q8r, kg4).reshape(
-            b, keep_total, f)
-        sc_t = jnp.where(moved, sc_new, sc_t)
+        kg4, sc_t = rotate_moved_rows(
+            kg.reshape(b, keep_total, hkv, d),
+            ksc_g.transpose(0, 2, 1), d_t, d, rope_theta)
+        kg = kg4.reshape(b, keep_total, f)
         ksc_g = sc_t.transpose(0, 2, 1).astype(ksc_g.dtype)
         pad = jnp.zeros((b, cap - keep_total, f), jnp.int8)
         kf_new = jnp.concatenate([kg, pad], axis=1)
@@ -347,9 +346,29 @@ def split_k_prune(
                         lsb2=klsb2_new)
     v2 = qz.QuantizedKV(full=vf_new, msb=vmsb_new, scale=vsc_new,
                         lsb2=None)
+    # per-sequence merge: untriggered sequences keep their ORIGINAL
+    # plane bytes beyond the (identity-rewritten) prefix and their live
+    # lengths.  (The full-plane where costs one pass of traffic — fine
+    # at CP scale; a triggered-only gather is a future optimization.)
+    def merge(new, old):
+        t = trigger.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(t, new, old).astype(old.dtype)
+
+    k2 = qz.QuantizedKV(
+        full=merge(k2.full, k_quant.full),
+        msb=None if k2.msb is None else merge(k2.msb, k_quant.msb),
+        scale=merge(k2.scale, k_quant.scale),
+        lsb2=None if k2.lsb2 is None else merge(k2.lsb2, k_quant.lsb2))
+    v2 = qz.QuantizedKV(
+        full=merge(v2.full, v_quant.full),
+        msb=None if v2.msb is None else merge(v2.msb, v_quant.msb),
+        scale=merge(v2.scale, v_quant.scale), lsb2=None)
+    imp_new = merge(imp_new, importance)
+
     shard_base = jnp.arange(n, dtype=jnp.int32)[:, None] * cl
     local2 = jnp.clip(keep_total - shard_base, 0, cl)     # [n, 1]
     local2 = jnp.broadcast_to(local2, (n, b))
+    local2 = jnp.where(trigger[None, :], local2, local_lengths)
     return k2, v2, imp_new, local2
 
 

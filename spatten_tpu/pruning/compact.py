@@ -57,6 +57,31 @@ def _rope_cos_sin(mag: jax.Array, head_dim: int, theta: float
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def rotate_moved_rows(q8, sc, delta, head_dim: int, rope_theta: float):
+    """Re-rotate rows that MOVED (delta < 0) by their slot delta and
+    requantize them; unmoved rows return bit-exact.
+
+    q8:    int8 [..., H, D] gathered rows (token-position leading dims)
+    sc:    f32-compatible [..., H] their scales
+    delta: int32 [..., H] non-positive move distance
+    Returns (q8', sc') with the same shapes/dtypes as (q8, sc).
+    """
+    moved = delta < 0
+    scf = sc.astype(jnp.float32)
+    x = q8.astype(jnp.float32) * scf[..., None]
+    cc, ss = _rope_cos_sin(-delta, head_dim, rope_theta)
+    half = head_dim // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], -1)
+    y = x * cc - rot * ss
+    amax = jnp.max(jnp.abs(y), axis=-1)
+    sc_new = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8r = jnp.clip(jnp.round(y / sc_new[..., None]),
+                   -127, 127).astype(jnp.int8)
+    q8_out = jnp.where(moved[..., None], q8r, q8)
+    sc_out = jnp.where(moved, sc_new, scf).astype(sc.dtype)
+    return q8_out, sc_out
+
+
 def compact_layer(
     cache: LayerKVCache,
     imp: Optional[jax.Array],          # [B, Hkv, C] or None
@@ -113,21 +138,9 @@ def compact_layer(
         ksc_c = jnp.take_along_axis(ksc, idx_c, axis=-1)  # [B, H, u]
         if rotate_k:
             d_c = delta[:, :, sl].transpose(0, 2, 1)     # [B, u, H]
-            moved = d_c < 0
-            sc_t = ksc_c.transpose(0, 2, 1).astype(jnp.float32)
-            x = kc.astype(jnp.float32) * sc_t[..., None]
-            cc, ss = _rope_cos_sin(-d_c, d, rope_theta)  # [B, u, H, D]
-            # rotate by -mag: cos even, sin odd
-            half = d // 2
-            rot = jnp.concatenate([-x[..., half:], x[..., :half]], -1)
-            y = x * cc - rot * ss
-            amax = jnp.max(jnp.abs(y), axis=-1)          # [B, u, H]
-            sc_new = jnp.where(amax > 0, amax / 127.0, 1.0)
-            q8r = jnp.clip(jnp.round(y / sc_new[..., None]),
-                           -127, 127).astype(jnp.int8)
-            kc = jnp.where(moved[..., None], q8r, kc)
-            ksc_c = jnp.where(moved, sc_new,
-                              sc_t).transpose(0, 2, 1).astype(ksc.dtype)
+            kc, ksc_t = rotate_moved_rows(
+                kc, ksc_c.transpose(0, 2, 1), d_c, d, rope_theta)
+            ksc_c = ksc_t.transpose(0, 2, 1).astype(ksc.dtype)
         kc2 = kc.reshape(b, u, f)
         kf = jax.lax.dynamic_update_slice(kf, kc2, (0, c * u, 0))
         ksc = jax.lax.dynamic_update_slice(ksc, ksc_c.astype(ksc.dtype),

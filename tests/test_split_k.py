@@ -221,3 +221,41 @@ def test_split_k_prune_event_and_continue():
         quant_enabled=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_split_k_prune_trigger_gating():
+    """Per-sequence trigger: untriggered sequences must be BIT-EXACT
+    no-ops (planes, importance, local lengths) while triggered ones
+    compact — the sharded analog of maybe_prune's identity protection."""
+    if jax.device_count() < 4:
+        pytest.skip("needs virtual device mesh")
+    from spatten_tpu.parallel.split_k import split_k_prune
+    n, b, h, d, cl = 4, 2, 2, 32, 64
+    cap = n * cl
+    ks = jax.random.split(jax.random.PRNGKey(31), 3)
+    k = jax.random.normal(ks[0], (b, h, cap, d))
+    kq = quantize_sharded(k, n)
+    vq = quantize_sharded(k, n, with_msb=False)
+    imp = jax.random.uniform(ks[1], (b, h, cap))
+    # seq 0 near-full (triggered); seq 1 short (must not be touched)
+    glob0 = jnp.array([cap - 2, 40], jnp.int32)
+    local = jnp.stack([jnp.clip(glob0 - i * cl, 0, cl) for i in range(n)])
+    start, important, recent = 4, 96, 28
+
+    k2, v2, imp2, local2 = split_k_prune(
+        kq, vq, imp, local, make_kv_mesh(n),
+        start_size=start, important_size=important, recent_size=recent,
+        trigger=jnp.array([True, False]))
+    # untriggered sequence: everything bit-exact
+    np.testing.assert_array_equal(np.asarray(k2.full)[1],
+                                  np.asarray(kq.full)[1])
+    np.testing.assert_array_equal(np.asarray(k2.msb)[1],
+                                  np.asarray(kq.msb)[1])
+    np.testing.assert_array_equal(np.asarray(imp2)[1], np.asarray(imp)[1])
+    np.testing.assert_array_equal(np.asarray(local2)[:, 1],
+                                  np.asarray(local)[:, 1])
+    # triggered sequence: compacted to keep_total
+    keep_total = start + important + recent
+    np.testing.assert_array_equal(
+        np.asarray(local2)[:, 0],
+        np.clip(keep_total - np.arange(n) * cl, 0, cl))
