@@ -28,6 +28,32 @@ from spatten_tpu.config import SpAttenConfig
 from spatten_tpu.engine import checkpoint, generate as gen
 
 
+def _fresh_start(params, cfg, prompt, b, nwin, window, ckpt_dir,
+                 write_snapshot):
+    """Prefill + first token + the one-time params checkpoint + the
+    initial (cursor 0) snapshot."""
+    from spatten_tpu.engine import checkpoint, generate as gen
+    state = gen.init_state(cfg, batch=b)
+    chunk = cfg.engine.prefill_chunk
+    pos = 0
+    last_logits = None
+    while pos < prompt.shape[1]:
+        n = min(chunk, prompt.shape[1] - pos)
+        last_logits, state, _ = gen.prefill_chunk(
+            params, cfg, state, prompt[:, pos:pos + n])
+        pos += n
+    token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    # fixed-size emitted buffer + cursor (orbax rejects zero-size arrays)
+    emitted = np.zeros((b, nwin * window), np.int32)
+    params_path = os.path.join(ckpt_dir, "params")
+    if not os.path.exists(params_path):
+        checkpoint.save(params_path, params)   # written ONCE
+    write_snapshot(0, state,
+                   extra={"token": token, "emitted": emitted,
+                          "count": np.int32(0)})
+    return state, token, emitted, 0
+
+
 def generate_supervised(
     params,
     cfg: SpAttenConfig,
@@ -39,6 +65,10 @@ def generate_supervised(
     health: Optional[Callable[[], bool]] = None,   # default: all-device
                                   #   heartbeat (multihost.health_check)
     max_restarts: int = 8,
+    resume: bool = False,         # True: restore the latest snapshot in
+                                  #   ckpt_dir (params from `params/`)
+                                  #   and continue — the cross-PROCESS
+                                  #   restart path after a host dies
 ) -> jax.Array:
     """Greedy decode with per-window snapshots and failure recovery.
 
@@ -81,28 +111,26 @@ def generate_supervised(
             c = int(f.read().strip())
         return checkpoint.restore_with_extra(snap_path(c))
 
-    # prefill + first token (cheap relative to decode; a failure here
-    # restarts from scratch, which is the uninterrupted behavior)
-    state = gen.init_state(cfg, batch=b)
-    chunk = cfg.engine.prefill_chunk
-    pos = 0
-    last_logits = None
-    while pos < prompt.shape[1]:
-        n = min(chunk, prompt.shape[1] - pos)
-        last_logits, state, _ = gen.prefill_chunk(
-            params, cfg, state, prompt[:, pos:pos + n])
-        pos += n
-    token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-    # fixed-size emitted buffer + cursor (orbax rejects zero-size arrays)
     nwin = -(-max_new_tokens // window)
-    emitted = np.zeros((b, nwin * window), np.int32)
-    count = 0
-    params_path = os.path.join(ckpt_dir, "params")
-    if not os.path.exists(params_path):
-        checkpoint.save(params_path, params)   # written ONCE
-    write_snapshot(0, state,
-                   extra={"token": token, "emitted": emitted,
-                          "count": np.int32(count)})
+    if resume and os.path.exists(marker):
+        # cross-process restart: weights from the one-time params
+        # checkpoint, live state + cursor from the latest snapshot; the
+        # interrupted window replays (same determinism contract)
+        params, _ = checkpoint.restore(os.path.join(ckpt_dir, "params"))
+        _p, state, extra = read_snapshot()
+        token = jnp.asarray(extra["token"])
+        emitted = np.asarray(extra["emitted"]).astype(np.int32)
+        count = int(extra["count"])
+        if emitted.shape[1] < nwin * window:   # longer budget on resume
+            emitted = np.concatenate(
+                [emitted, np.zeros((b, nwin * window - emitted.shape[1]),
+                                   np.int32)], axis=1)
+    else:
+        state, token, emitted, count = _fresh_start(
+            params, cfg, prompt, b, nwin, window, ckpt_dir,
+            write_snapshot)
+
+
 
     @jax.jit
     def decode_window(params, state, token, n_arr):

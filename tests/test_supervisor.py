@@ -61,3 +61,26 @@ def test_supervised_restart_budget_exhausted(tmp_path):
         generate_supervised(params, cfg, prompt, 8, str(tmp_path / "c"),
                             window=8, health=lambda: False,
                             max_restarts=2)
+
+
+def test_supervised_cross_process_resume(tmp_path):
+    """resume=True restores params + the latest snapshot from ckpt_dir
+    (the restart-after-host-death path) and continues to the SAME token
+    stream as an uninterrupted run — including a longer budget."""
+    cfg = tiny_cfg()
+    params = transformer.init_params(cfg.model, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 20), 0, 256)
+    want = generate_supervised(params, cfg, prompt, 24,
+                               str(tmp_path / "u"), window=8,
+                               health=lambda: True)
+    # "process 1": decode 16 tokens, then die
+    d = str(tmp_path / "r")
+    part = generate_supervised(params, cfg, prompt, 16, d, window=8,
+                               health=lambda: True)
+    np.testing.assert_array_equal(np.asarray(part),
+                                  np.asarray(want)[:, :16])
+    # "process 2": resume from disk (prompt/params args unused on the
+    # restore path beyond shape bookkeeping) and extend to 24
+    got = generate_supervised(params, cfg, prompt, 24, d, window=8,
+                              health=lambda: True, resume=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
