@@ -297,22 +297,29 @@ def time_decode(cfg, params, steps: int, repeats: int = 3,
 
 
 def measure_prune(cfg, params, reps: int = 8):
-    """(worst_ms, steady_ms) per cascade-prune event.
+    """(worst_ms, steady_ms, amortized_ms) for cascade-prune events.
 
     worst: every layer triggers at once (a cold cache filling for the
-    first time).  steady: ONE layer triggers — the steady-state serving
-    stall, since per-layer budgets refill at different rates and events
-    naturally stagger (engine/generate.maybe_prune round 4)."""
+    first time).  steady: ONE layer (layer 0, the largest window)
+    triggers — the steady-state serving stall, since per-layer budgets
+    refill at different rates and events naturally stagger.  With
+    per-layer capacity rungs each layer triggers at ITS rung, so the
+    event gathers from a rung-sized window; amortized = sum over layers
+    of (one measured event at that layer's rung) / (rung - keep bound),
+    the per-decode-step cost of the whole staggered schedule."""
     import spatten_tpu.engine.generate as gen
     from spatten_tpu.engine.state import init_state
+    from spatten_tpu.pruning import token_pruning
 
     if not cfg.pruning.enable_token_pruning:
-        return 0.0, 0.0
+        return 0.0, 0.0, 0.0
     b = cfg.engine.max_batch_size
-    cap = cfg.engine.cache_capacity
     L = cfg.model.num_layers
+    caps_l = token_pruning.layer_capacities(cfg)
+    keeps_l = token_pruning.layer_keep_max_static(cfg.pruning, L)
+    caps_arr = jnp.asarray(caps_l, jnp.int32)[:, None]       # [L, 1]
 
-    def run(layer_sel):
+    def run(layer_sel, n=reps):
         state = warm_cache_content(
             cfg, warm_state(cfg, init_state(cfg, batch=b)))
 
@@ -320,8 +327,9 @@ def measure_prune(cfg, params, reps: int = 8):
                            donate_argnums=(0,))
         def prune_window(state, n):
             def body(st, _):
+                # refill the selected layers to their trigger point
                 ll = jnp.where(layer_sel[:, None],
-                               jnp.full((L, b), cap, jnp.int32),
+                               jnp.broadcast_to(caps_arr, (L, b)),
                                st.layer_lengths)
                 st = st._replace(
                     layer_lengths=ll,
@@ -331,16 +339,25 @@ def measure_prune(cfg, params, reps: int = 8):
             state, _ = jax.lax.scan(body, state, None, length=n)
             return state
 
-        state = prune_window(state, reps)
+        state = prune_window(state, n)
         jax.device_get(state.lengths)
         t0 = time.perf_counter()
-        state = prune_window(state, reps)
+        state = prune_window(state, n)
         jax.device_get(state.lengths)
-        return (time.perf_counter() - t0) / reps * 1e3
+        return (time.perf_counter() - t0) / n * 1e3
 
     worst = run(jnp.ones((L,), bool))
     steady = run(jnp.zeros((L,), bool).at[0].set(True))
-    return worst, steady
+    # one representative event per distinct rung; layer 0's is `steady`
+    event_by_rung = {caps_l[0]: steady}
+    for l in range(1, L):
+        if caps_l[l] not in event_by_rung:
+            event_by_rung[caps_l[l]] = run(
+                jnp.zeros((L,), bool).at[l].set(True), n=max(4, reps // 2))
+    amortized = sum(
+        event_by_rung[caps_l[l]] / max(caps_l[l] - keeps_l[l], 1)
+        for l in range(L))
+    return worst, steady, amortized
 
 
 def measure_prefill(cfg, params, prompt_len: int, reps: int = 2):
@@ -416,12 +433,12 @@ def run_point(cache: int, batch: int, steps: int, params,
                                           requant_threshold=thr))
 
     log(f"[cap {cache} b {batch}] timing spatten engine...")
-    tps_sp, end_state = time_decode(cfg_sp, params, steps)
+    repeats = 3
+    tps_sp, end_state = time_decode(cfg_sp, params, steps, repeats=repeats)
     # honest telemetry from the measured run itself (not the calibration
     # quantile): requant events per (step, layer, seq, kv-head) over
-    # every executed step (1 warm window + time_decode's default
-    # 3 timed repeats — keep in sync with its `repeats`)
-    total_steps = steps * 4
+    # every executed step (1 warm window + `repeats` timed windows)
+    total_steps = steps * (1 + repeats)
     m = cfg_sp.model
     denom = total_steps * m.num_layers * batch * m.num_kv_heads
     requant_rate = float(np.asarray(end_state.requant_events)) / denom
@@ -435,9 +452,7 @@ def run_point(cache: int, batch: int, steps: int, params,
     del dn_state
     log(f"[cap {cache} b {batch}] dense: {tps_dn:.1f} tok/s")
 
-    prune_ms, prune_steady_ms = measure_prune(cfg_sp, params)
-    p = cfg_sp.pruning
-    headroom = cfg_sp.engine.cache_capacity - p.cache_size
+    prune_ms, prune_steady_ms, prune_amort_ms = measure_prune(cfg_sp, params)
 
     scale = BENCH_LAYERS / FULL_LAYERS
     point = {
@@ -447,7 +462,7 @@ def run_point(cache: int, batch: int, steps: int, params,
         "vs_baseline": round(tps_sp / tps_dn, 3),
         "prune_ms_per_event": round(prune_ms, 3),
         "prune_ms_steady_event": round(prune_steady_ms, 3),
-        "prune_ms_amortized": round(prune_ms / max(headroom, 1), 5),
+        "prune_ms_amortized": round(prune_amort_ms, 5),
         "requant_threshold": thr,
         "requant_rate": round(requant_rate, 4),   # measured over the run
         "head_keep_fraction": round(head_keep, 3),

@@ -265,7 +265,8 @@ class EngineConfig:
     activation_dtype: str = "bfloat16"
     use_pallas: bool = True          # fused kernels vs jnp reference path
     # Prefill scores at full precision (skip the 4-bit pass-1 + requant
-    # double-pass and the V-prune masking) while still building the
+    # double-pass; V-prune MASKING is kept — importance/V parity with the
+    # stepped path is a cascade contract) while still building the
     # quantized cache and exact importance.  Pass-1 nibble scoring is a
     # DECODE bandwidth optimization — prefill reads each K row once
     # either way and is MXU-bound, so the approximation there costs ~3x
@@ -289,6 +290,19 @@ class EngineConfig:
     # stop costing weight bandwidth/FLOPs, not just KV fetches
     # (transformer.compact_head_params; exact vs the masked forward).
     compact_pruned_heads: bool = False
+    # Per-layer capacity rungs: cap each layer's physical cache window at
+    # the smallest multiple of 2048 above its static keep bound plus
+    # headroom (token_pruning.layer_capacities).  Deep cascade layers then
+    # prune at ~their budget instead of refilling to full capacity, and
+    # the decode kernel compiles per-rung variants with fewer, fatter
+    # grid instances (the step is instance-serialization-bound at short
+    # live windows).  Only active with token pruning on and capacity a
+    # multiple of 2048 (>= 4096).
+    layer_cap_rungs: bool = True
+    # minimum slack between a layer's keep bound and its rung (also
+    # lower-bounds the prune period in decode steps); the effective
+    # headroom additionally covers prefill_chunk and decode_window
+    layer_cap_headroom: int = 768
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

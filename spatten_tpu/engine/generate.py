@@ -58,7 +58,13 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
     # compacts only the overflowing layer(s) instead of all L at once.
     # This cuts the serving stall ~L-fold at steady state AND prunes deep
     # layers ~budget-proportionally less often.
-    trigger_layer = state.layer_lengths + num_coming > cap       # [L, B]
+    # Round 5: each layer triggers at its CAPACITY RUNG (<= physical
+    # capacity, token_pruning.layer_capacities) — deep cascade layers
+    # prune near their budget instead of refilling to full capacity, so
+    # their live windows (and the decode kernel's grid) stay rung-sized.
+    caps_l = jnp.asarray(token_pruning.layer_capacities(cfg),
+                         jnp.int32)[:, None]                     # [L, 1]
+    trigger_layer = state.layer_lengths + num_coming > caps_l    # [L, B]
     trigger = jnp.any(trigger_layer, axis=0)                       # [B]
 
     if not p.enable_token_pruning:
@@ -257,7 +263,13 @@ def generate(
     # (kv_cache_token_pruning.py:46-47).
     window_steps = cfg.engine.decode_window
     if cfg.pruning.enable_token_pruning:
-        headroom = cfg.engine.cache_capacity - cfg.pruning.cache_size
+        # headroom = the tightest per-layer slack between a rung and its
+        # static keep bound (every rung covers decode_window by
+        # construction, so this only bites for tiny test configs)
+        caps_l = token_pruning.layer_capacities(cfg)
+        keeps_l = token_pruning.layer_keep_max_static(
+            cfg.pruning, cfg.model.num_layers)
+        headroom = min(c - k for c, k in zip(caps_l, keeps_l))
         window_steps = max(1, min(window_steps, headroom))
 
     # params is an explicit argument: closure-captured arrays lower as HLO

@@ -50,7 +50,8 @@ def _fresh_start(params, cfg, prompt, b, nwin, window, ckpt_dir,
         checkpoint.save(params_path, params)   # written ONCE
     write_snapshot(0, state,
                    extra={"token": token, "emitted": emitted,
-                          "count": np.int32(0)})
+                          "count": np.int32(0),
+                          "window": np.int32(window)})
     return state, token, emitted, 0
 
 
@@ -121,9 +122,20 @@ def generate_supervised(
         token = jnp.asarray(extra["token"])
         emitted = np.asarray(extra["emitted"]).astype(np.int32)
         count = int(extra["count"])
-        if emitted.shape[1] < nwin * window:   # longer budget on resume
+        # the restored cursor is a multiple of the WRITER's window; a
+        # different resume window would misalign emitted[:, count:] (and
+        # can overrun the nwin*window buffer near the budget end)
+        snap_window = int(extra.get("window", window))
+        if snap_window != window:
+            raise ValueError(
+                f"resume window {window} != snapshot window {snap_window};"
+                " pass the same `window` the interrupted run used")
+        # size the buffer from the live cursor, not nwin*window alone:
+        # covers both a longer budget on resume and a non-aligned cursor
+        need = max(nwin * window, count + window)
+        if emitted.shape[1] < need:
             emitted = np.concatenate(
-                [emitted, np.zeros((b, nwin * window - emitted.shape[1]),
+                [emitted, np.zeros((b, need - emitted.shape[1]),
                                    np.int32)], axis=1)
     else:
         state, token, emitted, count = _fresh_start(
@@ -169,5 +181,6 @@ def generate_supervised(
         count += window
         write_snapshot(count, state,
                        extra={"token": token, "emitted": emitted,
-                              "count": np.int32(count)})
+                              "count": np.int32(count),
+                              "window": np.int32(window)})
     return jnp.asarray(emitted[:, :max_new_tokens])

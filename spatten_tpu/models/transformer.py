@@ -399,64 +399,107 @@ def run_layers(
         # decode step (~GBs/step at serving shapes).
         accum = track_importance and p.cascade_accumulate
 
-        def layer_fn(carry, scanned):
-            x, k_all, v_all, imp_all, layer_lengths = carry
-            if head_kept is not None:
-                lp, hmask_l, layer_idx, kq_l, kkv_l = scanned
-                kept = (kq_l, kkv_l)
-            else:
-                lp, hmask_l, layer_idx = scanned
-                kept = None
-            lengths_l = jnp.take(layer_lengths, layer_idx, axis=0)  # [B]
+        def make_layer_fn(cap_rung):
+            cap_override = cap_rung if cap_rung < cap else None
 
-            qh, kh, vh, _, sm_scale = qkv(x, lp, lengths_l, layer_idx,
-                                          kept=kept)
-            if m.use_attn_scale_by_layer:
-                q_kernel = qh * (sm_scale / base_scale)
-            else:
-                q_kernel = qh
-            attn_out, stats, k_all, v_all = fused_decode_attention(
-                q_kernel, k_all, v_all, kh, vh, lengths_l + s,
-                sm_scale=base_scale,
-                interpret=on_cpu,
-                importance_in=imp_all if accum else None,
-                layer=layer_idx,
-                quant_bits=(state.quant_bits
-                            if q.enabled and q.layer_bits is not None
-                            else None),
-                quantize_queries=q.quantize_queries,
-                pv_int8=q.pv_int8,
-                probs_bf16=q.probs_bf16,
-                track_importance=track_importance,
-                importance_ema=p.importance_ema,
-                **attn_kwargs(hmask_l),
-            )
-            if track_importance:
-                if accum:
-                    # stacked accumulator updated in place by the kernel
-                    imp_all = stats.importance_delta
+            def layer_fn(carry, scanned):
+                x, k_all, v_all, imp_all, layer_lengths = carry
+                if head_kept is not None:
+                    lp, hmask_l, layer_idx, kq_l, kkv_l = scanned
+                    kept = (kq_l, kkv_l)
                 else:
-                    imp_all = jax.lax.dynamic_update_slice(
-                        imp_all,
-                        stats.importance_delta[None].astype(imp_all.dtype),
-                        (layer_idx, 0, 0, 0))
-            layer_lengths = jax.lax.dynamic_update_slice(
-                layer_lengths, (lengths_l + s)[None],
-                (layer_idx, jnp.int32(0)))
+                    lp, hmask_l, layer_idx = scanned
+                    kept = None
+                lengths_l = jnp.take(layer_lengths, layer_idx, axis=0)
 
-            x = out_mlp(x, lp, attn_out,
-                        kept_q=None if kept is None else kept[0])
-            layer_out = (stats.need_requant.sum().astype(jnp.int32),
-                         stats.max_prob)
-            return (x, k_all, v_all, imp_all, layer_lengths), layer_out
+                qh, kh, vh, _, sm_scale = qkv(x, lp, lengths_l, layer_idx,
+                                              kept=kept)
+                if m.use_attn_scale_by_layer:
+                    q_kernel = qh * (sm_scale / base_scale)
+                else:
+                    q_kernel = qh
+                attn_out, stats, k_all, v_all = fused_decode_attention(
+                    q_kernel, k_all, v_all, kh, vh, lengths_l + s,
+                    sm_scale=base_scale,
+                    interpret=on_cpu,
+                    importance_in=imp_all if accum else None,
+                    layer=layer_idx,
+                    quant_bits=(state.quant_bits
+                                if q.enabled and q.layer_bits is not None
+                                else None),
+                    quantize_queries=q.quantize_queries,
+                    pv_int8=q.pv_int8,
+                    probs_bf16=q.probs_bf16,
+                    track_importance=track_importance,
+                    importance_ema=p.importance_ema,
+                    cap_override=cap_override,
+                    **attn_kwargs(hmask_l),
+                )
+                if track_importance:
+                    if accum:
+                        # stacked accumulator updated in place by the kernel
+                        imp_all = stats.importance_delta
+                    else:
+                        delta = stats.importance_delta[None].astype(
+                            imp_all.dtype)
+                        if delta.shape[-1] < imp_all.shape[-1]:
+                            # rung-sized delta: columns past the rung are
+                            # dead under the layer-length contract
+                            delta = jnp.pad(
+                                delta, ((0, 0), (0, 0), (0, 0),
+                                        (0, imp_all.shape[-1]
+                                         - delta.shape[-1])))
+                        imp_all = jax.lax.dynamic_update_slice(
+                            imp_all, delta, (layer_idx, 0, 0, 0))
+                layer_lengths = jax.lax.dynamic_update_slice(
+                    layer_lengths, (lengths_l + s)[None],
+                    (layer_idx, jnp.int32(0)))
 
-        carry0 = (x, state.cache.k, state.cache.v, state.importance,
-                  state.layer_lengths)
+                x = out_mlp(x, lp, attn_out,
+                            kept_q=None if kept is None else kept[0])
+                layer_out = (stats.need_requant.sum().astype(jnp.int32),
+                             stats.max_prob)
+                return (x, k_all, v_all, imp_all, layer_lengths), layer_out
+
+            return layer_fn
+
+        carry = (x, state.cache.k, state.cache.v, state.importance,
+                 state.layer_lengths)
         xs = (layer_params, state.head_mask, layer_ids)
         if head_kept is not None:
             xs = xs + head_kept
-        (x, k_all, v_all, new_imp, new_lengths), (requants, max_probs) = \
-            jax.lax.scan(layer_fn, carry0, xs)
+        # Per-layer capacity rungs: contiguous layer groups share a rung
+        # (the cascade budgets decay monotonically), and each group scans
+        # with a kernel variant sized to its rung — smaller [R, cap]
+        # planes and more batch rows per grid instance on deep layers
+        # (token_pruning.layer_capacities).
+        from spatten_tpu.pruning.token_pruning import layer_capacity_groups
+        groups = layer_capacity_groups(cfg)
+        if len(groups) == 1:
+            (x, k_all, v_all, new_imp, new_lengths), (requants, max_probs) \
+                = jax.lax.scan(make_layer_fn(groups[0][2]), carry, xs)
+        else:
+            req_g, maxp_g = [], []
+            for (ga, gb, cap_r) in groups:
+                # scan over layer INDICES and gather each layer's slice
+                # in-body (scan's own xs handling) — a static xs[ga:gb]
+                # slice would materialize a fresh copy of the group's
+                # weights every decode step (measured +0.35 ms/step)
+                lf = make_layer_fn(cap_r)
+
+                def body(c, l, _lf=lf):
+                    sl = jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, l, 0, keepdims=False), xs)
+                    return _lf(c, sl)
+
+                carry, (rq, mp) = jax.lax.scan(
+                    body, carry, jnp.arange(ga, gb, dtype=jnp.int32))
+                req_g.append(rq)
+                maxp_g.append(mp)
+            x, k_all, v_all, new_imp, new_lengths = carry
+            requants = jnp.concatenate(req_g, axis=0)
+            max_probs = jnp.concatenate(maxp_g, axis=0)
         new_cache = LayerKVCache(k=k_all, v=v_all)
         return x, new_cache, new_imp, new_lengths, requants, max_probs
 

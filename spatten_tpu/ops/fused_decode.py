@@ -213,16 +213,26 @@ def _batches_per_program(batch: int, hpp: int, head_dim: int, group: int,
                               (2 * 1024 * 1024) // (bpp * blk * slab)))
 
         mem = 0
-        # msb and full-plane streams SHARE one slot buffer in quant mode
-        # (never live at once); dense mode has only the full stream
+        # on the opt-in shared path the msb and full-plane streams SHARE
+        # one slot buffer (never live at once) sized to the larger slot
+        # count; dense mode has only the full stream
         kslots = 0
         if quant_on:
             kslots = slots(num_pblk, pblk)
+            if need_kfull and not _NO_SHARE:
+                kslots = max(kslots, slots(cap // pblk, pblk))
         kf_mem = 0
         if need_kfull:
-            kfb = (pblk // 2 if (quant_on and not mixed
-                                 and pblk % 256 == 0) else pblk)
-            kf_mem = slots(cap // kfb, kfb) * bpp * kfb * slab
+            # mirrors _make_kernel's kfblk: the half-block requant stream
+            # only exists on the separate-buffer (_NO_SHARE) path; when
+            # the msb/full streams share one slot buffer the full stream
+            # reuses the pblk-sized msb slots (no extra memory)
+            if quant_on and not _NO_SHARE:
+                kf_mem = 0      # shared with the msb slots accounted below
+            else:
+                kfb = (pblk // 2 if (quant_on and not mixed and _NO_SHARE
+                                     and pblk % 256 == 0) else pblk)
+                kf_mem = slots(cap // kfb, kfb) * bpp * kfb * slab
         mem += kslots * bpp * pblk * slab + kf_mem
         if has_lsb2:
             ls = max(2, min(num_pblk, NSLOTS)) if num_pblk > 1 else 1
@@ -577,9 +587,11 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # the operands arrive as layer-indexed VMEM blocks and move to
         # scratch with vector assigns.
         def sc_slice(ref, bb):
+            # prefix-sliced on the column dim: under a capacity rung the
+            # stored planes carry more columns than the kernel's window
             if npj == 1:
-                return ref.at[lv, bb, :, :]
-            return ref.at[lv, bb, pl.ds(j * hpp, hpp), :]
+                return ref.at[lv, bb, :, pl.ds(0, cap)]
+            return ref.at[lv, bb, pl.ds(j * hpp, hpp), pl.ds(0, cap)]
 
         # length-gated metadata IO: the [*, hpp, C] scale/importance
         # planes move as ONE descriptor per plane sized to the smallest
@@ -633,17 +645,17 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
             # contiguous batch rows: ONE [bpp, hpp, C] descriptor per
             # plane for the whole group (3 issues instead of 3*bpp)
             ksc_reads = [pltpu.make_async_copy(
-                kscale_in.at[lv, pl.ds(b0, bpp), :, :], ksc_scr,
-                sc_sem.at[0, 0])]
+                kscale_in.at[lv, pl.ds(b0, bpp), :, pl.ds(0, cap)],
+                ksc_scr, sc_sem.at[0, 0])]
             vsc_reads = [pltpu.make_async_copy(
-                vscale_in.at[lv, pl.ds(b0, bpp), :, :], vsc_scr,
-                sc_sem.at[1, 0])]
+                vscale_in.at[lv, pl.ds(b0, bpp), :, pl.ds(0, cap)],
+                vsc_scr, sc_sem.at[1, 0])]
             for cpy in ksc_reads + vsc_reads:
                 cpy.start()
             if accumulate_importance:
                 imp_reads = [pltpu.make_async_copy(
-                    imp_in.at[lv, pl.ds(b0, bpp), :, :], imp_scr,
-                    sc_sem.at[2, 0])]
+                    imp_in.at[lv, pl.ds(b0, bpp), :, pl.ds(0, cap)],
+                    imp_scr, sc_sem.at[2, 0])]
                 for cpy in imp_reads:
                     cpy.start()
         else:
@@ -1932,6 +1944,16 @@ def fused_decode_attention(
                                    #   plane only feeds 8-bit P·V
                                    #   weights, mass ranking, and the
                                    #   (bf16) importance accumulator
+    cap_override: Optional[int] = None,   # per-layer capacity rung: size
+                                   #   the kernel (streams, [R, cap]
+                                   #   planes, grid bpp) to this prefix of
+                                   #   the stored capacity.  Must be a
+                                   #   multiple of the nibble pack unit
+                                   #   (2048 at serving caps) so the
+                                   #   packed-plane layout is a shared
+                                   #   prefix; lengths must stay <= rung
+                                   #   (the engine's per-layer prune
+                                   #   triggers guarantee it).
     interpret: bool = False,
     _skip_append: bool = False,   # perf-triage only: don't write the cache
     _hpp_override: Optional[int] = None,
@@ -1965,13 +1987,33 @@ def fused_decode_attention(
             importance_in = importance_in[None]
     num_layers = k_quant.full.shape[0]
     hkv = k_quant.heads
-    cap = k_quant.tokens
+    cap_total = k_quant.tokens
+    cap = cap_total
+    if cap_override is not None and cap_override < cap_total:
+        # rung legality: the packed nibble planes use a block-local
+        # split-token layout whose unit must be a shared prefix
+        assert cap_override % qz.pack_unit(cap_total) == 0, (
+            f"cap_override {cap_override} must be a multiple of the "
+            f"pack unit {qz.pack_unit(cap_total)}")
+        assert qz.pack_unit(cap_override) == qz.pack_unit(cap_total)
+        assert cap_override % v_block_size == 0
+        cap = cap_override
     group = hq // hkv
     assert cap % v_block_size == 0
     hpp = _heads_per_program(hkv, cap, d, group) if not interpret else hkv
     if _hpp_override is not None:
         hpp = _hpp_override
     rows_p = hpp * group
+    if cap < cap_total and not (hpp % 8 == 0 or (hkv // hpp == 1
+                                                 and 8 % hpp == 0)):
+        # sc_blocked transport slices the scale planes as VMEM blocks of
+        # `cap` columns, which must divide the stored capacity — rung
+        # prefixes generally don't; fall back to full-capacity sizing
+        cap = cap_total
+        hpp = _heads_per_program(hkv, cap, d, group) if not interpret \
+            else hkv
+        if _hpp_override is not None:
+            hpp = _hpp_override
 
     accumulate = importance_in is not None
     head_gating = head_mask is not None

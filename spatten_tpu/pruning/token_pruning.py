@@ -106,6 +106,66 @@ def layer_budgets_static(cfg: PruningConfig, num_layers: int
                  for l in range(num_layers))
 
 
+def layer_keep_max_static(cfg: PruningConfig, num_layers: int
+                          ) -> tuple[int, ...]:
+    """Static upper bound on each layer's post-prune live length:
+    start + budget_l + recent (num_coming=0 keeps the full recent window,
+    matching maybe_prune's selection call)."""
+    return tuple(cfg.start_size + b + cfg.recent_size
+                 for b in layer_budgets_static(cfg, num_layers))
+
+
+def layer_capacities(cfg) -> tuple[int, ...]:
+    """Per-layer physical cache-window rungs (static ints).
+
+    The cascade schedule makes deep layers keep far fewer tokens than
+    capacity (key_fetch_num decay, summary-gpt2-small-wikitext2-per8.csv),
+    but a single capacity lets every layer refill all the way to it before
+    pruning — deep layers then spend most steps at live windows far above
+    their budget, and the decode kernel's grid/VPU passes stay sized to
+    full capacity.  Rung-capping each layer at the smallest multiple of
+    2048 (one nibble pack-unit, so the packed-plane layout is a shared
+    prefix) above ``keep_max + headroom``:
+
+    * bounds the layer's live window near its budget (steady-state bytes
+      == measured bytes);
+    * lets the kernel compile per-rung variants with smaller [R, cap]
+      planes and more batch rows per grid instance (the decode step is
+      instance-serialization-bound at short live windows, RESULTS.md r2/r4).
+
+    ``cfg`` is a SpAttenConfig.  Returns ``num_layers`` ints, each a
+    divisor-friendly multiple of 2048 <= cache_capacity (or capacity
+    itself when pruning/rungs are off or capacity is small).
+    """
+    e, p, m = cfg.engine, cfg.pruning, cfg.model
+    cap = e.cache_capacity
+    flat = (cap,) * m.num_layers
+    if not (p.enable_token_pruning and getattr(e, "layer_cap_rungs", True)):
+        return flat
+    if cap % 2048 or cap < 4096:
+        return flat           # too small for a shared pack-unit prefix
+    headroom = max(getattr(e, "layer_cap_headroom", 768),
+                   e.prefill_chunk, e.decode_window)
+    out = []
+    for keep_max in layer_keep_max_static(p, m.num_layers):
+        need = keep_max + headroom
+        out.append(min(cap, -(-need // 2048) * 2048))
+    return tuple(out)
+
+
+def layer_capacity_groups(cfg) -> tuple[tuple[int, int, int], ...]:
+    """Contiguous layer groups of equal capacity rung:
+    ((start, end, rung), ...) with end exclusive."""
+    caps = layer_capacities(cfg)
+    groups: list[list[int]] = []
+    for l, c in enumerate(caps):
+        if groups and groups[-1][2] == c:
+            groups[-1][1] = l + 1
+        else:
+            groups.append([l, l + 1, c])
+    return tuple(tuple(g) for g in groups)
+
+
 def layer_budgets(cfg: PruningConfig, num_layers: int) -> jnp.ndarray:
     """Per-layer important-region budgets (the cascade schedule).
 
