@@ -260,10 +260,21 @@ def time_decode(cfg, params, steps: int, repeats: int = 3,
     # params MUST be an argument (not a closure capture): captured arrays
     # lower as HLO constants, which the remote-compile path ships with the
     # module
+    # schedule check: the warm lengths plus every timed window must stay
+    # inside each layer's rung (the prune cost is measured separately);
+    # the window then compiles with static_layers=() — no prune code
+    host_lens = [int(x) for x in
+                 jax.device_get(state.layer_lengths)[:, 0]]
+    for _w in range(repeats + 1):
+        layers, host_lens = gen.prune_schedule_step(cfg, host_lens, steps)
+        assert not layers, (
+            f"bench window {_w} would trigger a prune of layers {layers};"
+            " increase layer_cap_headroom or reduce steps")
+
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
     def window(params, carry, n):
         state, token = carry
-        state, _ = gen.maybe_prune(cfg, state, n)
+        state, _ = gen.maybe_prune(cfg, state, n, static_layers=())
         state = gen.maybe_update_head_mask(cfg, state, window=n)
         from spatten_tpu.ops import rope as rope_ops
         tables = rope_ops.rope_table(cfg.engine.cache_capacity,
@@ -319,7 +330,8 @@ def measure_prune(cfg, params, reps: int = 8):
     keeps_l = token_pruning.layer_keep_max_static(cfg.pruning, L)
     caps_arr = jnp.asarray(caps_l, jnp.int32)[:, None]       # [L, 1]
 
-    def run(layer_sel, n=reps):
+    def run(layers, n=reps):
+        layer_sel = jnp.zeros((L,), bool).at[jnp.asarray(layers)].set(True)
         state = warm_cache_content(
             cfg, warm_state(cfg, init_state(cfg, batch=b)))
 
@@ -334,7 +346,10 @@ def measure_prune(cfg, params, reps: int = 8):
                 st = st._replace(
                     layer_lengths=ll,
                     lengths=jnp.max(ll, axis=0))
-                st2, _ = gen.maybe_prune(cfg, st, 1)
+                # schedule-known prune (no per-layer conds) — exactly
+                # what generate() dispatches at a window boundary
+                st2, _ = gen.maybe_prune(cfg, st, 1,
+                                         static_layers=layers)
                 return st2, ()
             state, _ = jax.lax.scan(body, state, None, length=n)
             return state
@@ -346,14 +361,13 @@ def measure_prune(cfg, params, reps: int = 8):
         jax.device_get(state.lengths)
         return (time.perf_counter() - t0) / n * 1e3
 
-    worst = run(jnp.ones((L,), bool))
-    steady = run(jnp.zeros((L,), bool).at[0].set(True))
+    worst = run(tuple(range(L)))
+    steady = run((0,))
     # one representative event per distinct rung; layer 0's is `steady`
     event_by_rung = {caps_l[0]: steady}
     for l in range(1, L):
         if caps_l[l] not in event_by_rung:
-            event_by_rung[caps_l[l]] = run(
-                jnp.zeros((L,), bool).at[l].set(True), n=max(4, reps // 2))
+            event_by_rung[caps_l[l]] = run((l,), n=max(4, reps // 2))
     amortized = sum(
         event_by_rung[caps_l[l]] / max(caps_l[l] - keeps_l[l], 1)
         for l in range(L))

@@ -41,13 +41,24 @@ from spatten_tpu.pruning import token_pruning
 # Pruning inside the decode step
 # ---------------------------------------------------------------------------
 
-def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
+def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int,
+                static_layers: Optional[Tuple[int, ...]] = None,
                 ) -> Tuple[DecodeState, jax.Array]:
     """Compact any sequence whose next `num_coming` tokens would overflow.
 
     Returns (state, pruned_mask [B]).  Trigger per sequence:
-    `length + num_coming > capacity`; the pruned sequence keeps
+    `length + num_coming > capacity rung`; the pruned sequence keeps
     start + important + recent = cache_size tokens (shape-static).
+
+    ``static_layers``: when the caller KNOWS which layers can trigger
+    (generation appends one token to every layer per step, so the
+    trigger schedule is a pure function of the step count —
+    `prune_schedule`), passing the tuple removes every per-layer
+    `lax.cond`: layers in the tuple prune unconditionally (per-sequence
+    identity masking still applies), other layers are untouched.  Each
+    cond otherwise round-trips the stacked cache through its output
+    buffers (~7 ms/layer at serving shapes, paid even by untriggered
+    layers).  `()` compiles to a no-op; None keeps the dynamic conds.
     """
     p = cfg.pruning
     cap = state.capacity
@@ -65,13 +76,19 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
     caps_l = jnp.asarray(token_pruning.layer_capacities(cfg),
                          jnp.int32)[:, None]                     # [L, 1]
     trigger_layer = state.layer_lengths + num_coming > caps_l    # [L, B]
+    if static_layers is not None:
+        static_mask = jnp.asarray(
+            [l in static_layers for l in range(num_layers)],
+            bool)[:, None]
+        trigger_layer = trigger_layer & static_mask
     trigger = jnp.any(trigger_layer, axis=0)                       # [B]
 
-    if not p.enable_token_pruning:
+    if not p.enable_token_pruning or static_layers == ():
         return state, jnp.zeros_like(trigger)
 
     budgets = token_pruning.layer_budgets(p, num_layers)           # [L]
-    keep_max = p.cache_size
+    budgets_static = token_pruning.layer_budgets_static(p, num_layers)
+    caps_l = token_pruning.layer_capacities(cfg)
 
     def do_prune(st: DecodeState) -> DecodeState:
         cached_rope = (cfg.engine.rope_mode == "cached"
@@ -88,34 +105,43 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
         keep_count = p.start_size + n_imp + recent_keep        # [L, B]
 
         def one_layer(l, carry):
-            """Prune layer l in place via the fused compaction (gather +
-            moved-row-only delta re-rotation + requant + prefix repack,
-            streamed over pack-unit chunks — pruning/compact.py).
-            Layer-at-a-time keeps the transient at one chunk's f32;
-            untriggered sequences pass identity indices so their rewrite
-            is a bit-exact no-op (no dequant/requant round-trip), and a
-            layer with NO triggered sequence skips both the selection
-            top_k and the compaction entirely (per-layer staggering: the
-            common steady-state event touches one layer, not L)."""
+            """Prune layer l in place via the fused compaction (Pallas
+            gather + moved-row-only delta re-rotation + requant + prefix
+            repack — pruning/compact.py).  The layer index is STATIC
+            (unrolled loop): selection top_k runs with layer l's OWN
+            budget and over its capacity-rung window, so deep cascade
+            layers pay rung-sized (not capacity-sized) event costs.
+            Untriggered sequences pass identity indices so their rewrite
+            is a bit-exact no-op, and a layer with NO triggered sequence
+            skips both the selection and the compaction entirely
+            (per-layer staggering: the steady-state event touches one
+            layer, not L)."""
             cache, imp = carry
-            take = lambda x: jax.lax.dynamic_index_in_dim(
-                x, l, 0, keepdims=False)
-            trig_l = take(trigger_layer)                       # [B]
+            trig_l = trigger_layer[l]                          # [B]
+            keep_max_l = (p.start_size + budgets_static[l]
+                          + p.recent_size)
+            window = caps_l[l]          # static rung >= layer lengths
 
             def prune_this(carry):
                 cache, imp = carry
-                layer_cache = jax.tree.map(take, cache)
+                layer_cache = jax.tree.map(lambda x: x[l], cache)
                 kidx_l, _ = token_pruning.select_keep_indices_budgeted(
-                    take(imp)[None], take(st.layer_lengths)[None],
-                    p.start_size, jnp.take(budgets, l)[None],
-                    p.important_size, p.recent_size, num_coming=0)
-                kidx_l = kidx_l[0]                   # [B, Hkv, keep_max]
+                    imp[l][None, :, :, :window],
+                    st.layer_lengths[l][None],
+                    p.start_size, budgets[l:l + 1],
+                    budgets_static[l], p.recent_size, num_coming=0)
+                kidx_l = kidx_l[0]                 # [B, Hkv, keep_max_l]
                 ident = jnp.broadcast_to(
-                    jnp.arange(keep_max, dtype=jnp.int32), kidx_l.shape)
+                    jnp.arange(keep_max_l, dtype=jnp.int32),
+                    kidx_l.shape)
                 kidx_l = jnp.where(trig_l[:, None, None], kidx_l, ident)
+                kc_l = jnp.where(trig_l, keep_count[l],
+                                 jnp.int32(keep_max_l))         # [B]
                 new_cache, new_imp = compact.compact_layer(
-                    layer_cache, take(imp), kidx_l, rotate_k=cached_rope,
-                    rope_theta=cfg.model.rope_theta)
+                    layer_cache, imp[l], kidx_l, rotate_k=cached_rope,
+                    rope_theta=cfg.model.rope_theta,
+                    lengths=st.layer_lengths[l], triggered=trig_l,
+                    keep_count=kc_l, window=window)
                 cache = jax.tree.map(
                     lambda big, small:
                     jax.lax.dynamic_update_index_in_dim(
@@ -125,30 +151,76 @@ def maybe_prune(cfg: SpAttenConfig, state: DecodeState, num_coming: int
                                                           l, 0)
                 return (cache, imp)
 
+            if static_layers is not None:
+                # the schedule already told us this layer triggers; the
+                # per-sequence trig_l mask (identity kidx) handles any
+                # sequence that happens not to overflow
+                return prune_this(carry)
             return jax.lax.cond(jnp.any(trig_l), prune_this,
                                 lambda c: c, carry)
 
-        cache, imp = jax.lax.fori_loop(0, num_layers, one_layer,
-                                       (st.cache, st.importance))
+        cache, imp = st.cache, st.importance
+        layer_list = (range(num_layers) if static_layers is None
+                      else static_layers)
+        for l in layer_list:
+            cache, imp = one_layer(l, (cache, imp))
         layer_lengths = jnp.where(trigger_layer, keep_count,
                                   st.layer_lengths)
         lengths = jnp.max(layer_lengths, axis=0)
         return st._replace(cache=cache, importance=imp, lengths=lengths,
                            layer_lengths=layer_lengths)
 
-    new_state = jax.lax.cond(jnp.any(trigger), do_prune, lambda st: st, state)
+    if static_layers is not None:
+        # schedule-driven: the listed layers prune unconditionally (the
+        # outer cond would round-trip the cache like the per-layer ones)
+        return do_prune(state), trigger
+    new_state = jax.lax.cond(jnp.any(trigger), do_prune, lambda st: st,
+                             state)
     return new_state, trigger
+
+
+def prune_schedule_step(cfg: SpAttenConfig, host_lens: list, num_coming: int
+                        ) -> Tuple[Tuple[int, ...], list]:
+    """Host-side replica of the per-layer trigger/keep bookkeeping.
+
+    Generation appends one token to EVERY layer of EVERY sequence per
+    step, so layer lengths are a pure function of the step count and the
+    trigger schedule is known before tracing — `maybe_prune` can run
+    with `static_layers` (no lax.cond cache round-trips).  Returns
+    (layers_triggering_now, lengths AFTER prune + num_coming appends).
+    """
+    p = cfg.pruning
+    if not p.enable_token_pruning:
+        return (), [x + num_coming for x in host_lens]
+    caps = token_pruning.layer_capacities(cfg)
+    budg = token_pruning.layer_budgets_static(p, cfg.model.num_layers)
+    layers = []
+    out = list(host_lens)
+    for l, ln in enumerate(out):
+        if ln + num_coming > caps[l]:
+            rb = ln - p.recent_size
+            out[l] = (p.start_size
+                      + min(budg[l], max(rb - p.start_size, 0))
+                      + p.recent_size)
+            layers.append(l)
+    return tuple(layers), [x + num_coming for x in out]
 
 
 # ---------------------------------------------------------------------------
 # Jitted step functions
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("static_layers",))
 def prefill_chunk(params, cfg: SpAttenConfig, state: DecodeState,
-                  tokens: jax.Array):
-    """Run one chunk of prompt tokens ([B, S]); returns last-token logits."""
-    state, _ = maybe_prune(cfg, state, tokens.shape[1])
+                  tokens: jax.Array, *, static_layers=None):
+    """Run one chunk of prompt tokens ([B, S]); returns last-token logits.
+
+    `static_layers`: schedule-known prune set (see maybe_prune); None
+    keeps the dynamic per-layer conds for callers without host-side
+    length bookkeeping (continuous batching)."""
+    state, _ = maybe_prune(cfg, state, tokens.shape[1],
+                           static_layers=static_layers)
     logits, state, aux = transformer.forward(params, cfg, state, tokens)
     return logits[:, -1], state, aux
 
@@ -218,23 +290,44 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    # Host-side prune schedule: generation appends to every layer every
+    # step, so the trigger pattern is known before tracing and the jitted
+    # programs compile WITHOUT per-layer conds (each cond round-trips the
+    # stacked cache, ~7 ms/layer/invocation).  A provided state with
+    # ragged per-sequence lengths falls back to the dynamic-cond path.
+    L = cfg.model.num_layers
+    import numpy as _np
+    ll_host = _np.asarray(jax.device_get(state.layer_lengths))
+    static_ok = bool((ll_host == ll_host[:, :1]).all())
+    host_lens = [int(x) for x in ll_host[:, 0]]
+
+    def sched(n):
+        nonlocal host_lens
+        if not static_ok:
+            return None
+        layers, host_lens = prune_schedule_step(cfg, host_lens, n)
+        return layers
+
     chunk = cfg.engine.prefill_chunk
     pos = 0
     last_logits = None
     from spatten_tpu.utils import debug as dbg
     while pos < prompt_len:
         n = min(chunk, prompt_len - pos)
+        layers = sched(n)
         if pos == 0 and dbg.enabled():
             # SPATTEN_DEBUG=1: the first prefill chunk runs under
             # checkify float checks — numeric corruption (NaN escaping a
             # masked region, a zero softmax denominator) raises at the
             # producing op instead of surfacing as garbage tokens
             last_logits, state, _ = dbg.checkify_step(
-                functools.partial(prefill_chunk, params, cfg),
+                functools.partial(prefill_chunk, params, cfg,
+                                  static_layers=layers),
                 state, prompt[:, pos:pos + n])
         else:
             last_logits, state, _ = prefill_chunk(
-                params, cfg, state, prompt[:, pos:pos + n])
+                params, cfg, state, prompt[:, pos:pos + n],
+                static_layers=layers)
         pos += n
 
     head_compact = None
@@ -272,12 +365,23 @@ def generate(
         headroom = min(c - k for c, k in zip(caps_l, keeps_l))
         window_steps = max(1, min(window_steps, headroom))
 
+    # schedule-known prunes run in their own small jit BEFORE the window
+    # (at most num_layers + 1 compiled variants), so the hot window
+    # program itself compiles with static_layers=() — zero prune code
+    @functools.partial(jax.jit, static_argnums=(1, 2),
+                       donate_argnums=(0,))
+    def prune_static(state, layers, n):
+        return maybe_prune(cfg, state, n, static_layers=layers)[0]
+
     # params is an explicit argument: closure-captured arrays lower as HLO
     # constants (bloating the module; fatal on remote-compile backends)
-    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
-    def decode_window(params, carry, n, head_compact=None):
+    @functools.partial(jax.jit, static_argnums=(2,),
+                       static_argnames=("window_prune",),
+                       donate_argnums=(1,))
+    def decode_window(params, carry, n, head_compact=None, *,
+                      window_prune=None):
         state, token, done, rng = carry
-        state, _ = maybe_prune(cfg, state, n)
+        state, _ = maybe_prune(cfg, state, n, static_layers=window_prune)
         state = maybe_update_head_mask(cfg, state, window=n)
         # rope tables computed ONCE per window: XLA won't hoist the
         # [cap, d] sin/cos materialization out of the scan
@@ -309,8 +413,17 @@ def generate(
     remaining = max_new_tokens
     while remaining > 0:
         n = min(window_steps, remaining)
+        layers = sched(n)
+        if static_ok:
+            if layers:
+                st = prune_static(carry[0], layers, n)
+                carry = (st,) + carry[1:]
+            wp = ()
+        else:
+            wp = None          # dynamic conds inside the window
         carry, toks = decode_window(params, carry, n,
-                                    head_compact=head_compact)
+                                    head_compact=head_compact,
+                                    window_prune=wp)
         chunks.append(toks)
         remaining -= n
     state = carry[0]

@@ -90,12 +90,34 @@ def compact_layer(
     *,
     rotate_k: bool,                    # cached-rope mode: re-rotate moved K
     rope_theta: float = 10000.0,
+    lengths: Optional[jax.Array] = None,    # [B] live tokens (enables the
+                                       #   gather kernel's block skipping)
+    triggered: Optional[jax.Array] = None,  # [B] — False rows are known
+                                       #   identity (kernel skips them)
+    keep_count: Optional[jax.Array] = None,  # [B] live keep entries per
+                                       #   row: entries beyond it are
+                                       #   dead padding (zeros) and MUST
+                                       #   be excluded from mask-based
+                                       #   compaction (they duplicate
+                                       #   position 0)
+    window: Optional[int] = None,      # static bound on keep positions
+                                       #   and lengths (the layer's
+                                       #   capacity rung): metadata
+                                       #   sorting/scatter run over this
+                                       #   prefix instead of capacity
+    use_gather_kernel: Optional[bool] = None,
 ) -> Tuple[LayerKVCache, Optional[jax.Array]]:
     """Compact one layer's planes to ``keep_idx`` in place.
 
     Returns (cache', imp') with the kept tokens moved to the front of
     every plane.  See module docstring for the exactness / in-place /
     repack contracts.
+
+    When the Pallas gather kernel applies (TPU backend, 128-aligned head
+    lanes), the int8 K/V payload moves through
+    ``ops.compact_gather.gather_compact_rows`` (~5x the XLA row-gather
+    throughput) and the chunked loop below only re-rotates / repacks /
+    gathers metadata over the already-compacted prefix.
     """
     kq, vq = cache.k, cache.v
     b, cap, f = kq.full.shape
@@ -106,6 +128,13 @@ def compact_layer(
     keep_pad = -(-keep_max // u) * u                     # u divides cap
     assert keep_pad <= cap
     nch = keep_pad // u
+    win = cap if window is None else min(window, cap)
+    if win % u or win < keep_pad:
+        win = cap
+
+    if use_gather_kernel is None:
+        use_gather_kernel = (jax.default_backend() not in ("cpu",)
+                             and d % 128 == 0 and cap % 512 == 0)
 
     if keep_pad > keep_max:
         # identity padding: slots [keep_max, keep_pad) self-copy (delta
@@ -127,6 +156,74 @@ def compact_layer(
     kf, km, kl2, ksc = kq.full, kq.msb, kq.lsb2, kq.scale
     vf, vm, vl2, vsc = vq.full, vq.msb, vq.lsb2, vq.scale
 
+    if use_gather_kernel:
+        from spatten_tpu.ops.compact_gather import gather_compact_rows
+        if lengths is None:
+            lengths = jnp.full((b,), cap, jnp.int32)
+        if triggered is None:
+            triggered = jnp.ones((b,), jnp.int32)
+        kf, vf = gather_compact_rows(
+            kf, vf, keep_idx.astype(jnp.int32), lengths, triggered,
+            keep_count=keep_count, window=win,
+            interpret=jax.default_backend() == "cpu")
+
+    # metadata compaction via ONE multi-operand sort: XLA's last-axis
+    # gather runs ~0.13 GB/s on v5e (43 ms per [B,H,keep] f32 plane);
+    # sorting (position-key, ksc, vsc, imp) once is ~3x faster than the
+    # three gathers.  The mask covers only the LIVE keep entries
+    # (distinct, ascending); rows beyond keep_count and the identity
+    # pad tail are restored afterwards so the result matches the
+    # gather semantics wherever the engine's length contract makes the
+    # bytes live.
+    if keep_count is not None:
+        validk = (jnp.arange(keep_max, dtype=jnp.int32)[None, None, :]
+                  < keep_count[:, None, None])
+        scat_idx = jnp.where(validk, keep_idx.astype(jnp.int32), win)
+    else:
+        scat_idx = keep_idx.astype(jnp.int32)
+    pos_c = jnp.broadcast_to(jnp.arange(win, dtype=jnp.int32),
+                             (b, h, win))
+    keepm = jnp.zeros((b, h, win), bool).at[
+        jnp.arange(b, dtype=jnp.int32)[:, None, None],
+        jnp.arange(h, dtype=jnp.int32)[None, :, None],
+        scat_idx].set(True, mode="drop")
+    sort_key = jnp.where(keepm, pos_c, win + pos_c)
+    # f32 sort operands: sorting bf16 values makes XLA pick a transposed
+    # 32x-padded layout for the carried scale planes (1 GB of copies per
+    # plane at serving shapes); widening for the sort keeps the planes'
+    # natural layout.  bf16 -> f32 -> bf16 is exact.
+    ops = [sort_key, ksc[..., :win].astype(jnp.float32),
+           vsc[..., :win].astype(jnp.float32)] \
+        + ([imp[..., :win].astype(jnp.float32)]
+           if imp is not None else [])
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
+
+    def _pref(sorted_plane, plane):
+        prefix = sorted_plane[..., :keep_pad]
+        if keep_pad > keep_max:
+            # identity pad tail (its positions may interleave with
+            # recent-window keeps, so it cannot ride the mask)
+            prefix = jnp.concatenate(
+                [prefix[..., :keep_max], plane[..., keep_max:keep_pad]],
+                axis=-1)
+        if triggered is not None:
+            prefix = jnp.where(
+                jnp.asarray(triggered).astype(bool)[:, None, None],
+                prefix, plane[..., :keep_pad])
+        return prefix
+
+    ksc_pref = _pref(sorted_ops[1].astype(ksc.dtype), ksc)
+    vsc_pref = _pref(sorted_ops[2].astype(vsc.dtype), vsc)
+    imp_pref = (_pref(sorted_ops[3].astype(imp.dtype), imp)
+                if imp is not None else None)
+
+    # rotation sub-chunking: the dequant/rotate/requant transient is
+    # [B, us, H, D] f32 — at serving shapes a full pack-unit chunk is
+    # ~134 MB and the per-layer unrolled prune branches would stack
+    # several of them in XLA's temp arena; u/4 sub-chunks bound it
+    nsub = 4 if u % 4 == 0 and u >= 512 else 1
+    us = u // nsub
+
     for c in range(nch):
         sl = slice(c * u, (c + 1) * u)
         idx_c = kidx[:, :, sl]                           # [B, H, u]
@@ -134,17 +231,32 @@ def compact_layer(
         g4 = idx_t[..., None]                            # [B, u, H, 1]
 
         # ---- K: gather -> rotate moved rows -> requant moved rows ----
-        kc = jnp.take_along_axis(kf.reshape(b, cap, h, d), g4, axis=1)
-        ksc_c = jnp.take_along_axis(ksc, idx_c, axis=-1)  # [B, H, u]
-        if rotate_k:
-            d_c = delta[:, :, sl].transpose(0, 2, 1)     # [B, u, H]
-            kc, ksc_t = rotate_moved_rows(
-                kc, ksc_c.transpose(0, 2, 1), d_c, d, rope_theta)
-            ksc_c = ksc_t.transpose(0, 2, 1).astype(ksc.dtype)
-        kc2 = kc.reshape(b, u, f)
-        kf = jax.lax.dynamic_update_slice(kf, kc2, (0, c * u, 0))
+        ksc_c = ksc_pref[:, :, sl]                       # [B, H, u]
+        for sub in range(nsub):
+            s0 = c * u + sub * us
+            ssl = slice(s0, s0 + us)
+            if use_gather_kernel:
+                # payload already compacted in place — read the prefix
+                kc = kf[:, ssl].reshape(b, us, h, d)
+            else:
+                kc = jnp.take_along_axis(
+                    kf.reshape(b, cap, h, d),
+                    g4[:, sub * us:(sub + 1) * us], axis=1)
+            if rotate_k:
+                d_c = delta[:, :, ssl].transpose(0, 2, 1)  # [B, us, H]
+                kc, ksc_t = rotate_moved_rows(
+                    kc, ksc_c[:, :, sub * us:(sub + 1) * us
+                              ].transpose(0, 2, 1), d_c, d, rope_theta)
+                ksc_c = jax.lax.dynamic_update_slice(
+                    ksc_c, ksc_t.transpose(0, 2, 1).astype(ksc_c.dtype),
+                    (0, 0, sub * us))
+            if rotate_k or not use_gather_kernel:
+                kf = jax.lax.dynamic_update_slice(
+                    kf, kc.reshape(b, us, f), (0, s0, 0))
         ksc = jax.lax.dynamic_update_slice(ksc, ksc_c.astype(ksc.dtype),
                                            (0, 0, c * u))
+        # repack from the (post-rotation) written-back prefix chunk
+        kc2 = kf[:, c * u:(c + 1) * u]
         if km is not None:
             km = jax.lax.dynamic_update_slice(
                 km, _pack_unit_msb(kc2), (0, c * (u // 2), 0))
@@ -153,10 +265,14 @@ def compact_layer(
                 kl2, _pack_unit_lsb2(kc2), (0, c * (u // 4), 0))
 
         # ---- V: pure gather (values carry no positional encoding) ----
-        vc = jnp.take_along_axis(vf.reshape(b, cap, h, d), g4, axis=1
-                                 ).reshape(b, u, f)
-        vsc_c = jnp.take_along_axis(vsc, idx_c, axis=-1)
-        vf = jax.lax.dynamic_update_slice(vf, vc, (0, c * u, 0))
+        if use_gather_kernel:
+            vc = vf[:, c * u:(c + 1) * u]
+        else:
+            vc = jnp.take_along_axis(vf.reshape(b, cap, h, d), g4, axis=1
+                                     ).reshape(b, u, f)
+        vsc_c = vsc_pref[:, :, sl]
+        if not use_gather_kernel:
+            vf = jax.lax.dynamic_update_slice(vf, vc, (0, c * u, 0))
         vsc = jax.lax.dynamic_update_slice(vsc, vsc_c, (0, 0, c * u))
         if vm is not None:
             vm = jax.lax.dynamic_update_slice(
@@ -166,8 +282,8 @@ def compact_layer(
                 vl2, _pack_unit_lsb2(vc), (0, c * (u // 4), 0))
 
         if imp is not None:
-            imp_c = jnp.take_along_axis(imp, idx_c, axis=-1)
-            imp = jax.lax.dynamic_update_slice(imp, imp_c, (0, 0, c * u))
+            imp = jax.lax.dynamic_update_slice(
+                imp, imp_pref[:, :, sl], (0, 0, c * u))
 
     k2 = qz.QuantizedKV(full=kf, msb=km, scale=ksc, lsb2=kl2)
     v2 = qz.QuantizedKV(full=vf, msb=vm, scale=vsc, lsb2=vl2)

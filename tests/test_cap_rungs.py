@@ -159,3 +159,78 @@ class TestEngineTriggers:
         assert bool(jax.device_get(trig)[0])
         keep = tp.layer_keep_max_static(cfg.pruning, 8)[-1]
         assert int(jax.device_get(new_state.layer_lengths)[-1, 0]) <= keep
+
+
+class TestPruneSchedule:
+    def test_host_schedule_matches_device_triggers(self):
+        """prune_schedule_step's host bookkeeping reproduces the device
+        trigger/keep sequence exactly (uniform lengths)."""
+        import spatten_tpu.engine.generate as gen
+        from spatten_tpu.engine.state import init_state
+
+        cfg = _cfg(cap=8192, layers=4)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, num_layers=4),
+            pruning=dataclasses.replace(
+                cfg.pruning,
+                cascade_layer_ratios=(1.0, 0.5, 0.25, 0.25)),
+            quant=QuantConfig(enabled=False, enable_requant=False))
+        L = 4
+        state = init_state(cfg, batch=2)
+        host = [0] * L
+        n = 128
+        import numpy as np
+        for w in range(40):
+            layers, host = gen.prune_schedule_step(cfg, host, n)
+            st2, _ = gen.maybe_prune(cfg, state, n)
+            dev_trig = np.asarray(jax.device_get(
+                (state.layer_lengths + n
+                 > jnp.asarray(tp.layer_capacities(cfg))[:, None]
+                 ).any(axis=1)))
+            assert set(np.nonzero(dev_trig)[0]) == set(layers), (w,)
+            # append n to every layer like the decode window would
+            ll = st2.layer_lengths + n
+            state = st2._replace(layer_lengths=ll,
+                                 lengths=jnp.max(ll, axis=0))
+            got = [int(x) for x in np.asarray(
+                jax.device_get(state.layer_lengths))[:, 0]]
+            assert got == host, (w, got, host)
+
+    def test_static_layers_matches_dynamic(self):
+        """maybe_prune(static_layers=schedule) == maybe_prune(None)."""
+        import spatten_tpu.engine.generate as gen
+        from spatten_tpu.engine.state import init_state
+        import numpy as np
+
+        cfg = _cfg(cap=8192, layers=8)
+        cfg = dataclasses.replace(
+            cfg, quant=QuantConfig(enabled=False, enable_requant=False))
+        caps = tp.layer_capacities(cfg)
+        state = init_state(cfg, batch=2)
+        # warm deterministic content + lengths crossing two rungs
+        ll = state.layer_lengths.at[2].set(caps[2]).at[7].set(caps[7])
+        key = jax.random.PRNGKey(0)
+        kf = jax.random.randint(
+            key, state.cache.k.full.shape, -127, 128, jnp.int8)
+        k = state.cache.k._replace(full=kf)
+        v = state.cache.v._replace(full=kf[::-1])
+        imp = jax.random.uniform(key, state.importance.shape)
+        state = state._replace(
+            cache=state.cache._replace(k=k, v=v), importance=imp,
+            layer_lengths=ll, lengths=jnp.max(ll, axis=0))
+        dyn, _ = jax.jit(lambda s: gen.maybe_prune(cfg, s, 1))(state)
+        stat, _ = jax.jit(lambda s: gen.maybe_prune(
+            cfg, s, 1, static_layers=(2, 7)))(state)
+        for a, b2 in zip(jax.tree.leaves(dyn), jax.tree.leaves(stat)):
+            lla = np.asarray(jax.device_get(dyn.layer_lengths))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(dyn.layer_lengths)),
+            np.asarray(jax.device_get(stat.layer_lengths)))
+        # compare live cache prefixes per layer
+        kfa = np.asarray(jax.device_get(dyn.cache.k.full))
+        kfb = np.asarray(jax.device_get(stat.cache.k.full))
+        for l in range(8):
+            live = int(lla[l].max())
+            np.testing.assert_array_equal(kfa[l][:, :live],
+                                          kfb[l][:, :live])
