@@ -386,13 +386,11 @@ def measure_prefill(cfg, params, prompt_len: int, reps: int = 2):
 
     def run():
         state = init_state(cfg, batch=b)
-        chunk = cfg.engine.prefill_chunk
-        pos = 0
-        while pos < prompt_len:
-            n = min(chunk, prompt_len - pos)
-            logits, state, _ = gen.prefill_chunk(
-                params, cfg, state, tokens[:, pos:pos + n])
-            pos += n
+        # segmented one-dispatch-per-segment prefill, exactly as
+        # generate() dispatches (per-chunk dispatch pays the ~30 ms
+        # tunnel floor 16x at a 2k prompt; dynamic per-layer conds
+        # would add ~7 ms/layer/chunk on top)
+        logits, state, _ = gen.prefill(params, cfg, state, tokens)
         jax.device_get(logits[:, :1])
 
     t0 = time.perf_counter()
@@ -497,9 +495,10 @@ def run_point(cache: int, batch: int, steps: int, params,
         # measured prefill: TTFT + tokens/s, spatten vs dense (SURVEY
         # prices the encoder/prefill regime via bert.cpp:17-242)
         prefill = {}
-        # one prompt length keeps the driver's end-of-round bench run
-        # bounded; the 8192-prompt numbers are recorded in RESULTS.md
-        for plen in (2048,):
+        # both reference-regime prompt lengths (bert.cpp prices the
+        # encoder regime; VERDICT r4 item 2 wants 2k AND 8k measured) —
+        # affordable now that prefill runs one dispatch per segment
+        for plen in (2048, 8192):
             if plen > cache:
                 continue
             sp_tps, sp_ttft = measure_prefill(cfg_sp, params, plen)

@@ -211,6 +211,79 @@ def prune_schedule_step(cfg: SpAttenConfig, host_lens: list, num_coming: int
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("nchunks",))
+def prefill_scan(params, cfg: SpAttenConfig, state: DecodeState,
+                 tokens: jax.Array, *, nchunks: int):
+    """Scan `nchunks` equal prompt chunks in ONE dispatch (no prune
+    triggers may occur inside — the caller segments at schedule-known
+    prune points).  Returns (last-token logits, state).
+
+    Chunked prefill as one dispatch per chunk pays the host-dispatch
+    floor per chunk (~30 ms through a tunnel-attached chip — half the
+    measured TTFT at a 2k prompt); the scan pays it once per segment."""
+    b = tokens.shape[0]
+    chunk = tokens.shape[1] // nchunks
+    xs = tokens.reshape(b, nchunks, chunk).transpose(1, 0, 2)
+
+    def body(carry, tk):
+        state, _ = carry
+        logits, state, _ = transformer.forward(params, cfg, state, tk)
+        return (state, logits[:, -1]), None
+
+    logits0 = jnp.zeros((b, cfg.model.vocab_size), jnp.float32)
+    (state, last), _ = jax.lax.scan(body, (state, logits0), xs)
+    return last, state
+
+
+def prefill(params, cfg: SpAttenConfig, state: DecodeState,
+            tokens: jax.Array, host_lens: Optional[list] = None):
+    """Full prompt prefill: schedule-known prunes run between jitted
+    chunk-scan segments.  Returns (last_logits, state, host_lens)."""
+    b, total = tokens.shape
+    chunk = cfg.engine.prefill_chunk
+    if host_lens is None:
+        host_lens = [0] * cfg.model.num_layers
+    last_logits = None
+    pos = 0
+    while pos < total:
+        lens = list(host_lens)
+        # first chunk of the segment (a schedule-known prune may have to
+        # run before it)
+        n0 = min(chunk, total - pos)
+        layers, lens = prune_schedule_step(cfg, lens, n0)
+        if layers:
+            state = _prune_static_jit(cfg)(state, layers, n0)
+        seg = n0
+        # extend with further full chunks while nothing triggers
+        if n0 == chunk:
+            while pos + seg + chunk <= total:
+                nl, lens2 = prune_schedule_step(cfg, lens, chunk)
+                if nl:
+                    break
+                lens = lens2
+                seg += chunk
+        host_lens = lens
+        if seg % chunk == 0 and seg // chunk > 1:
+            last_logits, state = prefill_scan(
+                params, cfg, state, tokens[:, pos:pos + seg],
+                nchunks=seg // chunk)
+        else:
+            last_logits, state, _ = prefill_chunk(
+                params, cfg, state, tokens[:, pos:pos + seg],
+                static_layers=())
+        pos += seg
+    return last_logits, state, host_lens
+
+
+@functools.lru_cache(maxsize=None)
+def _prune_static_jit(cfg: SpAttenConfig):
+    return jax.jit(
+        lambda s, layers, n: maybe_prune(cfg, s, n,
+                                         static_layers=layers)[0],
+        static_argnums=(1, 2), donate_argnums=(0,))
+
+
+@functools.partial(jax.jit, static_argnums=(1,),
                    static_argnames=("static_layers",))
 def prefill_chunk(params, cfg: SpAttenConfig, state: DecodeState,
                   tokens: jax.Array, *, static_layers=None):
@@ -309,26 +382,34 @@ def generate(
         return layers
 
     chunk = cfg.engine.prefill_chunk
-    pos = 0
     last_logits = None
     from spatten_tpu.utils import debug as dbg
-    while pos < prompt_len:
-        n = min(chunk, prompt_len - pos)
-        layers = sched(n)
-        if pos == 0 and dbg.enabled():
-            # SPATTEN_DEBUG=1: the first prefill chunk runs under
-            # checkify float checks — numeric corruption (NaN escaping a
-            # masked region, a zero softmax denominator) raises at the
-            # producing op instead of surfacing as garbage tokens
-            last_logits, state, _ = dbg.checkify_step(
-                functools.partial(prefill_chunk, params, cfg,
-                                  static_layers=layers),
-                state, prompt[:, pos:pos + n])
-        else:
-            last_logits, state, _ = prefill_chunk(
-                params, cfg, state, prompt[:, pos:pos + n],
-                static_layers=layers)
-        pos += n
+    if static_ok and not dbg.enabled():
+        # segmented one-dispatch-per-segment prefill (schedule-known
+        # prunes between jitted chunk scans)
+        last_logits, state, host_lens = prefill(params, cfg, state,
+                                                prompt,
+                                                host_lens=host_lens)
+    else:
+        pos = 0
+        while pos < prompt_len:
+            n = min(chunk, prompt_len - pos)
+            layers = sched(n)
+            if pos == 0 and dbg.enabled():
+                # SPATTEN_DEBUG=1: the first prefill chunk runs under
+                # checkify float checks — numeric corruption (NaN
+                # escaping a masked region, a zero softmax denominator)
+                # raises at the producing op instead of surfacing as
+                # garbage tokens
+                last_logits, state, _ = dbg.checkify_step(
+                    functools.partial(prefill_chunk, params, cfg,
+                                      static_layers=layers),
+                    state, prompt[:, pos:pos + n])
+            else:
+                last_logits, state, _ = prefill_chunk(
+                    params, cfg, state, prompt[:, pos:pos + n],
+                    static_layers=layers)
+            pos += n
 
     head_compact = None
     if cfg.pruning.enable_head_pruning and cfg.pruning.head_keep > 0:

@@ -71,8 +71,10 @@ def kth_block_mass(block_mass: jax.Array, v_keep, block_size: int
     kb = jnp.maximum(1, -(-jnp.asarray(v_keep, jnp.int32) // block_size))
     srt = jnp.sort(block_mass, axis=-1)[..., ::-1]
     ki = jnp.clip(kb - 1, 0, num_blocks - 1)
-    ki = jnp.broadcast_to(ki, block_mass.shape[:-1])[..., None]
-    return jnp.take_along_axis(srt, ki, axis=-1)
+    # the budget is one scalar for the whole call — a dynamic slice at a
+    # traced start is ~free, where a broadcast take_along_axis lowers to
+    # XLA's slow general gather
+    return jax.lax.dynamic_slice_in_dim(srt, ki, 1, axis=-1)
 
 
 def v_block_keep_mask(probs: jax.Array, v_keep, block_size: int

@@ -255,7 +255,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                  sm_scale: float, requant_threshold: float,
                  quant_enabled: bool, v_keep: int, v_block: int,
                  importance_kind: str, accumulate_importance: bool,
-                 quantize_queries: bool, track_importance: bool,
+                 imp_per_row: bool = False,
+                 quantize_queries: bool = False, track_importance: bool = True,
                  importance_ema: float = 1.0, skip_append: bool = False,
                  head_gating: bool = False, npj: int = 1, batch: int = 1,
                  vmsb_on: bool = True, sc_blocked: bool = False,
@@ -1561,6 +1562,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
         # by contract — every consumer (select_keep_indices_budgeted)
         # masks on layer_lengths, and appended columns reset to zero.
         imp_wbs = []
+        irows = rows if imp_per_row else hpp
         if track_importance:
             col_hp = jax.lax.broadcasted_iota(jnp.int32, (hpp, pblk), 1)
             if accumulate_importance and sc_ladder_read:
@@ -1569,7 +1571,7 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                 for cpy in imp_reads:
                     cpy.wait()
             if not accumulate_importance:
-                imp_scr[...] = jnp.zeros((bpp, hpp, cap), imp_dtype)
+                imp_scr[...] = jnp.zeros((bpp, irows, cap), imp_dtype)
             drow = wrow if importance_kind == "prob" else hmask_rows
             for t in range(num_tblk):
                 @pl.when(t * pblk < len_max)
@@ -1585,11 +1587,14 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                     for bi in range(bpp):
                         dsrc_bi = dsrc[bi * rows:(bi + 1) * rows] \
                             if bpp > 1 else dsrc
-                        if group > 1:
+                        if group > 1 and not imp_per_row:
                             delta = jnp.sum(
                                 dsrc_bi.reshape(hpp, group, pblk),
                                 axis=1)                 # [hpp, pblk]
                         else:
+                            # per-row mode keeps each query head's delta
+                            # separate (exact GQA split-K recombination
+                            # rescales rows before the group sum)
                             delta = dsrc_bi
                         if accumulate_importance:
                             old = imp_scr[bi, :, ds_].astype(jnp.float32)
@@ -1621,7 +1626,8 @@ def _make_kernel(*, cap: int, group: int, head_dim: int, hpp: int,
                         imp_wbs.append(pltpu.make_async_copy(
                             imp_scr.at[bi],
                             imp_out.at[0, b0 + bi, :, :] if npj == 1 else
-                            imp_out.at[0, b0 + bi, pl.ds(j * hpp, hpp), :],
+                            imp_out.at[0, b0 + bi,
+                                       pl.ds(j * irows, irows), :],
                             sc_sem.at[5, bi]))
                 for cpy in imp_wbs:
                     cpy.start()
@@ -1938,6 +1944,15 @@ def fused_decode_attention(
     return_row_stats: bool = False,   # also return (m, den) [B, Hq] per
                                    #   q-head row: the flash partials for
                                    #   exact split-K recombination
+    per_row_importance: bool = False,  # delta-only mode (importance_in
+                                   #   None): emit [B, Hq, C] per-query-
+                                   #   row deltas instead of the group
+                                   #   sum — split-K GQA rescales each
+                                   #   row by its global flash weight
+                                   #   BEFORE summing the group, making
+                                   #   the sharded importance exact
+                                   #   (kv_cache_token_pruning.py:51
+                                   #   semantics)
     probs_bf16: bool = False,      # bf16 e-plane scratch: halves the
                                    #   largest [rows, C] VMEM plane (more
                                    #   batch rows per instance); the e
@@ -2016,6 +2031,8 @@ def fused_decode_attention(
             hpp = _hpp_override
 
     accumulate = importance_in is not None
+    imp_per_row = (per_row_importance and track_importance
+                   and not accumulate and group > 1)
     head_gating = head_mask is not None
     npj = hkv // hpp
     # V's nibble plane is optional: the P·V pass always reads the full
@@ -2068,6 +2085,7 @@ def fused_decode_attention(
         importance_ema=importance_ema, skip_append=_skip_append,
         head_gating=head_gating, npj=npj, batch=b, vmsb_on=vmsb_on,
         sc_blocked=sc_blocked, mixed_profile=mixed_profile,
+        imp_per_row=imp_per_row,
         has_lsb2=has_lsb2, imp_dtype=imp_dtype, sc_dtype=sc_dtype,
         pv_int8=pv_int8, has_appmask=append_mask is not None,
         row_stats=return_row_stats, bpp=bpp, probs_bf16=probs_bf16)
@@ -2088,12 +2106,16 @@ def fused_decode_attention(
         hm = hmb.astype(jnp.float32).reshape(b, hkv, group)
 
     imp_cols = cap if track_importance else 128
+    imp_heads = hq if imp_per_row else hkv
+    if imp_per_row:
+        assert not sc_blocked, (
+            "per-row importance needs the DMA scale transport")
     if accumulate:
         imp_in = importance_in                       # [L, B, Hkv, C]
         imp_shape = imp_in.shape
     else:
         imp_in = jnp.zeros((1, b, hkv, imp_cols), jnp.float32)
-        imp_shape = (1, b, hkv, imp_cols)
+        imp_shape = (1, b, imp_heads, imp_cols)
 
     quant_on = quant_enabled
     do_requant = quant_enabled and requant_threshold > 0.0
@@ -2233,7 +2255,8 @@ def fused_decode_attention(
     scratch += [
         pltpu.VMEM((bpp, hpp, cap), sc_dtype),           # ksc slices
         pltpu.VMEM((bpp, hpp, cap), sc_dtype),           # vsc slices
-        pltpu.VMEM((bpp, hpp, imp_cols), imp_dtype),     # imp slices
+        pltpu.VMEM((bpp, rows_p if imp_per_row else hpp, imp_cols),
+                   imp_dtype),                           # imp slices
     ]
     if quant_on:
         # shared msb/full stream slots (see _make_kernel kfull_scr)
@@ -2343,7 +2366,8 @@ def fused_decode_attention(
         max_prob=maxp[..., 0],
         need_requant=need[..., 0].astype(bool),
         importance_delta=(imp if track_importance
-                          else jnp.zeros((b, hkv, cap), jnp.float32)),
+                          else jnp.zeros((b, imp_heads, cap),
+                                         jnp.float32)),
         probs=None,
     )
     if return_row_stats:

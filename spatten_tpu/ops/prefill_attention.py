@@ -180,20 +180,50 @@ def prefill_attention(
                 & causal[:, None, :, :])              # [B, 1, S, blk]
         return jnp.where(mask, sc, MASK_VALUE), mask
 
-    # pass I: row maxes and denominators (streaming, O(S))
+    # blocks past the live prefix are fully masked — every pass skips
+    # them via a traced loop bound (a 2k prompt in a 16k cache otherwise
+    # spends 7/8 of its block matmuls on dead columns, in BOTH engines)
+    n_live = jnp.minimum(
+        jnp.asarray(nblk, jnp.int32),
+        -(-jnp.max(lengths).astype(jnp.int32) // block_size))
+
+    # pass I: row maxes, denominators, and (when V-pruning) the
+    # per-(query, v-block) mass — all row-space quantities, so they ride
+    # the flash rescaling recurrence; the block's own max prob is then
+    # exp(m - m)/den == 1/den, so the requant signal is FREE.  This
+    # halves the score recomputations vs a separate reduce pass.
     def stats_pass(plane):
-        def body(carry, i):
-            m, den = carry
+        def body(i, carry):
+            m, den, mass_un = carry
             sc, mask = scores_block(i, plane)
             blk_max = jnp.max(sc, axis=-1)
             m_new = jnp.maximum(m, blk_max)
-            den = den * jnp.exp(m - m_new) + jnp.where(
-                mask, jnp.exp(sc - m_new[..., None]), 0.0).sum(-1)
-            return (m_new, den), None
+            r = jnp.exp(m - m_new)
+            e = jnp.where(mask, jnp.exp(sc - m_new[..., None]), 0.0)
+            den = den * r + e.sum(-1)
+            if do_vprune:
+                if hm is not None:
+                    e = jnp.where(hm[:, :, None, None], e, 0.0)
+                bm = e.reshape(b, hq, s, block_size // v_block_size,
+                               v_block_size).sum(-1)
+                # earlier blocks' sums rescale; block i's columns were
+                # zero until now, so the update is a plain write
+                mass_un = jax.lax.dynamic_update_slice_in_dim(
+                    mass_un * r[..., None], bm,
+                    i * (block_size // v_block_size), axis=-1)
+            return (m_new, den, mass_un)
+        mass_cols = nvb if do_vprune else 1
         init = (jnp.full((b, hq, s), MASK_VALUE, jnp.float32),
-                jnp.zeros((b, hq, s), jnp.float32))
-        (m, den), _ = jax.lax.scan(body, init, jnp.arange(nblk))
-        return m, jnp.maximum(den, 1e-30)
+                jnp.zeros((b, hq, s), jnp.float32),
+                jnp.zeros((b, hq, s, mass_cols), jnp.float32))
+        m, den, mass_un = jax.lax.fori_loop(0, n_live, body, init)
+        den = jnp.maximum(den, 1e-30)
+        # max_c p == exp(m - m)/den == 1/den (rows with no live column
+        # keep m == MASK_VALUE -> report 0, matching a zero prob row)
+        maxp_rows = jnp.where(m > MASK_VALUE / 2, 1.0 / den, 0.0)
+        maxp = jnp.max(maxp_rows, axis=-1)             # [B, Hq]
+        mass = mass_un / den[..., None] if do_vprune else None
+        return m, den, maxp, mass
 
     def probs_block(i, plane, m, den):
         sc, mask = scores_block(i, plane)
@@ -205,14 +235,12 @@ def prefill_attention(
     # mass, and (after the keep decision) the PV accumulation.  To keep one
     # code path, accumulate mass + imp + maxp first, then a third pass for
     # PV with the keep mask (V pruning needs the global mass ranking).
-    def reduce_pass(plane, m, den):
-        def body(carry, i):
-            maxp, imp, mass = carry
+    def pv_pass(plane, m, den, keep_blk):
+        """P·V + importance epilogue in one streamed pass.
+        keep_blk: [B, Hq, S, nvb] keep mask (or None)."""
+        def body(i, carry):
+            acc, imp = carry
             p, sc, mask = probs_block(i, plane, m, den)
-            # max prob is pre-mask (like attention_ref / the decode kernel:
-            # only fully-dead groups are zeroed, after _group_reduce), so
-            # the requant decision can't diverge for partially masked groups
-            maxp = jnp.maximum(maxp, p.max(axis=(-1, -2)))
             if hm is not None:
                 p = jnp.where(hm[:, :, None, None], p, 0.0)
                 sc = jnp.where(hm[:, :, None, None], sc, 0.0)
@@ -222,23 +250,6 @@ def prefill_attention(
                 contrib = jnp.where(mask, sc, 0.0).sum(axis=-2)
             imp = jax.lax.dynamic_update_slice_in_dim(
                 imp, contrib, i * block_size, axis=-1)
-            bm = p.reshape(b, hq, s, block_size // v_block_size,
-                           v_block_size).sum(-1)      # [B,Hq,S,nvb_blk]
-            mass = jax.lax.dynamic_update_slice_in_dim(
-                mass, bm, i * (block_size // v_block_size), axis=-1)
-            return (maxp, imp, mass), None
-        init = (jnp.zeros((b, hq), jnp.float32),
-                jnp.zeros((b, hq, cap), jnp.float32),
-                jnp.zeros((b, hq, s, nvb), jnp.float32))
-        (maxp, imp, mass), _ = jax.lax.scan(body, init, jnp.arange(nblk))
-        return maxp, imp, mass
-
-    def pv_pass(plane, m, den, keep_blk):
-        """keep_blk: [B, Hq, S, nvb] keep mask (or None)."""
-        def body(acc, i):
-            p, _, _ = probs_block(i, plane, m, den)
-            if hm is not None:
-                p = jnp.where(hm[:, :, None, None], p, 0.0)
             if keep_blk is not None:
                 kb = jax.lax.dynamic_slice_in_dim(
                     keep_blk, i * (block_size // v_block_size),
@@ -250,38 +261,35 @@ def prefill_attention(
                             .astype(jnp.float32))
                 * _block(v_quant.scale, i, block_size, 2)[..., None],
                 group)
-            return acc + jnp.einsum("bhqc,bhcd->bhqd", p, vb,
-                                    preferred_element_type=jnp.float32), \
-                None
-        acc0 = jnp.zeros((b, hq, s, d), jnp.float32)
-        out, _ = jax.lax.scan(body, acc0, jnp.arange(nblk))
-        return out
+            acc = acc + jnp.einsum("bhqc,bhcd->bhqd", p, vb,
+                                   preferred_element_type=jnp.float32)
+            return (acc, imp)
+        init = (jnp.zeros((b, hq, s, d), jnp.float32),
+                jnp.zeros((b, hq, cap), jnp.float32))
+        return jax.lax.fori_loop(0, n_live, body, init)
 
     # ---- pass 1 plane selection + requant ---------------------------------
     plane1 = "msb" if quant_enabled else "full"
-    m1, den1 = stats_pass(plane1)
-    maxp1, imp1, mass1 = reduce_pass(plane1, m1, den1)
+    m1, den1, maxp1, mass1 = stats_pass(plane1)
 
     # requant decision on pass-1 max prob (pre head-mask in the reference;
     # with a dead group the reference zeroes its stats afterwards)
-    maxp1_raw = maxp1
-    max_prob = _group_reduce(maxp1_raw, hkv, lambda x, a: x.max(axis=a))
+    max_prob = _group_reduce(maxp1, hkv, lambda x, a: x.max(axis=a))
     if do_requant:
         need = max_prob < requant_threshold            # [B, Hkv]
         if pass1_bits is not None:
             # an 8-bit pass-1 already read the full plane
             need = need & (jnp.asarray(pass1_bits, jnp.int32) < 8)
-        m2, den2 = stats_pass("full")
-        maxp2, imp2, mass2 = reduce_pass("full", m2, den2)
+        m2, den2, maxp2, mass2 = stats_pass("full")
         sel_q = _repeat_kv(need[..., None], group)     # [B, Hq, 1]
         m = jnp.where(sel_q, m2, m1)
         den = jnp.where(sel_q, den2, den1)
-        imp = jnp.where(sel_q, imp2, imp1)
-        mass = jnp.where(sel_q[..., None], mass2, mass1)
+        mass = (jnp.where(sel_q[..., None], mass2, mass1)
+                if do_vprune else None)
         plane_sel = need                               # [B, Hkv] bool
     else:
         need = jnp.zeros((b, hkv), dtype=bool)
-        m, den, imp, mass = m1, den1, imp1, mass1
+        m, den, mass = m1, den1, mass1
         plane_sel = None
 
     # ---- head pruning adjustments ----------------------------------------
@@ -297,18 +305,19 @@ def prefill_attention(
         kth = kth_block_mass(mass, v_keep, v_block_size)
         keep_blk = (mass >= kth).astype(jnp.float32)   # [B, Hq, S, nvb]
 
-    # ---- P·V --------------------------------------------------------------
+    # ---- P·V + importance -------------------------------------------------
     if plane_sel is not None:
         # both-plane PV with per-group plane choice: probabilities differ
         # only via (m, den, scores); pv_pass recomputes scores per plane —
         # run it per plane and select (flagged groups are typically few;
         # the extra pass streams, it does not materialize)
-        out1 = pv_pass("msb", m1, den1, keep_blk)
-        out2 = pv_pass("full", m2, den2, keep_blk)
+        out1, imp1 = pv_pass("msb", m1, den1, keep_blk)
+        out2, imp2 = pv_pass("full", m2, den2, keep_blk)
         sel = _repeat_kv(need[..., None, None], group)
         out = jnp.where(sel, out2, out1)
+        imp = jnp.where(sel[..., 0], imp2, imp1)
     else:
-        out = pv_pass(plane1, m, den, keep_blk)
+        out, imp = pv_pass(plane1, m, den, keep_blk)
 
     imp_kv = _group_reduce(imp, hkv, lambda x, a: x.sum(axis=a))
     stats = AttentionStats(

@@ -158,11 +158,11 @@ def split_k_decode_fused(
       probability mass per token: each shard's kernel returns its local
       delta (e / den_local) and the recombination weight rescales it by
       ``den_local * exp(m_local - m_glob) / den_glob`` before the add.
-      Exact for MHA (group == 1 — the reference's GPT-2 geometry and the
-      Llama-2-7B TP shard); under GQA the kernel sums the group's rows
-      before the per-row rescale is known, so the delta falls back to
-      the shard-local normalization (a per-shard confidence domain, like
-      requant below).
+      Exact for MHA directly; under GQA the kernel emits per-query-row
+      deltas (``per_row_importance``) so each group member rescales by
+      its own flash weight before the group sum — exact for any group
+      size (reference semantics: kv_cache_token_pruning.py:51 sums the
+      full softmax probabilities over all query heads of the group).
     * requant telemetry (max_prob / need_requant) returns per shard,
       stacked [n, B, Hkv] — shard-local confidence domains.
 
@@ -185,20 +185,28 @@ def split_k_decode_fused(
             q, kq, vq, k_new, v_new, lens_l,
             sm_scale=sm_scale, append_mask=appm, return_row_stats=True,
             track_importance=track_imp, importance_ema=1.0,
-            interpret=interpret, **spatten_kwargs)
+            per_row_importance=(group > 1), interpret=interpret,
+            **spatten_kwargs)
         m_g = jax.lax.pmax(m, axis)                     # [B, Hq]
         w = jnp.exp(m - m_g) * den
         num = jax.lax.psum(out * w[:, :, None, None], axis)
         den_g = jax.lax.psum(w, axis)
         out_g = num / jnp.maximum(den_g, 1e-30)[:, :, None, None]
         if track_imp:
-            # delta_local = e / den_local (per token, group-summed);
-            # exact global probability = delta_local * w / den_glob
+            # delta_local = e / den_local per token; the exact global
+            # probability is e * exp(m - m_g) / den_g — the per-row
+            # rescale is delta_local * w / den_g.  Under GQA the kernel
+            # emits PER-QUERY-ROW deltas (per_row_importance), so each
+            # group member rescales by ITS OWN flash weight before the
+            # group sum — exact for any group size
+            # (kv_cache_token_pruning.py:51 sums full softmax probs).
+            corr = (w / jnp.maximum(den_g, 1e-30))[:, :, None]
             if group == 1:
-                corr = (w / jnp.maximum(den_g, 1e-30))[:, :, None]
+                delta = stats.importance_delta * corr   # [B, Hkv, Cl]
             else:
-                corr = 1.0                   # shard-local domain (GQA)
-            delta = stats.importance_delta * corr       # [B, Hkv, Cl]
+                rows = stats.importance_delta * corr    # [B, Hq, Cl]
+                delta = rows.reshape(rows.shape[0], hkv, group,
+                                     rows.shape[-1]).sum(axis=2)
             prev = imp_l.astype(jnp.float32)
             if importance_ema != 1.0:
                 prev = prev * importance_ema

@@ -8,6 +8,15 @@ multi-device paths without hardware.
 
 import os
 
+# The sandbox host changed mid-round-5 to a machine whose XLA:CPU
+# backend segfaults inside compile after ~100 in-process compilations
+# (faulthandler points at backend_compile_and_load; every test passes
+# when the suite is split across processes).  Capping the CPU codegen
+# ISA avoids the crashing code path.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_max_isa" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+
 import jax
 
 # Force CPU for the unit suite even when the session env points JAX at a

@@ -21,6 +21,22 @@ from spatten_tpu.models import transformer
 from spatten_tpu.models.weight_quant import quantize_params
 
 
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compiler_state():
+    """The round-5 sandbox host's XLA:CPU backend segfaults inside
+    compile when this module's programs build on ~100 prior in-process
+    compilations (faulthandler: backend_compile_and_load; the same
+    tests pass in any smaller process).  Clearing jax's caches resets
+    the compiler state the crash accumulates."""
+    import jax
+    jax.clear_caches()
+    yield
+
+
 def _cfg(compact: bool) -> SpAttenConfig:
     return SpAttenConfig(
         model=ModelConfig.tiny(),

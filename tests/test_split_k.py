@@ -150,6 +150,51 @@ def test_split_k_importance_telemetry_exact_mha():
                                    atol=3e-5, rtol=1e-4)
 
 
+def test_split_k_importance_telemetry_exact_gqa():
+    """GQA split-K importance exactness (VERDICT r4 item 5): with
+    group > 1 the kernel emits per-query-row deltas and the shard map
+    rescales each row by its own flash weight before the group sum —
+    the accumulated sharded importance must match the unsharded fused
+    kernel's accumulator on the live prefix (the reference sums full
+    softmax probs over every query head of the group,
+    kv_cache_token_pruning.py:51)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs virtual device mesh")
+    from spatten_tpu.ops.fused_decode import fused_decode_attention
+    n, b, hq, hkv, d, cl = 4, 2, 4, 2, 32, 64
+    cap = n * cl
+    ks = jax.random.split(jax.random.PRNGKey(21), 5)
+    q = jax.random.normal(ks[0], (b, hq, 1, d))
+    k = jax.random.normal(ks[1], (b, hkv, cap, d))
+    v = jax.random.normal(ks[2], (b, hkv, cap, d))
+    k_new = jax.random.normal(ks[3], (b, hkv, 1, d))
+    v_new = jax.random.normal(ks[4], (b, hkv, 1, d))
+    kq = quantize_sharded(k, n)
+    vq = quantize_sharded(v, n, with_msb=False)
+    imp0 = jax.random.uniform(jax.random.PRNGKey(22), (b, hkv, cap))
+    own_live = jnp.array([20, 41], jnp.int32)
+    local_lengths = jnp.concatenate(
+        [jnp.full((n - 1, b), cl, jnp.int32), own_live[None]], axis=0)
+    glob = (n - 1) * cl + own_live
+
+    mesh = make_kv_mesh(n)
+    out, k2, v2, imp2, maxp, need = split_k_decode_fused(
+        q, kq, vq, k_new, v_new, local_lengths, mesh, sm_scale=0.18,
+        quant_enabled=True, importance_in=imp0, interpret=True)
+
+    kq_g = qz.quantize(k)
+    vq_g = qz.quantize(v, with_msb=False)
+    _, stats_g, _, _ = fused_decode_attention(
+        q, kq_g, vq_g, k_new, v_new, glob, sm_scale=0.18,
+        quant_enabled=True, importance_in=imp0, interpret=True)
+    want = np.asarray(stats_g.importance_delta)
+    got = np.asarray(imp2)
+    for bb in range(b):
+        L = int(glob[bb])
+        np.testing.assert_allclose(got[bb, :, :L], want[bb, :, :L],
+                                   atol=3e-5, rtol=1e-4)
+
+
 def test_split_k_prune_event_and_continue():
     """Cascade pruning on the kv-sharded cache: decode, prune (global
     selection + cross-shard gather + shard-local repack), decode again —
