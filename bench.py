@@ -464,7 +464,14 @@ def run_point(cache: int, batch: int, steps: int, params,
     del dn_state
     log(f"[cap {cache} b {batch}] dense: {tps_dn:.1f} tok/s")
 
-    prune_ms, prune_steady_ms, prune_amort_ms = measure_prune(cfg_sp, params)
+    # prune/prefill measurements must never take the headline down with
+    # them (the driver records whatever JSON this process prints)
+    try:
+        prune_ms, prune_steady_ms, prune_amort_ms = measure_prune(
+            cfg_sp, params)
+    except Exception as e:                       # pragma: no cover
+        log(f"measure_prune failed: {e!r}")
+        prune_ms = prune_steady_ms = prune_amort_ms = -1.0
 
     scale = BENCH_LAYERS / FULL_LAYERS
     point = {
@@ -501,8 +508,12 @@ def run_point(cache: int, batch: int, steps: int, params,
         for plen in (2048, 8192):
             if plen > cache:
                 continue
-            sp_tps, sp_ttft = measure_prefill(cfg_sp, params, plen)
-            dn_tps, dn_ttft = measure_prefill(cfg_dn, params, plen)
+            try:
+                sp_tps, sp_ttft = measure_prefill(cfg_sp, params, plen)
+                dn_tps, dn_ttft = measure_prefill(cfg_dn, params, plen)
+            except Exception as e:               # pragma: no cover
+                log(f"measure_prefill({plen}) failed: {e!r}")
+                continue
             prefill[str(plen)] = {
                 "spatten_tok_s": round(sp_tps * scale, 1),
                 "dense_tok_s": round(dn_tps * scale, 1),

@@ -263,14 +263,24 @@ def prefill(params, cfg: SpAttenConfig, state: DecodeState,
                 lens = lens2
                 seg += chunk
         host_lens = lens
-        if seg % chunk == 0 and seg // chunk > 1:
-            last_logits, state = prefill_scan(
-                params, cfg, state, tokens[:, pos:pos + seg],
-                nchunks=seg // chunk)
-        else:
-            last_logits, state, _ = prefill_chunk(
-                params, cfg, state, tokens[:, pos:pos + seg],
-                static_layers=())
+        # scans are capped at 8 chunks per dispatch: the scan body nests
+        # the whole layer stack and a 16-chunk prefill scan risks
+        # pathological compile times on the remote-compile path
+        off = 0
+        while off < seg:
+            nck = min(8, (seg - off) // chunk)
+            if nck >= 2:
+                part = nck * chunk
+                last_logits, state = prefill_scan(
+                    params, cfg, state,
+                    tokens[:, pos + off:pos + off + part], nchunks=nck)
+            else:
+                part = min(chunk, seg - off)
+                last_logits, state, _ = prefill_chunk(
+                    params, cfg, state,
+                    tokens[:, pos + off:pos + off + part],
+                    static_layers=())
+            off += part
         pos += seg
     return last_logits, state, host_lens
 
