@@ -106,9 +106,12 @@ def build_cfg(spatten: bool, cache: int, batch: int):
             # layers keep far fewer tokens
             cascade_layer_ratios=ratios,
             # v_block scales with capacity so the in-kernel block top-k
-            # stays O(128^2) per row
+            # stays cheap; cap/64 is the measured optimum (r5 regime
+            # sweep: at 16384x32, ratio 0.25 x block 256 nets +0.26
+            # ms/step vs V-prune off; 128 nets +0.17; finer blocks or
+            # keep >= 0.35 go negative — tools/vprune_sweep.py)
             enable_v_pruning=True, v_keep_ratio=0.25,
-            v_block_size=max(64, cache // 128),
+            v_block_size=max(64, cache // 64),
             # on-the-fly head pruning (mask re-derived from live
             # importance every 32 decode steps)
             enable_head_pruning=True, head_keep=head_keep,

@@ -265,14 +265,25 @@ class EngineConfig:
     activation_dtype: str = "bfloat16"
     use_pallas: bool = True          # fused kernels vs jnp reference path
     # Prefill scores at full precision (skip the 4-bit pass-1 + requant
-    # double-pass; V-prune MASKING is kept — importance/V parity with the
-    # stepped path is a cascade contract) while still building the
-    # quantized cache and exact importance.  Pass-1 nibble scoring is a
-    # DECODE bandwidth optimization — prefill reads each K row once
-    # either way and is MXU-bound, so the approximation there costs ~3x
-    # prefill throughput for zero fetch savings (the reference's
-    # encoder-regime pricing, bert.cpp:17-242, is dense compute too).
+    # double-pass) while still building the quantized cache and exact
+    # importance.  Pass-1 nibble scoring is a DECODE bandwidth
+    # optimization — prefill reads each K row once either way and is
+    # MXU-bound, so the approximation there costs ~3x prefill throughput
+    # for zero fetch savings (the reference's encoder-regime pricing,
+    # bert.cpp:17-242, is dense compute too).
     prefill_fp_score: bool = True
+    # Local-V masking during prompt chunks.  Default OFF: the reference
+    # prices the prompt/encoder regime as DENSE compute (bert.cpp:17-242)
+    # — local V pruning is a per-decode-step fetch optimization, and in
+    # prefill the V rows stream once regardless, so the per-(query,
+    # block) mass/top-k masking costs 8-15% prompt throughput (measured,
+    # r5) for zero fetch savings.  Importance accumulates from PRE-mask
+    # probabilities in both paths (attention_ref.py:214), so the cascade
+    # signal, cache planes, and V budgets are bit-identical either way;
+    # only discarded intra-prompt logits differ.  Set True to make the
+    # last prompt token's logits match a stepped (decode-mode) replay
+    # exactly.
+    prefill_v_mask: bool = False
     # RoPE placement for cached keys:
     #   "read"   — store K unrotated, rotate at attention time (exact
     #              reference pos-shift semantics, modify_llama.py:90-104);

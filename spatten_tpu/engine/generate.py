@@ -211,7 +211,7 @@ def prune_schedule_step(cfg: SpAttenConfig, host_lens: list, num_coming: int
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(1,),
-                   static_argnames=("nchunks",))
+                   static_argnames=("nchunks",), donate_argnums=(2,))
 def prefill_scan(params, cfg: SpAttenConfig, state: DecodeState,
                  tokens: jax.Array, *, nchunks: int):
     """Scan `nchunks` equal prompt chunks in ONE dispatch (no prune

@@ -531,12 +531,18 @@ def run_layers(
             # (measured ~3x prefill throughput, round 4).
             pkw = dict(kwargs)
             if e.prefill_fp_score:
-                # V-prune MASKING stays (importance parity with the
-                # stepped path is a cascade contract); only the scoring
-                # precision ladder is skipped
+                # only the scoring-precision ladder is skipped; the
+                # quantized cache planes and exact importance still build
                 pkw["quant_enabled"] = False
                 pkw["requant_threshold"] = 0.0
                 pkw.pop("pass1_bits", None)
+            if not e.prefill_v_mask:
+                # dense-prompt pricing (bert.cpp:17-242): V streams once
+                # per chunk regardless, so mass/top-k masking buys no
+                # fetch.  Importance is pre-mask in both paths, so the
+                # cascade/V-budget state is unchanged (config.py
+                # prefill_v_mask).
+                pkw["v_keep"] = 0
             attn_out, stats = prefill_attention(
                 qh, layer_cache.k, layer_cache.v, cos, sin,
                 lengths_l + s, pos_l, sm_scale=sm_scale, **pkw)

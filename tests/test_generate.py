@@ -170,10 +170,13 @@ def test_chunked_prefill_importance_matches_stepping():
     the cascade signal can't silently drop on the prefill path."""
     # quant off: the requant decision is per-chunk on the prefill path but
     # per-step when stepping — a real (documented) granularity difference
-    # that would make probs differ; importance parity is what's under test
+    # that would make probs differ; importance parity is what's under test.
+    # prefill_v_mask=True: stepping (s=1) V-masks every token, so exact
+    # parity needs the prompt chunks to mask too (the serving default
+    # False prices prompts dense, per bert.cpp — see the flag's test)
     cfg = tiny_cfg(
         engine=EngineConfig(max_batch_size=1, cache_capacity=32,
-                            prefill_chunk=8),
+                            prefill_chunk=8, prefill_v_mask=True),
         quant=QuantConfig(enabled=False, enable_requant=False))
     params = transformer.init_params(cfg.model, jax.random.PRNGKey(0))
     toks = jax.random.randint(jax.random.PRNGKey(7), (1, 16), 0, 255)
@@ -191,3 +194,48 @@ def test_chunked_prefill_importance_matches_stepping():
     imp_s = np.asarray(state_s.importance)
     assert np.abs(imp_c).max() > 0, "prefill importance is all-zero"
     np.testing.assert_allclose(imp_c, imp_s, rtol=2e-4, atol=2e-5)
+
+
+def test_prefill_v_mask_flag_leaves_cascade_state_invariant():
+    """prefill_v_mask=False (default, dense-prompt pricing per the
+    reference's bert.cpp encoder regime) must leave the cascade state a
+    layer derives from its own inputs — cache planes, importance,
+    lengths — equal (to float reassociation) vs prefill_v_mask=True: V masking feeds only
+    the P*V OUTPUT, never the cascade signal (importance is pre-mask,
+    attention_ref.py:214).  A 1-layer model isolates that contract
+    (with more layers the masked output legitimately shifts later
+    layers' activations, exactly as in the reference, where prompts are
+    processed dense and only decode steps gate V fetches)."""
+    toks = jax.random.randint(jax.random.PRNGKey(3), (1, 16), 0, 255)
+
+    def run(v_mask):
+        cfg = tiny_cfg(engine=EngineConfig(
+            max_batch_size=1, cache_capacity=32, prefill_chunk=8,
+            prefill_v_mask=v_mask))
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_layers=1)
+        ).validate()
+        params = transformer.init_params(cfg.model, jax.random.PRNGKey(0))
+        state = init_state(cfg, batch=1)
+        logits, state, _ = gen.prefill(params, cfg, state, toks)
+        return logits, state
+
+    lg_off, st_off = run(False)
+    lg_on, st_on = run(True)
+    # identical up to float reassociation: dropping the mass bookkeeping
+    # changes XLA's reduction fusions, not the math
+    np.testing.assert_allclose(np.asarray(st_off.importance),
+                               np.asarray(st_on.importance),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_off.layer_lengths),
+                                  np.asarray(st_on.layer_lengths))
+    for cache in (st_off.cache.k, st_on.cache.k):
+        assert cache.full is not None
+    np.testing.assert_array_equal(np.asarray(st_off.cache.k.full),
+                                  np.asarray(st_on.cache.k.full))
+    np.testing.assert_array_equal(np.asarray(st_off.cache.v.full),
+                                  np.asarray(st_on.cache.v.full))
+    # masking IS live on the True path: some intra-prompt prob mass is
+    # dropped, so final-token logits must differ measurably
+    assert not np.allclose(np.asarray(lg_off), np.asarray(lg_on),
+                           atol=1e-6)
