@@ -160,7 +160,8 @@ def train(steps=1200):
     @jax.jit
     def step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
-        updates, opt_state = opt.update(grads, opt_state)
+        # pass params: adamw's weight decay needs them (adam ignores)
+        updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.PRNGKey(42)
