@@ -441,8 +441,14 @@ def run_point(cache: int, batch: int, steps: int, params,
     cfg_sp = build_cfg(True, cache, batch)
     cfg_dn = build_cfg(False, cache, batch)
 
-    thr = calibrate_requant(cfg_sp, params)
-    log(f"[cap {cache} b {batch}] calibrated requant threshold: {thr:.3e}")
+    # SPATTEN_BENCH_REQUANT_Q overrides the calibration quantile: the
+    # trained-model evidence (tools/ppl_curve.py prints the measured
+    # requant/head rate on real-text gpt2s attention) justifies a lower
+    # firing rate than the conservative synthetic 15% default
+    rq = float(os.environ.get("SPATTEN_BENCH_REQUANT_Q", 0.15))
+    thr = calibrate_requant(cfg_sp, params, quantile=rq)
+    log(f"[cap {cache} b {batch}] calibrated requant threshold: {thr:.3e}"
+        f" (quantile {rq})")
     cfg_sp = dataclasses.replace(
         cfg_sp, quant=dataclasses.replace(cfg_sp.quant,
                                           requant_threshold=thr))
